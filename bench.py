@@ -1,0 +1,81 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() action — full pipeline,
+no driver materialization of payload rows). A warmup run of the first
+query absorbs JVM/codegen startup so per-query numbers reflect steady
+state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: the queries a 100 TB deployment actually runs hot
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "q19_disjunctive_join",
+    "join_inner_shuffle",
+    "agg_function_library",
+    "window_running_agg",
+    "text_stats",
+    "dedup_exact_prefix",
+    "dedup_word_jaccard",
+    "similarity_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from big_data_project_implementation_spark import get_session
+    from big_data_project_implementation_spark.queries import REGISTRY
+
+    spark = get_session("bench")
+
+    def run(name: str) -> None:
+        # noop sink executes the full pipeline (count() would let the
+        # optimizer prune projections) without driver materialization
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+
+    # warmup: JVM + codegen + parquet footer caches
+    run("q1_pricing_summary")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        run(name)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time at sf" + str(sf),
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-once designs:
+
+- **exact**: hash-groupBy on a normalized fingerprint. One shuffle on
+  the 64-bit hash; survivors picked deterministically (min id).
+- **ngram-Jaccard**: exact similarity on shingle sets via a
+  shingle-posting self-join. Exact but quadratic per shingle bucket —
+  the correctness oracle for the approximate methods.
+- **MinHash + LSH**: shingles → k minhashes → bands → bucket-join.
+  Candidate pairs only collide within a band bucket, so the join is
+  linear-ish in corpus size. The 100 TB path.
+- **SimHash**: 64-bit weighted-feature hash; near-dups differ in few
+  bits. Banded same way.
+- **embedding near-dup**: cosine threshold over an embedding column
+  (delegates to operators.similarity).
+
+Everything is built from JVM-side expressions (split / transform /
+xxhash64 / explode / groupBy) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative of each normalized-text group.
+
+    groupBy on the fingerprint (8 bytes) not the text itself — at 100 TB
+    the shuffle moves hashes + ids, never document bodies."""
+    fp = F.xxhash64(_norm(F.col(text_col))).alias("_fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array of strings (distinct)."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(_norm(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle postings.
+
+    Plan: explode shingles → self-join on shingle (co-occurrence count)
+    → |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the only shuffle; a
+    hot shingle (stopword run) is the skew risk — AQE skew-join splits
+    it, and ``k``≥3 keeps shingle frequency low."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    posts = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = posts.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = posts.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _minhash_one(sh: Column, seed: int) -> Column:
+    # helper (not a default-arg lambda): pyspark HOF lambdas must take
+    # exactly (element[, index]) params
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+
+def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
+    """Array of ``num_hashes`` min-hashes over a shingle array.
+
+    Hash family: xxhash64(shingle, salt=i) — JVM-side, no UDF.
+    Signature is num_hashes longs per doc."""
+    return F.array(*[_minhash_one(sh, i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, then verified
+    with the estimated Jaccard (signature agreement rate).
+
+    bands=16 over 64 hashes → rows-per-band 4 → collision prob
+    1-(1-j^4)^16 (≈0.98 at j=0.8). Only band buckets join, so the
+    shuffle carries (band_hash → id) postings, never signatures of
+    non-colliding docs."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, k), num_hashes).alias("sig"),
+    )
+    sig.cache()  # reused by bucket-join and verification
+    bands_df = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands_df.alias("x")
+        .join(
+            bands_df.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash(text: Column | str, k: int = 3, bits: int = 64) -> Column:
+    """64-bit SimHash over shingle features, expression-only.
+
+    For each bit position: sum(+1/-1 votes over features) → sign. Votes
+    derived from xxhash64(shingle) bit tests."""
+    def _vote(sh_col: Column, bit: int) -> Column:
+        return F.aggregate(
+            sh_col,
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc
+            + F.when(
+                F.shiftright(F.xxhash64(s), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    sh = shingles(text, k)
+    bit_cols = []
+    for i in range(bits):
+        vote = _vote(sh, i)
+        bit_cols.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into ``bands``
+    16-bit chunks (pigeonhole: ≤3 differing bits → some chunk equal),
+    bucket-join, verify Hamming distance ≤ max_hamming."""
+    h = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, k).alias("sh64")
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = h.select(
+        "id",
+        "sh64",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sh64", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.sh64").alias("ha"),
+            F.col("y.sh64").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

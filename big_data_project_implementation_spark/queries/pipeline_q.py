@@ -1,0 +1,309 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing (the beyond-reference operator set).
+
+Exact variants carry DuckDB oracles; approximate variants (MinHash LSH,
+SimHash, hyperplane-LSH ANN) are registered rows-only and their
+recall/containment properties are asserted against the exact variants
+in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from big_data_project_implementation_spark.queries.registry import query, t
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT)
+               AS n_bpe_tokens,
+           ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           ROUND(1.0 - len(list_distinct(string_split(text, ' ')))
+                 / GREATEST(len(string_split(text, ' ')), 1), 6) AS repetition_ratio,
+           ROUND(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                 / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and quality-signal
+    ratios — expression-only, scan-throughput text analysis."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(text.repetition_ratio("text"), 6).alias("repetition_ratio"),
+        F.round(text.mean_token_len("text"), 6).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _duckdb_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORD_PROFILES[lang])
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"w -> w IN ({words}))) AS BIGINT)"
+    )
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_actual,
+             {_duckdb_lang_hits('de')} AS hits_de,
+             {_duckdb_lang_hits('en')} AS hits_en,
+             {_duckdb_lang_hits('es')} AS hits_es,
+             {_duckdb_lang_hits('fr')} AS hits_fr,
+             {_duckdb_lang_hits('zh')} AS hits_zh
+      FROM documents
+    )
+    SELECT doc_id, lang_actual, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+           CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+                WHEN hits_zh = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'zh'
+                WHEN hits_fr = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'fr'
+                WHEN hits_es = GREATEST(hits_de, hits_en, hits_es) THEN 'es'
+                WHEN hits_en = GREATEST(hits_de, hits_en) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM hits
+    ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic): per-language hit
+    counts + argmax prediction, all JVM-side expressions."""
+    d = t(spark, sf_dir, "documents")
+    toks = text.tokens(F.lower(F.col("text")))
+    hit_cols = {
+        lang: text.stopword_hits(toks, text.STOPWORD_PROFILES[lang])
+        .cast("bigint")
+        .alias(f"hits_{lang}")
+        for lang in _LANGS
+    }
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *hit_cols.values(),
+        text.detect_language("text").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_exact_prefix",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY array_to_string(string_split(lower(trim(text)), ' ')[1:5], ' ')
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on normalized key, min-id survivor —
+    operators.dedup.exact_dedup). Keyed on the 5-word prefix so the
+    fixture corpus actually contains collisions."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "prefix",
+        F.array_join(F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 5), " "),
+    )
+    return (
+        dedup.exact_dedup(d, text_col="prefix", id_col="doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_word_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS id, list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+      FROM documents
+    ),
+    posts AS (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+             COUNT(*) AS n_common
+      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id, a.n, b.n
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (n_a + n_b - n_common), 6) AS jaccard
+    FROM inter
+    WHERE n_common / (n_a + n_b - n_common) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (k=1) Jaccard near-dup pairs via shingle postings
+    self-join (operators.dedup.ngram_jaccard_pairs) — the correctness
+    oracle for MinHash/SimHash."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=1, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_minhash_lsh")  # approximate → rows-only; recall tested in pytest
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join
+    — operators.dedup.minhash_lsh_pairs). The 100 TB dedup path: only
+    band-bucket collisions are joined."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", k=1, num_hashes=32, bands=8,
+        threshold=0.7,
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # approximate → rows-only; tested in pytest
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit weighted-feature hash, banded
+    Hamming join — operators.dedup.simhash_pairs)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_pairs(
+        d, text_col="text", id_col="doc_id", k=1, max_hamming=8, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qv, c.emb)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+      FROM q, v c
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k ANN baseline (operators.similarity
+    .brute_force_topk): broadcast queries × corpus scan, window rank."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(queries_df, emb, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("similarity_lsh_topk")  # approximate → rows-only; recall tested in pytest
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (operators.similarity
+    .lsh_bucketed_topk) — the scale path: bucket join prunes candidates
+    before exact re-rank."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_bucketed_topk(queries_df, emb, dim=64, k=5, n_planes=4)
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact (threshold 0.9).
+    At 100 TB the LSH-pruned variant (embedding_near_dup_lsh) replaces
+    the cross join; this exact form is its oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", similarity.cosine("vec_a", "vec_b"))
+        .filter(F.col("cos") >= 0.9)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("embedding_near_dup_lsh")  # approximate → rows-only; tested in pytest
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-dup (operators.similarity
+    .embedding_near_dup_pairs) — same semantics as embedding_near_dup
+    but bucket-join instead of cross-join."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.9, dim=64, n_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id % 5 = 0
+    ORDER BY media_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: payload attach + typed
+    metadata (operators.multimodal.attach_binary_payload). Metadata
+    predicates stay JVM-side so payloads are pruned at the scan."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = multimodal.attach_binary_payload(
+        d, source_col="text", id_col="doc_id", mime="text/plain"
+    )
+    return media.select("media_id", "mime", "n_bytes").orderBy("media_id")
+
+
+@query("multimodal_features")  # stubbed decoder → rows-only; shape tested in pytest
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/featurize via Arrow-batched mapInPandas with the
+    deterministic fake decoder (real decode stubbed —
+    operators.multimodal._decode_stub)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = multimodal.attach_binary_payload(d, source_col="text", id_col="doc_id")
+    feats = multimodal.extract_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.size("feature").cast("bigint").alias("dim"),
+    ).orderBy("media_id")

@@ -1,0 +1,78 @@
+"""Registry plumbing for the query/oracle contract.
+
+Conventions that make the hash-compare robust (driver sorts columns by
+name, then order-insensitively hashes values):
+
+- Alias EVERY computed column, identically in Spark and oracle SQL.
+- Round every floating aggregate on BOTH sides (``F.round(x, n)`` /
+  ``ROUND(x, n)``) so partial-aggregation order can't flip a bit.
+- Cast derived integers to BIGINT on both sides (DuckDB's year(),
+  count() etc. return BIGINT; Spark's year() returns INT).
+- Never emit nondeterministic rows (sample/rand queries are registered
+  without an oracle → driver records the weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, None → rows-only check
+    doc: str  # what capability this exercises (SURVEY.md §2 row)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is the DuckDB-equivalent SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand scan used by query bodies (nanos-safe for events)."""
+    from big_data_project_implementation_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (file source), with the same
+    nanos→µs conversion as the batch path.
+
+    The file streaming source requires a *directory*; the fixture is a
+    single parquet file, so expose it through a symlinked temp dir."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "events_stream_" + sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

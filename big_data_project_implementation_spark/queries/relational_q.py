@@ -1,0 +1,327 @@
+"""Core relational operators: project / filter / distinct / set ops /
+sort / limit / explode / sample (SURVEY §2.2, §2.6, §2.7, §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark.queries.registry import query, t
+
+
+@query(
+    "project_filter",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey % 100 AS BIGINT) AS cust_bucket,
+           ROUND(o_totalprice * 1.1, 3)    AS uplifted,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+    ORDER BY o_orderkey
+    """,
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project + Filter physical operators (reference
+    sql/core/.../execution/basicOperators.scala:33,60); arithmetic and
+    comparison expressions stay in whole-stage codegen."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000.0))
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 100).cast("bigint").alias("cust_bucket"),
+            F.round(F.col("o_totalprice") * 1.1, 3).alias("uplifted"),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "predicates_null_in_like",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus IN ('O','F')                    AS in_set,
+           (NULLIF(o_orderstatus, 'P') IS NULL)          AS was_p,
+           o_orderpriority LIKE '%URGENT'                AS is_urgent,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'none')  AS status_or_none,
+           o_totalprice BETWEEN 500 AND 1500             AS mid_price
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def predicates_null_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: IN, IS NULL, LIKE, COALESCE/NULLIF, BETWEEN
+    (SURVEY §2.2; reference CAT/expressions/predicates.scala)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    was_p = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").isin("O", "F").alias("in_set"),
+        was_p.isNull().alias("was_p"),
+        F.col("o_orderpriority").like("%URGENT").alias("is_urgent"),
+        F.coalesce(was_p, F.lit("none")).alias("status_or_none"),
+        F.col("o_totalprice").between(500, 1500).alias("mid_price"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "distinct_dropdup",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def distinct_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct → Aggregate rewrite (reference
+    CAT/optimizer/Optimizer.scala:912 ReplaceDistinctWithAggregate)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+@query(
+    "union_all",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS key, 'customer' AS src FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
+    ) ORDER BY src, key
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union (bag semantics, by position) — reference
+    EXE/basicOperators.scala:132."""
+    a = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("key"), F.lit("customer").alias("src"))
+    )
+    b = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("src")
+    )
+    return a.unionAll(b).orderBy("src", "key")
+
+
+@query(
+    "intersect_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics) — reference EXE/basicOperators.scala:272."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT (df.subtract) — reference
+    EXE/basicOperators.scala:260; 1.6's RDD.subtract semantics resolved
+    in favor of the oracle's EXCEPT DISTINCT (SURVEY §7.3)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+@query(
+    "except_all_bag",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    ORDER BY nationkey
+    """,
+)
+def except_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics) — modern exceptAll covers the
+    reference's duplicate-preserving RDD.subtract corner."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    rich = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    return c.exceptAll(rich).orderBy("nationkey")
+
+
+@query(
+    "intersect_all_bag",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+    ORDER BY suppkey
+    """,
+)
+def intersect_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    return a.intersectAll(b).orderBy("suppkey")
+
+
+@query(
+    "topk_order_limit",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (top-k without global
+    sort; reference EXE/basicOperators.scala:192)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT n_name, n_nationkey, n_regionkey
+    FROM nation
+    ORDER BY n_regionkey DESC, n_name ASC
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort, mixed directions (reference EXE/Sort.scala:35 —
+    Tungsten external sort; modern Spark range-partitions first)."""
+    return (
+        t(spark, sf_dir, "nation")
+        .select("n_name", "n_nationkey", "n_regionkey")
+        .orderBy(F.desc("n_regionkey"), F.asc("n_name"))
+    )
+
+
+@query(
+    "explode_lateral_view",
+    oracle="""
+    SELECT doc_id, word, COUNT(*) AS n
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 50)
+    WHERE length(word) > 4
+    GROUP BY doc_id, word
+    ORDER BY doc_id, word
+    """,
+)
+def explode_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator / LATERAL VIEW explode (reference EXE/Generate.scala:49,
+    CAT/expressions/generators.scala:102)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 4)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+        .orderBy("doc_id", "word")
+    )
+
+
+@query(
+    "posexplode_outer",
+    oracle="""
+    SELECT n_nationkey, part.pos - 1 AS pos, part.tok AS tok
+    FROM nation,
+         LATERAL (SELECT UNNEST(string_split(n_name, ' ')) AS tok,
+                         generate_subscripts(string_split(n_name, ' '), 1) AS pos) part
+    ORDER BY n_nationkey, pos
+    """,
+)
+def posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — positional generator (modern extension of the
+    reference's Explode; SURVEY §2.9)."""
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.select(
+            "n_nationkey",
+            F.posexplode(F.split(F.col("n_name"), " ")).alias("pos", "tok"),
+        )
+        .select("n_nationkey", F.col("pos").cast("bigint").alias("pos"), "tok")
+        .orderBy("n_nationkey", "pos")
+    )
+
+
+@query("sample_bernoulli")  # nondeterministic across engines → rows-only check
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample with fixed seed (reference
+    EXE/basicOperators.scala:100); no oracle — sampling RNG is
+    engine-specific."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "repartition_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def repartition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange round-trip: hash repartition on the grouping key then
+    aggregate — the shuffle is reused, not duplicated (reference
+    EXE/Exchange.scala:39; EnsureRequirements)."""
+    li = t(spark, sf_dir, "lineitem").repartition(8, "l_returnflag")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sql_front_door",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql over registered temp views — the SQL entry point
+    (reference SQLC/SQLContext.scala:816; SURVEY §3.1)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 4) AS avg_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

@@ -1,0 +1,89 @@
+"""SparkSession factory with a scale-aware config policy.
+
+Reference parity: SQLContext/HiveContext construction
+(/root/reference sql/core/src/main/scala/org/apache/spark/sql/SQLContext.scala:64)
+— in modern Spark a single SparkSession covers both.
+
+The config policy is tuned for correctness-vs-oracle first, then for
+the 100 TB design goals:
+
+- **AQE on** (coalesce shuffle partitions, skew-join splitting, runtime
+  broadcast demotion/promotion) — the modern superset of the reference's
+  ExchangeCoordinator (sql/core/.../execution/ExchangeCoordinator.scala:79).
+- **Session timezone UTC** so timestamp-derived values (year/hour/...)
+  match an independent oracle engine regardless of host timezone.
+- **Arrow enabled** so any Python-side batch exchange
+  (pandas_udf / mapInPandas / toPandas) is vectorized, never
+  row-pickled (the reference's BatchPythonEvaluation,
+  sql/core/.../execution/python.scala:356, is the slow ancestor).
+- **shuffle.partitions** defaults to the local core count; on a real
+  cluster this should be ~2-3x total cores — AQE coalesces down, so
+  err high. Overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(
+    app_name: str = "big-data-project-implementation-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    On a cluster, ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = _default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cpus, 8))
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # -- determinism / oracle alignment -------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- heap: in local mode the driver JVM hosts all executor threads;
+        #    the 1g default OOMs under 32 concurrent tasks. On a cluster
+        #    this is superseded by spark-submit --driver-memory/--executor-memory.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
+        .config("spark.driver.maxResultSize", "4g")
+        # -- adaptive execution (runtime re-planning at shuffle boundaries)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- shuffle sizing ------------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # keep scan partitions meaty: 128 MiB splits like a real cluster
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # -- python boundary: Arrow everywhere -----------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- joins: broadcast small dims (reference CanBroadcast,
+        #    sql/core/.../execution/SparkStrategies.scala:55)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # -- scans: make sure pushdown is on (it is by default; pin it)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_GRAFT_LOCAL" in os.environ or True:
+        # no cluster in this environment; local[N] mirrors one executor
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,56 @@
+"""Fixture catalog: the driver's TPC-H-ish tables (see TESTDATA.md).
+
+At 100 TB these would be partitioned/bucketed Hive-catalog tables; here
+each is one parquet file. ``load_table`` goes through the same
+``spark.read.parquet`` scan path either way, so filter pushdown /
+column pruning behavior is representative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# dimension tables small enough to broadcast at any realistic scale
+# (region/nation are fixed-size; supplier/part/customer grow with SF but
+# stay orders of magnitude under the fact table)
+BROADCASTABLE = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/projection into it.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; read as raw nanos (legacy conf) and integral-divide to µs
+    — same truncation DuckDB applies casting ns→µs."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view for the SQL front door."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

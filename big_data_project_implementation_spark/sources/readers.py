@@ -1,0 +1,78 @@
+"""Reader facade — format parity with the reference's DataFrameReader.
+
+Reference: sql/core/src/main/scala/org/apache/spark/sql/DataFrameReader.scala
+(format:66, schema:76, option:89, load:108, jdbc:145, json:244,
+parquet:305, orc:329, table:336, text:356). CSV was out-of-tree in 1.6
+(spark-csv package); modern Spark has it built in, so we expose it too.
+
+Everything here is a thin, typed pass-through to ``spark.read`` — the
+value is the contract + tests, not re-implementation: Catalyst's
+DataSource V2 handles pushdown, partition discovery, and schema
+merging (reference equivalents:
+sql/core/.../execution/datasources/DataSourceStrategy.scala:45,
+PartitioningUtils.scala:75, parquet/CatalystSchemaConverter.scala).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "json", "csv", "text", "orc")
+
+
+def read(
+    spark: SparkSession,
+    path_or_table: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: Any,
+) -> DataFrame:
+    """Load ``path_or_table`` with format ``fmt``.
+
+    fmt='table' reads a catalog/temp-view table; 'jdbc' expects
+    options(url=..., dbtable=...).
+    """
+    if fmt == "table":
+        return spark.table(path_or_table)
+    if fmt == "jdbc":
+        reader = spark.read.format("jdbc").options(**options)
+        return reader.option("dbtable", path_or_table).load()
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS + ('table', 'jdbc')}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    return reader.load(path_or_table)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: Any,
+) -> DataFrame:
+    """Partitioned JDBC scan (stride on a numeric column), predicate
+    pushdown compiled to the remote SQL dialect.
+
+    Reference: sql/core/.../execution/datasources/jdbc/JDBCRelation.scala,
+    JDBCRDD.scala. At scale, always pass partitioning bounds — a single
+    connection read is a driver bottleneck.
+    """
+    kwargs: dict[str, Any] = dict(options)
+    if partition_column is not None:
+        kwargs.update(
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions or 8,
+        )
+    return spark.read.jdbc(url, table, properties={}, **kwargs)

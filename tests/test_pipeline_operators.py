@@ -1,0 +1,146 @@
+"""Property tests for the approximate pipeline operators: the
+approximate method must agree with its exact oracle counterpart
+(recall/containment), and accuracy claims must hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark.operators import dedup, multimodal, similarity
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_one_per_key(spark):
+    d = _docs(spark).withColumn(
+        "prefix", F.substring(F.lower(F.trim(F.col("text"))), 1, 30)
+    )
+    out = dedup.exact_dedup(d, text_col="prefix", id_col="doc_id")
+    n_keys = d.select(
+        F.regexp_replace(F.lower(F.trim("prefix")), r"\s+", " ").alias("k")
+    ).distinct().count()
+    assert out.count() == n_keys
+    # survivors are min-ids: re-running dedup on the output is a no-op
+    again = dedup.exact_dedup(out, text_col="prefix", id_col="doc_id")
+    assert again.count() == out.count()
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash signature agreement must approximate true Jaccard: every
+    pair with true J ≥ 0.9 must be found by LSH with est ≥ 0.6."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), k=1, threshold=0.9
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            _docs(spark), k=1, num_hashes=32, bands=8, threshold=0.6
+        ).collect()
+    }
+    missed = [p for p in exact if p not in approx]
+    assert not missed, f"LSH missed high-jaccard pairs: {missed[:5]}"
+    for pair, est in approx.items():
+        if pair in exact:
+            assert abs(est - exact[pair]) < 0.35, (pair, est, exact[pair])
+
+
+def test_simhash_near_dups_have_similar_text(spark):
+    """Pairs within small Hamming distance must have decent true word
+    overlap (SimHash soundness, not completeness)."""
+    docs = _docs(spark).filter(F.col("doc_id") < 150)
+    pairs = dedup.simhash_pairs(
+        docs, k=1, max_hamming=4, bands=4
+    ).collect()
+    if not pairs:
+        return  # nothing asserted if corpus has no close pairs at this sf
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.0).collect()
+    }
+    for r in pairs:
+        j = exact.get((r.id_a, r.id_b), 0.0)
+        assert j > 0.3, f"simhash pair ({r.id_a},{r.id_b}) ham={r.hamming} but J={j}"
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = _emb(spark)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries_df, emb, k=5)
+    approx = similarity.lsh_bucketed_topk(queries_df, emb, dim=64, k=5, n_planes=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    # approx results must be a subset of legal neighbors (sound scores)
+    for r in approx.collect():
+        assert -1.0001 <= r.cos <= 1.0001
+
+
+def test_embedding_near_dup_lsh_contained_in_exact(spark):
+    emb = _emb(spark)
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in emb.alias("a")
+        .crossJoin(emb.alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cos", similarity.cosine(F.col("a.embedding"), F.col("b.embedding"))
+        )
+        .filter(F.col("cos") >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.9, dim=64, n_planes=4
+        ).collect()
+    }
+    assert lsh_pairs <= exact_pairs  # soundness: LSH never invents a pair
+
+
+def test_multimodal_feature_shapes(spark):
+    docs = _docs(spark).limit(40)
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    feats = multimodal.extract_features(media, deterministic_fake=True).collect()
+    assert len(feats) == 40
+    for r in feats:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-6  # L1 normalized
+        assert r.n_bytes > 0
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = _docs(spark).limit(10)
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    frames = multimodal.sample_frames(media, every_n_bytes=64).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    n_bytes = {r.media_id: r.n_bytes for r in media.collect()}
+    for mid, rows in by_id.items():
+        expected = max(1, -(-n_bytes[mid] // 64))  # ceil
+        assert len(rows) == expected
+        assert sorted(r.frame_no for r in rows) == list(range(len(rows)))
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = _docs(spark).limit(2)
+    media = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="decode"):
+        multimodal.extract_features(media, deterministic_fake=False).collect()

@@ -1,0 +1,76 @@
+"""Plan-shape assertions — the 100 TB design contract (SURVEY §4):
+filters reach the scan, columns are pruned, dims broadcast, no
+accidental cartesians, shuffle counts bounded.
+
+Mirrors the reference's optimizer suites (FilterPushdownSuite,
+ColumnPruningSuite — sql/catalyst/src/test/.../optimizer/) at the
+observable-plan level instead of rule level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark import plans
+from big_data_project_implementation_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") < 24).select("l_orderkey")
+    plans.assert_pushed_filters(df, "l_quantity")
+
+
+def test_column_pruning_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = plans.formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    # pruned scan must not read the wide string/timestamp columns
+    assert "l_returnflag" not in read_schema[0]
+    assert "l_shipdate" not in read_schema[0]
+
+
+def test_q6_pushes_all_predicates(spark):
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF_DIR)
+    plans.assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_dim_join_broadcasts(spark):
+    df = REGISTRY["join_broadcast_dim"].fn(spark, SF_DIR)
+    plans.assert_broadcast_join(df, expect=True)
+
+
+def test_tpch_queries_have_no_cartesian(spark):
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q18_large_volume_customer",
+    ):
+        plans.assert_no_cartesian(REGISTRY[name].fn(spark, SF_DIR))
+
+
+def test_q1_shuffle_budget(spark):
+    """Q1 = one aggregation exchange + one sort exchange, nothing more."""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    assert plans.count_shuffles(df) <= 2, plans.physical_plan(df)
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark):
+    """The dedup shuffle must move the fingerprint+id projection, not
+    document bodies: text column absent downstream of the exchange."""
+    from big_data_project_implementation_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.exact_dedup(d)
+    plan = plans.physical_plan(out)
+    exchange_idx = plan.find("Exchange")
+    assert exchange_idx != -1
+    # the aggregate side of the plan (after first Exchange) only carries
+    # _fp and doc_id
+    tail = plan[exchange_idx : exchange_idx + 400]
+    assert "text" not in tail, tail

@@ -1,0 +1,132 @@
+"""Structured Streaming coverage beyond the driver queries: stateful
+processing (applyInPandasWithState — mapWithState parity), foreachBatch
+sinks, and checkpointed restart (reference TestSuiteBase replay-style
+tests, SURVEY §5.5).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+from big_data_project_implementation_spark import streaming
+from big_data_project_implementation_spark.queries.registry import events_stream
+from tests.conftest import SF_DIR
+
+
+def _batch_events(spark):
+    from big_data_project_implementation_spark.queries.registry import t
+
+    return t(spark, SF_DIR, "events")
+
+
+def test_stateful_count_with_state(spark):
+    """updateStateByKey parity: running per-user counts via
+    applyInPandasWithState match the batch groupBy."""
+
+    def count_fn(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    sdf = streaming.run_with_state(
+        events_stream(spark, SF_DIR),
+        keys=["user_id"],
+        func=count_fn,
+        output_schema="user_id bigint, n bigint",
+        state_schema="n bigint",
+        timeout="NoTimeout",
+    )
+    name, q = streaming.to_memory_sink(sdf, output_mode="update")
+    q.awaitTermination()
+    got = {r.user_id: r.n for r in spark.table(name).collect()}
+    expect = {
+        r.user_id: r.n
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_foreach_batch_sink(spark):
+    seen: list[tuple[int, int]] = []
+
+    def collect_batch(df, epoch_id: int):
+        seen.append((epoch_id, df.count()))
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        sdf = events_stream(spark, SF_DIR).select("event_id")
+        q = streaming.foreach_batch_sink(sdf, collect_batch, ckpt, "append")
+        q.awaitTermination()
+        assert sum(n for _, n in seen) == _batch_events(spark).count()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_checkpoint_restart_is_exactly_once(spark):
+    """Restarting from the same checkpoint must not reprocess data
+    (file source + availableNow: second run sees zero new rows)."""
+    counts: list[int] = []
+
+    def collect_batch(df, epoch_id: int):
+        counts.append(df.count())
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        sdf = events_stream(spark, SF_DIR).select("event_id")
+        q1 = streaming.foreach_batch_sink(sdf, collect_batch, ckpt, "append")
+        q1.awaitTermination()
+        first_total = sum(counts)
+        counts.clear()
+        sdf2 = events_stream(spark, SF_DIR).select("event_id")
+        q2 = streaming.foreach_batch_sink(sdf2, collect_batch, ckpt, "append")
+        q2.awaitTermination()
+        assert first_total == _batch_events(spark).count()
+        assert sum(counts) == 0, "checkpointed restart reprocessed data"
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_window(spark):
+    out = streaming.sessionize(
+        events_stream(spark, SF_DIR), gap="30 minutes", watermark="10 hours"
+    )
+    name, q = streaming.to_memory_sink(out, output_mode="complete")
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    assert rows
+    # session invariant: windows for one user never overlap
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.session_window.start, r.session_window.end)
+        )
+    for user, wins in by_user.items():
+        wins.sort()
+        for (s1, e1), (s2, _e2) in zip(wins, wins[1:]):
+            assert e1 <= s2, f"overlapping sessions for user {user}"
+
+
+def test_rate_source_smoke(spark):
+    sdf = streaming.read_rate_stream(spark, rows_per_second=50)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
