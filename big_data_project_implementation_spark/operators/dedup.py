@@ -59,40 +59,205 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def _bitmask_set_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact Jaccard over distinct shingle sets for SMALL
+    vocabularies: encode each set as a bitmask over the vocab (one
+    bigint per 64 words), so intersection size is a popcount of ANDed
+    longs — orders of magnitude cheaper per pair than array_intersect.
+
+    This is the degenerate-corpus regime (template text, tiny/skewed
+    vocab) where postings-based pruning is provably useless because
+    every token is hot. u² pair evaluations at ~L machine ops each.
+
+    ``sets``: (sid, sh: array<string>, n). Returns (sid_a, sid_b,
+    jaccard) with jaccard >= threshold, computed with the same
+    double-division the SQL oracle uses."""
+    from pyspark.sql import Window
+
+    posts = sets.select("sid", F.explode("sh").alias("shingle"))
+    vocab = (
+        posts.select("shingle")
+        .distinct()
+        .withColumn("vid", F.row_number().over(Window.orderBy("shingle")) - 1)
+    )
+    nwords = vocab.count()  # exact; gated small by the caller
+    L = (nwords + 63) // 64
+    aggs = [
+        F.expr(
+            f"coalesce(bit_or(case when vid div 64 = {w} then "
+            f"shiftleft(cast(1 as bigint), cast(vid % 64 as int)) end), "
+            f"cast(0 as bigint))"
+        ).alias(f"m{w}")
+        for w in range(L)
+    ]
+    masks = (
+        posts.join(F.broadcast(vocab), "shingle")
+        .groupBy("sid")
+        .agg(*aggs)
+        .select(
+            "sid",
+            F.array(*[f"m{w}" for w in range(L)]).alias("mask"),
+            F.aggregate(
+                F.array(*[f"m{w}" for w in range(L)]),
+                F.lit(0).cast("bigint"),
+                lambda acc, m: acc + F.bit_count(m),
+            ).alias("n"),
+        )
+    )
+    a = masks.select(
+        F.col("sid").alias("sid_a"), F.col("mask").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = masks.select(
+        F.col("sid").alias("sid_b"), F.col("mask").alias("mb"), F.col("n").alias("n_b")
+    )
+    nc = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    len_ok = F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
+    return (
+        a.join(F.broadcast(b), (F.col("sid_a") < F.col("sid_b")) & len_ok)
+        .withColumn("n_common", nc)
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("sid_a", "sid_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    dense_max_sets: int = 100_000,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shingle postings.
+    """Exact Jaccard-similar pairs, set-canonicalized and strategy-adaptive.
 
-    Plan: explode shingles → self-join on shingle (co-occurrence count)
-    → |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the only shuffle; a
-    hot shingle (stopword run) is the skew risk — AQE skew-join splits
-    it, and ``k``≥3 keeps shingle frequency low."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    posts = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    a = posts.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    J(A,B) depends only on the shingle *sets*, so step 1 collapses docs
+    with identical sets into groups (one shuffle keyed by the sorted
+    array; set-id = min doc id). In dup-heavy corpora — the reason one
+    runs dedup at all — this shrinks the quadratic core from n docs to
+    u <= n distinct sets; identical-set doc pairs are emitted directly
+    with J = 1.
+
+    Step 2 compares distinct sets, choosing the physical strategy from
+    the observed set count (same spirit as AQE's runtime re-planning):
+
+    - **dense** (u <= dense_max_sets): broadcast nested-loop join with
+      the length filter ``min(n_a,n_b) >= t*max(n_a,n_b)`` and exact
+      ``array_intersect`` verification — no shuffle at all. Right when
+      a postings join would explode (small/skewed vocabulary: every
+      token is hot, nothing prunes).
+    - **sparse** (u large — the 100 TB shape with a Zipfian vocab):
+      AllPairs/PPJoin prefix filtering. Post only each set's
+      ``n - ceil(t*n) + 1`` globally-rarest shingles (if J >= t the
+      prefixes must share a token), join postings, verify candidates
+      exactly. Linear-ish in corpus size; AQE skew-join splits any
+      residual hot shingle.
+
+    Step 3 expands set pairs back to doc pairs through the membership
+    table (broadcast-sized relative to the output it generates).
+    """
+    from pyspark.sql import Window
+
+    docs = df.select(
+        F.col(id_col).alias("id"), F.array_sort(shingles(text_col, k)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    member = docs.withColumn("sid", F.min("id").over(Window.partitionBy("sh")))
+    member.cache()  # reused: sets, intra pairs, expansion joins
+    sets = member.filter(F.col("id") == F.col("sid")).select(
+        "sid", "sh", F.size("sh").alias("n")
     )
-    b = posts.select(
-        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+
+    len_ok = F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+
+    a = sets.select(
+        F.col("sid").alias("sid_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
     )
+    b = sets.select(
+        F.col("sid").alias("sid_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    if sets.count() <= dense_max_sets:  # cheap agg-only job, no data to driver
+        vocab_est = sets.select(F.explode("sh").alias("s")).agg(
+            F.approx_count_distinct("s").alias("v")
+        ).first()["v"]
+        if vocab_est <= 4096:
+            set_pairs = _bitmask_set_pairs(sets, threshold)
+        else:
+            set_pairs = (
+                a.join(F.broadcast(b), (F.col("sid_a") < F.col("sid_b")) & len_ok)
+                .withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold)
+                .select("sid_a", "sid_b", "jaccard")
+            )
+    else:
+        posts = sets.select(
+            "sid", F.col("n").alias("n_sh"), F.explode("sh").alias("shingle")
+        )
+        freq = posts.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+        # global order = (set frequency asc, shingle) → rarest first
+        w = Window.partitionBy("sid").orderBy("df_cnt", "shingle")
+        pref_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+        prefix = (
+            posts.join(freq, "shingle")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= pref_len)
+            .select("sid", "n_sh", "shingle")
+        )
+        cand = (
+            prefix.alias("x")
+            .join(
+                prefix.alias("y"),
+                (F.col("x.shingle") == F.col("y.shingle"))
+                & (F.col("x.sid") < F.col("y.sid"))
+                & (
+                    F.least("x.n_sh", "y.n_sh")
+                    >= F.lit(threshold) * F.greatest("x.n_sh", "y.n_sh")
+                ),
+            )
+            .select(F.col("x.sid").alias("sid_a"), F.col("y.sid").alias("sid_b"))
+            .distinct()
+        )
+        set_pairs = (
+            cand.join(a, "sid_a")
+            .join(b, "sid_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("sid_a", "sid_b", "jaccard")
+        )
+
+    intra = (
+        member.alias("x")
+        .join(
+            member.alias("y"),
+            (F.col("x.sid") == F.col("y.sid")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    ma = member.select(F.col("sid").alias("sid_a"), F.col("id").alias("ida"))
+    mb = member.select(F.col("sid").alias("sid_b"), F.col("id").alias("idb"))
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        set_pairs.join(ma, "sid_a")
+        .join(mb, "sid_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "jaccard",
+        )
     )
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        inter.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return intra.unionByName(inter).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
