@@ -213,3 +213,117 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: k-means with init =
+    lowest-id vectors, a fixed number of Lloyd iterations, all in
+    DataFrame ops (no mllib, no driver math).
+
+    Scale shape: each iteration is one broadcast (centroids, k rows) +
+    one narrow argmin pass over the corpus + one groupBy(cell, pos)
+    shuffle of exploded components. At 100 TB you'd train on a
+    ``corpus.sample(...)`` — the API composes (pass the sample here),
+    the search path below is unchanged."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("cell"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cell"))
+        assigned = (
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("_cos", cosine("_vec", "centroid"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("cell", "_vec")
+        )
+        by_pos = (
+            assigned.select("cell", F.posexplode("_vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            by_pos.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("centroid")
+            )
+        )
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: route corpus vectors to their nearest cell once
+    (inverted lists), probe each query against its ``nprobe`` nearest
+    cells only, exact cosine re-rank inside the probed cells.
+
+    The candidate join is keyed on ``cell`` — at scale the inverted
+    lists are a bucketed/partitioned table and a probe touches
+    nprobe/n_cells of the corpus instead of all of it."""
+    c_assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_cos", cosine("c_vec", "centroid"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(F.desc("_cos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("cell", "neighbor_id", "c_vec")
+    )
+    q_probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_cos", cosine("q_vec", "centroid"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("cos"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

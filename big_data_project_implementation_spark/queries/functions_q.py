@@ -405,3 +405,39 @@ def fn_partition_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("crc").alias("n_crc"),
         )
     )
+
+
+@query(
+    "fn_cast_matrix",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(trunc(l_quantity) AS INTEGER)            AS qty_int,
+           CAST(l_orderkey AS VARCHAR)                   AS okey_str,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR)     AS ship_date_str,
+           CAST(l_linenumber AS DOUBLE)                  AS line_dbl,
+           CAST(l_linenumber AS BIGINT)                  AS line_big,
+           CAST(CAST(l_discount AS DECIMAL(10,3)) AS VARCHAR) AS disc_dec_str
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0 AND l_linenumber = 1
+    ORDER BY l_orderkey
+    """,
+)
+def fn_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast type-pair matrix (reference CAT/expressions/Cast.scala, 940
+    LoC — SURVEY §2.2): double→int (truncating — the oracle spells
+    trunc() since DuckDB's bare cast rounds), long→string, timestamp→
+    date→string, int→double/bigint, double→decimal→string."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_orderkey") % 97 == 0) & (F.col("l_linenumber") == 1))
+        .select(
+            "l_orderkey",
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            F.col("l_orderkey").cast("string").alias("okey_str"),
+            F.col("l_shipdate").cast("date").cast("string").alias("ship_date_str"),
+            F.col("l_linenumber").cast("double").alias("line_dbl"),
+            F.col("l_linenumber").cast("bigint").alias("line_big"),
+            F.col("l_discount").cast("decimal(10,3)").cast("string").alias("disc_dec_str"),
+        )
+        .orderBy("l_orderkey")
+    )

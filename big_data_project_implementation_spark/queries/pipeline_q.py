@@ -307,3 +307,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.size("feature").cast("bigint").alias("dim"),
     ).orderBy("media_id")
+
+
+@query("similarity_ivf_topk")  # approximate → rows-only; recall tested in pytest
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.similarity.ivf_centroids/ivf_topk): k-means
+    coarse quantizer (DataFrame-only Lloyd iterations) + nprobe-cell
+    search — the inverted-list scale path next to LSH."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_cells=16, iters=2)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(queries_df, emb, cents, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )

@@ -111,3 +111,97 @@ def stream_per_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream_to_table(sdf, spark)
     return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 2 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition —
+    absent from DStreams (per-batch joins only, SURVEY §2.13); modern
+    Structured Streaming buffers both sides in the state store and
+    watermarks bound the buffer."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select("user_id", "click_id", "purchase_id")
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (F.session_window, 4h idle gap) — the
+    modern upgrade over mapWithState sessionization (reference
+    StateSpec idle timeout, STR/StateSpec.scala:100). Oracle:
+    gaps-and-islands SQL. Spark closes a session when the next event is
+    >= gap after the last, hence '>=' in the oracle's lag test."""
+    sdf = events_stream(spark, sf_dir)
+    agg = sdf.groupBy(F.session_window("ts", "4 hours"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    out = _run_stream_to_table(agg, spark)
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")

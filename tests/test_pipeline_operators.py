@@ -144,3 +144,19 @@ def test_multimodal_real_decode_raises(spark):
 
     with _pytest.raises(Exception, match="decode"):
         multimodal.extract_features(media, deterministic_fake=False).collect()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    emb = _emb(spark)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries_df, emb, k=5)
+    cents = similarity.ivf_centroids(emb, n_cells=8, iters=2)
+    assert cents.count() == 8
+    approx = similarity.ivf_topk(queries_df, emb, cents, k=5, nprobe=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 3/8 cells should still capture most true neighbors
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    for r in approx.collect():
+        assert -1.0001 <= r.cos <= 1.0001
