@@ -25,10 +25,18 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
     "q14_promo_effect",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_join",
+    "q21_waiting_orders",
     "join_inner_shuffle",
     "agg_function_library",
     "window_running_agg",

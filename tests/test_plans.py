@@ -74,3 +74,48 @@ def test_exact_dedup_shuffles_hashes_not_text(spark):
     # _fp and doc_id
     tail = plan[exchange_idx : exchange_idx + 400]
     assert "text" not in tail, tail
+
+
+def test_new_tpch_queries_have_no_cartesian(spark):
+    """The added TPC-H shapes (incl. decorrelated EXISTS / NOT IN / scalar
+    subqueries) must plan as hash/broadcast/semi/anti joins, never a
+    CartesianProduct. (Intentional 1-row scalar-subquery broadcasts plan
+    as BroadcastNestedLoopJoin, which is allowed.)"""
+    for name in (
+        "q2_min_price_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_value",
+        "q12_priority_shipping",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
+        "q17_small_quantity_revenue",
+        "q21_waiting_orders",
+        "q22_global_sales",
+    ):
+        plans.assert_no_cartesian(REGISTRY[name].fn(spark, SF_DIR))
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    """NOT IN (small subquery) must plan as a broadcast anti-join, not a
+    shuffled one — at 100 TB the supplier exclusion list broadcasts."""
+    df = REGISTRY["q16_supplier_cnt"].fn(spark, SF_DIR)
+    plan = plans.physical_plan(df)
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan[:2000]
+
+
+def test_q13_outer_join_keeps_condition_in_join(spark):
+    """Q13's o_orderpriority filter must stay in the outer-join condition
+    (a WHERE would wrongly drop order-less customers)."""
+    import duckdb
+
+    df = REGISTRY["q13_customer_distribution"].fn(spark, SF_DIR)
+    rows = {r.c_count: r.custdist for r in df.collect()}
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchone()[0]
+    assert sum(rows.values()) == n_cust  # every customer represented
