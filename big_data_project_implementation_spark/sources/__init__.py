@@ -12,7 +12,19 @@ from big_data_project_implementation_spark.sources.catalog import (
     load_tables,
     register_views,
 )
-from big_data_project_implementation_spark.sources.readers import read
-from big_data_project_implementation_spark.sources.writers import write
+from big_data_project_implementation_spark.sources.readers import read, read_jdbc
+from big_data_project_implementation_spark.sources.writers import (
+    write,
+    write_bucketed_table,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views", "read", "write"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read",
+    "read_jdbc",
+    "write",
+    "write_bucketed_table",
+]

@@ -82,3 +82,31 @@ def test_temp_view_catalog(spark):
     sources.register_views(spark, SF_DIR)
     assert spark.sql("SELECT COUNT(*) AS n FROM nation").collect()[0].n == 25
     assert spark.catalog.tableExists("lineitem")
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO exchanges — the pre-shuffled layout that
+    makes repeated large-large joins affordable at 100 TB (SURVEY §2.6
+    Exchange row; reference only had Hive bucketing)."""
+    orders = sources.load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = sources.load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    sources.write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8)
+    sources.write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        assert plans.count_shuffles(j) == 0, plans.physical_plan(j)
+        # and the join still computes the right thing
+        assert j.count() == li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

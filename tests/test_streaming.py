@@ -130,3 +130,65 @@ def test_rate_source_smoke(spark):
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_data(spark):
+    """Late rows behind the watermark are dropped from append-mode
+    windowed aggregation — the §2.12 capability upgrade over 1.6 (which
+    had processing-time windows only, no late-data semantics)."""
+    import json
+    import os
+    import time
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="late_")
+    try:
+        # batch order = file mtime order: on-time events, then an event
+        # that advances the watermark past the window, then a late row
+        batches = [
+            ("a.json", [f"2024-01-01 10:{m:02d}:00" for m in (0, 15, 30)]),
+            ("b.json", ["2024-01-01 13:00:00"]),
+            ("c.json", ["2024-01-01 00:30:00"]),  # far behind the watermark
+        ]
+        now = time.time()
+        for i, (fn, tss) in enumerate(batches):
+            p = os.path.join(d, fn)
+            with open(p, "w") as fh:
+                for ts in tss:
+                    fh.write(json.dumps({"ts": ts, "v": 1}) + "\n")
+            os.utime(p, (now - 600 + 300 * i,) * 2)
+        sdf = (
+            spark.readStream.schema("ts timestamp, v int")
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+        )
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+        name = "late" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+        rows = {
+            r["window"]["start"].strftime("%H:%M"): r["n"]
+            for r in spark.table(name).collect()
+        }
+        # 10:00 window finalized with ONLY the on-time events; the late
+        # 00:30 row never created a 00:00 window
+        assert rows.get("10:00") == 3, rows
+        assert "00:00" not in rows, rows
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
