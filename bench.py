@@ -51,10 +51,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    from big_data_project_implementation_spark import get_session
+    from big_data_project_implementation_spark import get_session, plans
     from big_data_project_implementation_spark.queries import REGISTRY
 
     spark = get_session("bench")
+
+    if "--explain" in sys.argv:
+        # plan audit instead of timing: formatted plan + shuffle count
+        # per headline query (the 100 TB review loop)
+        for name in BENCH_QUERIES:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            print(f"==== {name} (shuffles={plans.count_shuffles(df)}) ====")
+            print(plans.formatted_plan(df))
+        return
 
     def run(name: str) -> None:
         # noop sink executes the full pipeline (count() would let the

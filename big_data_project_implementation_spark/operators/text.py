@@ -151,3 +151,55 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_language(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def pipe_transform(
+    df: DataFrame,
+    command: list[str],
+    input_col: str = "text",
+    output_col: str = "piped",
+    batch_size: int = 1000,
+) -> DataFrame:
+    """Pipe a string column through an external command, line-per-row —
+    ScriptTransformation / Hive TRANSFORM / RDD.pipe parity (reference
+    sql/hive/.../execution/ScriptTransformation.scala and
+    core/.../rdd/PipedRDD; SURVEY §2.9).
+
+    Modern shape: ``mapInPandas`` launches the subprocess once per
+    Arrow batch on the executor — no Python row loop, no driver
+    involvement. Newlines in values are escaped so row alignment
+    survives the line protocol."""
+    import subprocess
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    in_schema = df.schema
+    out_schema = StructType(list(in_schema) + [StructField(output_col, StringType())])
+
+    def run(batches):
+        for pdf in batches:
+            lines = (
+                pdf[input_col]
+                .fillna("")
+                .str.replace("\\", "\\\\", regex=False)
+                .str.replace("\n", "\\n", regex=False)
+            )
+            proc = subprocess.run(
+                command,
+                input=("\n".join(lines) + "\n").encode("utf-8"),
+                capture_output=True,
+                check=True,
+            )
+            out_lines = proc.stdout.decode("utf-8").split("\n")
+            if out_lines and out_lines[-1] == "":
+                out_lines.pop()
+            if len(out_lines) != len(pdf):
+                raise ValueError(
+                    f"pipe command {command!r} returned {len(out_lines)} lines "
+                    f"for {len(pdf)} input rows — not line-aligned"
+                )
+            pdf = pdf.copy()
+            pdf[output_col] = out_lines
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

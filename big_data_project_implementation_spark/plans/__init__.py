@@ -50,13 +50,17 @@ def assert_broadcast_join(df: DataFrame, expect: bool = True) -> None:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of Exchange operators in the physical plan — the metric
-    that matters at 100 TB. AQE reuse not discounted; use on final plans."""
+    """Number of SHUFFLE Exchange operators in the physical plan — the
+    metric that matters at 100 TB. Broadcast exchanges (dimension ships
+    to every executor, no repartition of the big side) and reused
+    exchanges are not counted."""
     plan = physical_plan(df)
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
     )
 
 

@@ -160,3 +160,16 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.4, f"IVF recall too low: {recall}"
     for r in approx.collect():
         assert -1.0001 <= r.cos <= 1.0001
+
+
+def test_pipe_transform_linewise(spark):
+    """ScriptTransformation parity: rows stream through an external
+    process and come back row-aligned."""
+    from big_data_project_implementation_spark.operators.text import pipe_transform
+
+    docs = _docs(spark).filter(F.col("doc_id") < 50)
+    out = pipe_transform(docs, ["tr", "a-z", "A-Z"], input_col="text")
+    rows = out.select("doc_id", "text", "piped").collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.piped == r.text.replace("\\", "\\\\").upper()
