@@ -50,6 +50,8 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles as an array of strings (distinct)."""
     col = F.col(text) if isinstance(text, str) else text
     toks = F.split(_norm(col), " ")
+    if k == 1:  # fast path: 1-shingles are the tokens themselves
+        return F.array_distinct(toks)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(

@@ -441,3 +441,38 @@ def fn_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "fn_string_advanced",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, 'red widget') AS BIGINT)      AS lev,
+           string_split(p_name, ' ')[1]                           AS first_word,
+           CAST(coalesce(list_position(string_split('Brand#1,Brand#2,Brand#3', ','),
+                                       p_brand), 0) AS BIGINT)    AS brand_pos,
+           upper(to_hex(p_partkey))                               AS key_hex,
+           bin(p_partkey)                                         AS key_bin,
+           printf('%s/%d', p_brand, p_size)                       AS label
+    FROM part
+    WHERE p_partkey % 7 = 0
+    ORDER BY p_partkey
+    """,
+)
+def fn_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining §2.8 string registry rows: levenshtein,
+    substring_index, find_in_set, hex, bin, format_string (reference
+    stringExpressions.scala / mathExpressions.scala). soundex and
+    format_number have no DuckDB equivalent — covered in pytest."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("red widget")).cast("bigint").alias("lev"),
+        F.substring_index("p_name", " ", 1).alias("first_word"),
+        F.find_in_set("p_brand", F.lit("Brand#1,Brand#2,Brand#3"))
+        .cast("bigint")
+        .alias("brand_pos"),
+        F.hex("p_partkey").alias("key_hex"),
+        F.bin("p_partkey").alias("key_bin"),
+        F.format_string("%s/%d", "p_brand", "p_size").alias("label"),
+    ).orderBy("p_partkey")

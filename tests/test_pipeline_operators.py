@@ -173,3 +173,16 @@ def test_pipe_transform_linewise(spark):
     assert len(rows) == 50
     for r in rows:
         assert r.piped == r.text.replace("\\", "\\\\").upper()
+
+
+def test_soundex_and_format_number(spark):
+    """§2.8 names with no DuckDB oracle: soundex, format_number."""
+    df = spark.createDataFrame(
+        [("Robert", 1234567.891), ("Rupert", 0.5), ("Ashcraft", -42.0)],
+        "name string, x double",
+    )
+    rows = df.select(
+        F.soundex("name").alias("sx"), F.format_number("x", 2).alias("fx")
+    ).collect()
+    assert [r.sx for r in rows] == ["R163", "R163", "A261"]  # classic pairs
+    assert [r.fx for r in rows] == ["1,234,567.89", "0.50", "-42.00"]
