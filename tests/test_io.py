@@ -110,3 +110,44 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_sql_commands_parity(spark):
+    """§2.1 commands row (reference EXE/commands.scala:77-382): SET,
+    SHOW TABLES, DESCRIBE, CACHE/UNCACHE TABLE, EXPLAIN as SQL text."""
+    sources.register_views(spark, SF_DIR)
+    assert spark.sql("SET spark.sql.shuffle.partitions").collect()[0].value
+    tables = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+    assert {"nation", "lineitem"} <= tables
+    desc = {r.col_name: r.data_type for r in spark.sql("DESCRIBE nation").collect()}
+    assert desc["n_nationkey"] == "int"
+    spark.sql("CACHE TABLE nation")
+    assert spark.catalog.isCached("nation")
+    spark.sql("UNCACHE TABLE nation")
+    assert not spark.catalog.isCached("nation")
+    plan_text = spark.sql("EXPLAIN SELECT count(*) FROM lineitem").collect()[0].plan
+    assert "Physical Plan" in plan_text
+
+
+def test_sql_udf_registration(spark):
+    """§2.10 UDFRegistration parity (reference SQLC/UDFRegistration.scala
+    + PY/sql/context.py:199): python and pandas UDFs callable from SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    sources.register_views(spark, SF_DIR)
+    spark.udf.register("py_double_it", lambda x: x * 2, "bigint")
+
+    def _margin(price, disc):
+        return price * (1.0 - disc)
+
+    spark.udf.register("vec_margin", pandas_udf(_margin, "double"))
+    row = spark.sql(
+        """
+        SELECT py_double_it(l_orderkey) AS dbl,
+               ROUND(vec_margin(l_extendedprice, l_discount), 2) AS m,
+               l_orderkey, ROUND(l_extendedprice * (1 - l_discount), 2) AS want
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1
+        """
+    ).collect()[0]
+    assert row.dbl == 2 * row.l_orderkey
+    assert row.m == row.want
