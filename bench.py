@@ -70,6 +70,9 @@ def main() -> None:
         # optimizer prune projections) without driver materialization
         df = REGISTRY[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
+        # caches are per-query working state (e.g. dedup membership);
+        # drop them so queries are measured independently
+        spark.catalog.clearCache()
 
     # warmup: JVM + codegen + parquet footer caches
     run("q1_pricing_summary")
