@@ -9,6 +9,7 @@ operators, all designed partition-parallel for 100 TB inputs.
 from big_data_project_implementation_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    relational,
     similarity,
     text,
 )

@@ -186,3 +186,49 @@ def test_soundex_and_format_number(spark):
     ).collect()
     assert [r.sx for r in rows] == ["R163", "R163", "A261"]  # classic pairs
     assert [r.fx for r in rows] == ["1,234,567.89", "0.50", "-42.00"]
+
+
+def test_approx_count_distinct_tolerance(spark):
+    """HLL++ (reference HyperLogLogPlusPlus.scala:51): estimate within
+    3x the default rsd of the exact distinct count."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    got = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx"),
+        F.count_distinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(got.approx - got.exact) / got.exact < 0.15, got
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew salting must be a pure physical rewrite: identical rows."""
+    from big_data_project_implementation_spark.operators.relational import salted_join
+
+    # skewed left: one hot key owning 90% of rows
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = left.join(right, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    )
+    salted = salted_join(left, right, ["k"], salt=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_rdd_escape_hatch(spark):
+    """§2.11: df.rdd remains available for per-partition imperative
+    logic; result flows back into a DataFrame."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    rdd = li.rdd.mapPartitions(
+        lambda it: [sum(int(r.l_quantity) for r in it)]
+    )
+    total = sum(rdd.collect())
+    exact = li.agg(F.sum(F.floor("l_quantity"))).collect()[0][0]
+    assert total == exact

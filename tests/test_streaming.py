@@ -192,3 +192,75 @@ def test_watermark_drops_late_data(spark):
         assert "00:00" not in rows, rows
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_event_time_timeout_fires(spark):
+    """mapWithState idle-timeout parity (reference StateSpec.scala:100)
+    with deterministic event-time semantics: a key whose timeout
+    timestamp falls behind the advancing watermark gets the timed-out
+    callback, emits a final record, and is removed."""
+    import json
+    import os
+    import time
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="tmo_")
+    try:
+        batches = [
+            ("a.json", [("2024-01-01 10:00:00", 1)]),
+            ("b.json", [("2024-01-01 12:00:00", 2)]),  # advances watermark past 10:30
+        ]
+        now = time.time()
+        for i, (fn, rows) in enumerate(batches):
+            p = os.path.join(d, fn)
+            with open(p, "w") as fh:
+                for ts, uid in rows:
+                    fh.write(json.dumps({"ts": ts, "user_id": uid}) + "\n")
+            os.utime(p, (now - 600 + 300 * i,) * 2)
+
+        def sess_fn(key, pdfs, state):
+            if state.hasTimedOut:
+                (n,) = state.get
+                state.remove()
+                yield pd.DataFrame({"user_id": [key[0]], "n": [n], "closed": [True]})
+            else:
+                n = state.get[0] if state.exists else 0
+                mx = 0
+                for pdf in pdfs:
+                    n += len(pdf)
+                    mx = max(mx, int(pdf["ts"].max().timestamp() * 1000))
+                state.update((n,))
+                # close the key if no events for 30 event-time minutes
+                state.setTimeoutTimestamp(mx + 30 * 60 * 1000)
+                yield pd.DataFrame({"user_id": [key[0]], "n": [n], "closed": [False]})
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        sdf = (
+            spark.readStream.schema("ts timestamp, user_id int")
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+            .withWatermark("ts", "0 seconds")
+        )
+        out = sdf.groupBy("user_id").applyInPandasWithState(
+            sess_fn,
+            "user_id int, n bigint, closed boolean",
+            "n bigint",
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        name = "tmo" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [(r.user_id, r.n, r.closed) for r in spark.table(name).collect()]
+        assert (1, 1, False) in rows  # user 1 opened
+        assert (1, 1, True) in rows  # ...and closed by event-time timeout
+        assert (2, 1, False) in rows
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
