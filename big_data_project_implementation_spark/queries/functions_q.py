@@ -476,3 +476,39 @@ def fn_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bin("p_partkey").alias("key_bin"),
         F.format_string("%s/%d", "p_brand", "p_size").alias("label"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "fn_map_type",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(2 AS BIGINT)                              AS m_size,
+           'nk,rk'                                        AS keys_joined,
+           CAST(n_nationkey AS BIGINT)                    AS nk_val,
+           CAST(n_regionkey AS BIGINT)                    AS rk_val,
+           CAST(n_nationkey + n_regionkey AS BIGINT)      AS val_sum
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def fn_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType create/access (reference complexTypeCreator.scala:
+    CreateMap; complexTypeExtractors.scala m[k]; SURVEY §1.2). The
+    oracle computes the same values directly — DuckDB MAP output
+    serialization differs, so the map stays engine-internal and the
+    query emits scalar extractions."""
+    n = t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nk"), F.col("n_nationkey").cast("bigint"),
+        F.lit("rk"), F.col("n_regionkey").cast("bigint"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.size(m).cast("bigint").alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_joined"),
+        F.element_at(m, F.lit("nk")).alias("nk_val"),
+        F.element_at(m, F.lit("rk")).alias("rk_val"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("val_sum"),
+    ).orderBy("n_nationkey")

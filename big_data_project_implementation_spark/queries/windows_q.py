@@ -203,3 +203,39 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_vol", 2).alias("volume"),
         F.round(F.col("_vol") / F.sum("_vol").over(w), 6).alias("share"),
     ).orderBy("l_suppkey")
+
+
+@query(
+    "window_named_sql",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER w3, 6)       AS avg3,
+           CAST(ROW_NUMBER() OVER wo AS BIGINT) AS rn
+    FROM (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE user_id < 20)
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rn
+    """,
+)
+def window_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named windows through the SQL front door (reference HiveQl
+    TOK_WINDOWDEF, sql/hive/.../HiveQl.scala:1628; WithWindowDefinition
+    CAT/plans/logical/basicOperators.scala:194): one WINDOW clause
+    shared by several OVER references."""
+    t(spark, sf_dir, "events").filter(F.col("user_id") < 20).createOrReplaceTempView(
+        "events_w"
+    )
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               ROUND(AVG(value) OVER w3, 6)         AS avg3,
+               CAST(ROW_NUMBER() OVER wo AS BIGINT) AS rn
+        FROM events_w
+        WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, rn
+        """
+    )
