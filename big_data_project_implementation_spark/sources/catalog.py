@@ -35,13 +35,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
     rejects; read as raw nanos (legacy conf) and integral-divide to µs
     — same truncation DuckDB applies casting ns→µs."""
-    if name == "events":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in BROADCASTABLE:
+        # bounded-size dimensions: hint the planner so any join builds on
+        # them regardless of statistics staleness (a no-op outside joins)
+        df = F.broadcast(df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
