@@ -21,7 +21,7 @@ xxhash64 / explode / groupBy) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -285,6 +285,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, then verified
     with the estimated Jaccard (signature agreement rate).
@@ -292,15 +293,34 @@ def minhash_lsh_pairs(
     bands=16 over 64 hashes → rows-per-band 4 → collision prob
     1-(1-j^4)^16 (≈0.98 at j=0.8). Only band buckets join, so the
     shuffle carries (band_hash → id) postings, never signatures of
-    non-colliding docs."""
+    non-colliding docs.
+
+    Two defenses against LSH's quadratic failure mode (giant near-dup
+    clusters flooding a bucket — a 10× scale probe exposed this):
+
+    - **signature canonicalization**: exact dups share the whole
+      signature; collapse identical signatures first (sid = min id),
+      bucket-join only distinct signatures, expand members afterwards
+      (intra-group pairs emit est=1 directly). Exact-dup floods — the
+      common real-corpus case — now cost O(group) not O(group²).
+    - **bucket cap**: a (band,bucket) holding more than ``max_bucket``
+      distinct signatures is skipped for that band (the flood is
+      near-threshold impostors by construction; true high-J pairs
+      still collide in their other bands). Skipped buckets are
+      LOGGED via big_data_project_implementation_spark.operators.dedup logger — a capped run is
+      visible, never silent."""
+    import logging
+
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    all_sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(shingles(text_col, k), num_hashes).alias("sig"),
     )
-    sig.cache()  # reused by bucket-join and verification
+    member = all_sig.withColumn("sid", F.min("id").over(Window.partitionBy("sig")))
+    member.cache()  # reused: distinct sigs, intra pairs, expansion
+    sig = member.filter(F.col("id") == F.col("sid")).select("sid", "sig")
     bands_df = sig.select(
-        "id",
+        "sid",
         F.posexplode(
             F.array(
                 *[
@@ -318,30 +338,70 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    sizes = bands_df.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    flooded = sizes.filter(F.col("_bsz") > max_bucket)
+    n_flooded = flooded.count()  # agg-only job; also the cap visibility
+    if n_flooded:
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_pairs: skipping %d flooded band-buckets (> %d sigs); "
+            "recall for near-threshold pairs inside them relies on other bands",
+            n_flooded,
+            max_bucket,
+        )
+        bands_df = bands_df.join(
+            F.broadcast(flooded.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        )
     cand = (
         bands_df.alias("x")
         .join(
             bands_df.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.sid") < F.col("y.sid")),
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .select(F.col("x.sid").alias("sid_a"), F.col("y.sid").alias("sid_b"))
         .distinct()
     )
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sa = sig.select(F.col("sid").alias("sid_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("sid").alias("sid_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
             lambda eq: eq,
         )
     ) / F.lit(float(num_hashes))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    set_pairs = (
+        cand.join(sa, "sid_a")
+        .join(sb, "sid_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
+        .select("sid_a", "sid_b", "est_jaccard")
+    )
+    intra = (
+        member.alias("x")
+        .join(
+            member.alias("y"),
+            (F.col("x.sid") == F.col("y.sid")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    ma = member.select(F.col("sid").alias("sid_a"), F.col("id").alias("ida"))
+    mb = member.select(F.col("sid").alias("sid_b"), F.col("id").alias("idb"))
+    inter = (
+        set_pairs.join(ma, "sid_a")
+        .join(mb, "sid_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    return (
+        intra.unionByName(inter)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
 

@@ -34,7 +34,25 @@ PROBE_QUERIES = [
     "topk_order_limit",
 ]
 
-SCALED = ("lineitem", "orders", "events", "customer")
+# training-data pipeline probe (--pipeline): documents text is perturbed
+# per replica (~10 replica-specific tokens vs ~23 originals pushes
+# cross-replica Jaccard to ~0.53, under the dedup thresholds) so the
+# TRUE near-dup structure scales linearly with the corpus — otherwise
+# every replica is an exact dup and the output itself grows N², which
+# measures output size, not operator scalability.
+# dedup_word_jaccard is deliberately absent: exact all-pairs Jaccard is
+# the small-scale ORACLE for the approximate methods; on a corpus built
+# to resist pruning it is Θ(distinct_sets²) by nature. At corpus scale
+# the answer is minhash_lsh (probed here), not a faster exact loop.
+PIPELINE_QUERIES = [
+    "dedup_exact_prefix",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "text_language_id",
+    "similarity_bruteforce_topk",
+]
+
+SCALED = ("lineitem", "orders", "events", "customer", "documents", "embeddings")
 KEYED = {
     # columns to shift by replica so keys stay consistent ACROSS tables
     # (join graph preserved: every replica is a self-contained shard)
@@ -42,6 +60,8 @@ KEYED = {
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 KEY_STRIDE = 10_000_000
 
@@ -66,15 +86,26 @@ def build_scaled(spark, src: str, dst: str, factor: int) -> None:
             )
             for key in KEYED[name]:
                 rep = rep.withColumn(key, F.col(key) + F.col("_r") * F.lit(KEY_STRIDE))
+            if name == "documents":
+                salt_toks = F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(9)),
+                        lambda j: F.concat(
+                            F.lit("z"), F.col("_r").cast("string"), F.lit("w"), j.cast("string")
+                        ),
+                    ),
+                )
+                rep = rep.withColumn("text", F.concat("text", F.lit(" "), salt_toks))
             df = rep.drop("_r")
         df.write.mode("overwrite").parquet(out)
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from big_data_project_implementation_spark.queries import REGISTRY
 
     out: dict[str, float] = {}
-    for name in PROBE_QUERIES:
+    for name in names:
         t0 = time.time()
         REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[name] = round(time.time() - t0, 3)
@@ -87,6 +118,9 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--pipeline", action="store_true", help="probe dedup/text/similarity instead"
+    )
     args = ap.parse_args()
 
     from big_data_project_implementation_spark import get_session
@@ -97,15 +131,16 @@ def main() -> None:
     build_scaled(spark, args.src, dst, args.factor)
     print(f"built {args.factor}x copy in {round(time.time() - t0, 1)}s", flush=True)
 
-    base = time_queries(spark, args.src)  # warm + baseline
-    scaled = time_queries(spark, dst)
+    names = PIPELINE_QUERIES if args.pipeline else PROBE_QUERIES
+    base = time_queries(spark, args.src, names)  # warm + baseline
+    scaled = time_queries(spark, dst, names)
     report = {
         q: {
             "base_s": base[q],
             "scaled_s": scaled[q],
             "ratio": round(scaled[q] / base[q], 2) if base[q] else None,
         }
-        for q in PROBE_QUERIES
+        for q in names
     }
     print(json.dumps({"factor": args.factor, "queries": report}, indent=2))
     if not args.keep:
