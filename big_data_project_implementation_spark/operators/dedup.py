@@ -443,17 +443,29 @@ def simhash_pairs(
     k: int = 3,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into ``bands``
     16-bit chunks (pigeonhole: ≤3 differing bits → some chunk equal),
-    bucket-join, verify Hamming distance ≤ max_hamming."""
-    h = df.select(
+    bucket-join, verify Hamming distance ≤ max_hamming.
+
+    Same flood defenses as minhash_lsh_pairs: identical 64-bit hashes
+    collapse to one representative (their pairs emit hamming=0
+    directly), and chunk buckets with more than ``max_bucket`` distinct
+    hashes are skipped with a logged warning."""
+    import logging
+
+    member = df.select(
         F.col(id_col).alias("id"), simhash(text_col, k).alias("sh64")
+    ).withColumn("gid", F.min("id").over(Window.partitionBy("sh64")))
+    member.cache()  # reused: distinct hashes, intra pairs, expansion
+    h = member.filter(F.col("id") == F.col("gid")).select(
+        F.col("gid").alias("sid"), "sh64"
     )
     width = 64 // bands
     mask = (1 << width) - 1
     chunks = h.select(
-        "id",
+        "sid",
         "sh64",
         F.posexplode(
             F.array(
@@ -464,25 +476,59 @@ def simhash_pairs(
             )
         ).alias("band", "chunk"),
     )
-    cand = (
+    flooded = (
+        chunks.groupBy("band", "chunk")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+    )
+    if flooded.count():
+        logging.getLogger(__name__).warning(
+            "simhash_pairs: skipping flooded chunk buckets (> %d hashes)", max_bucket
+        )
+        chunks = chunks.join(
+            F.broadcast(flooded.select("band", "chunk")), ["band", "chunk"], "left_anti"
+        )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    rep_pairs = (
         chunks.alias("x")
         .join(
             chunks.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.sid") < F.col("y.sid")),
         )
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
+            F.col("x.sid").alias("sid_a"),
+            F.col("y.sid").alias("sid_b"),
             F.col("x.sh64").alias("ha"),
             F.col("y.sh64").alias("hb"),
         )
         .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.withColumn("hamming", ham.cast("bigint"))
+        .withColumn("hamming", ham.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("sid_a", "sid_b", "hamming")
     )
+    intra = (
+        member.alias("x")
+        .join(
+            member.alias("y"),
+            (F.col("x.gid") == F.col("y.gid")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    ma = member.select(F.col("gid").alias("sid_a"), F.col("id").alias("ida"))
+    mb = member.select(F.col("gid").alias("sid_b"), F.col("id").alias("idb"))
+    inter = (
+        rep_pairs.join(ma, "sid_a")
+        .join(mb, "sid_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(inter).select("id_a", "id_b", "hamming")

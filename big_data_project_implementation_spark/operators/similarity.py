@@ -185,33 +185,79 @@ def embedding_near_dup_pairs(
     n_tables: int = 6,
     dim: int | None = None,
     seed: int = 42,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-pruned
     (multi-table): only same-(table,bucket) pairs are scored. At very
     high thresholds the sign signatures collide with high probability,
-    so recall stays high while the join avoids the full O(n^2)."""
+    so recall stays high while the join avoids the full O(n^2).
+
+    Same two flood defenses as minhash_lsh_pairs (giant duplicate
+    clusters make any bucket join quadratic in cluster size): identical
+    vectors collapse to one representative before bucketing (their
+    pairs emit cos=1 directly), and buckets holding more than
+    ``max_bucket`` distinct vectors are skipped with a logged warning."""
+    import logging
+
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"]) if first else 0
-    tables = lsh_tables(vec_col, dim, n_planes, n_tables, seed)
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(tables).alias("tb"),
-    ).select("id", "vec", "tb.tbl", "tb.bucket")
-    a = v.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "tbl", "bucket"
+    member = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("gid", F.min("id").over(Window.partitionBy("vec")))
+    member.cache()  # reused: distinct vectors, intra pairs, expansion
+    reps = member.filter(F.col("id") == F.col("gid")).select(
+        F.col("gid").alias("sid"), "vec"
     )
-    b = v.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "tbl", "bucket"
+    tables = lsh_tables("vec", dim, n_planes, n_tables, seed)
+    v = reps.select("sid", "vec", F.explode(tables).alias("tb")).select(
+        "sid", "vec", "tb.tbl", "tb.bucket"
     )
-    return (
+    flooded = (
+        v.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+    )
+    if flooded.count():
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup_pairs: skipping flooded LSH buckets (> %d vectors)",
+            max_bucket,
+        )
+        v = v.join(F.broadcast(flooded.select("tbl", "bucket")), ["tbl", "bucket"], "left_anti")
+    a = v.select(F.col("sid").alias("sid_a"), F.col("vec").alias("vec_a"), "tbl", "bucket")
+    b = v.select(F.col("sid").alias("sid_b"), F.col("vec").alias("vec_b"), "tbl", "bucket")
+    rep_pairs = (
         a.join(b, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("sid_a") < F.col("sid_b"))
+        .dropDuplicates(["sid_a", "sid_b"])
         .withColumn("cos", cosine("vec_a", "vec_b"))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .select("sid_a", "sid_b", "cos")
+    )
+    intra = (
+        member.alias("x")
+        .join(
+            member.alias("y"),
+            (F.col("x.gid") == F.col("y.gid")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("cos"),
+        )
+    )
+    ma = member.select(F.col("gid").alias("sid_a"), F.col("id").alias("ida"))
+    mb = member.select(F.col("gid").alias("sid_b"), F.col("id").alias("idb"))
+    inter = (
+        rep_pairs.join(ma, "sid_a")
+        .join(mb, "sid_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "cos",
+        )
+    )
+    return intra.unionByName(inter).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
 
 
