@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
+    # widen BEFORE multiplying: float*float rounds to float and drifts
+    # from an oracle that computes in double end-to-end
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -32,7 +34,7 @@ def norm(a: Column | str) -> Column:
     col = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(
-            F.transform(col, lambda x: (x * x).cast("double")),
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

@@ -240,12 +240,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.emb, b.emb)
           / (sqrt(list_dot_product(a.emb, a.emb))
-             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.9
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
     ORDER BY id_a, id_b
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact (threshold 0.9).
+    """Embedding-cosine near-duplicate pairs, exact (threshold 0.35 —
+    the synthetic embeddings top out at cos≈0.51, so a 0.9 cut would be
+    vacuously empty; the operator API default stays 0.95).
     At 100 TB the LSH-pruned variant (embedding_near_dup_lsh) replaces
     the cross join; this exact form is its oracle."""
     emb = t(spark, sf_dir, "embeddings")
@@ -254,7 +256,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", similarity.cosine("vec_a", "vec_b"))
-        .filter(F.col("cos") >= 0.9)
+        .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
     )
@@ -267,7 +269,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     but bucket-join instead of cross-join."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.9, dim=64, n_planes=4
+        emb, threshold=0.35, dim=64, n_planes=4
     ).orderBy("id_a", "id_b")
 
 
