@@ -512,3 +512,41 @@ def fn_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(m), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("val_sum"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "fn_datetime_advanced",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(datediff('month', DATE '1995-01-01',
+                         date_trunc('month', o_orderdate)) AS DOUBLE) AS months_since,
+           CAST(CAST(o_orderdate AS DATE)
+                + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                            ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER)
+                AS VARCHAR)                                          AS next_monday,
+           CAST(date_trunc('year', o_orderdate) AS DATE)             AS year_start,
+           CAST(CAST(o_orderdate AS DATE) - 15 AS VARCHAR)           AS minus15,
+           strftime(make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S')                             AS from_unix
+    FROM orders
+    WHERE o_orderkey % 150 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def fn_datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining §2.8 datetime rows: months_between, next_day, trunc,
+    date_sub, from_unixtime (reference datetimeExpressions.scala
+    registry :244-271). Oracle emulates next_day via isodow arithmetic
+    and from_unixtime via make_timestamp (both engines pinned to UTC)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 150 == 0)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.months_between(
+            F.date_trunc("month", od), F.lit("1995-01-01").cast("timestamp")
+        ).alias("months_since"),
+        F.next_day(od.cast("date"), "Mon").cast("string").alias("next_monday"),
+        F.trunc(od.cast("date"), "year").alias("year_start"),
+        F.date_sub(od.cast("date"), 15).cast("string").alias("minus15"),
+        F.from_unixtime(F.unix_timestamp(od)).alias("from_unix"),
+    ).orderBy("o_orderkey")
