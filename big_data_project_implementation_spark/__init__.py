@@ -16,8 +16,16 @@ Design rules (100 TB first):
   then always Arrow-batched (pandas_udf / mapInPandas / applyInPandas).
 """
 
+from big_data_project_implementation_spark import operators, plans, sources, streaming
 from big_data_project_implementation_spark.session import get_session
 
 __version__ = "0.1.0"
 
-__all__ = ["get_session", "__version__"]
+__all__ = [
+    "get_session",
+    "operators",
+    "plans",
+    "sources",
+    "streaming",
+    "__version__",
+]
