@@ -151,3 +151,27 @@ def test_sql_udf_registration(spark):
     ).collect()[0]
     assert row.dbl == 2 * row.l_orderkey
     assert row.m == row.want
+
+
+def test_ctas_and_insert_into(spark):
+    """§2.1 DDL rows (reference EXE/datasources/ddl.scala:55-102,
+    InsertIntoHiveTable/CreateTableAsSelect): CREATE TABLE ... USING
+    parquet AS SELECT, then INSERT INTO appends."""
+    sources.register_views(spark, SF_DIR)
+    spark.sql("DROP TABLE IF EXISTS ctas_nation")
+    try:
+        spark.sql(
+            "CREATE TABLE ctas_nation USING parquet AS "
+            "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10"
+        )
+        assert spark.table("ctas_nation").count() == 10
+        spark.sql(
+            "INSERT INTO ctas_nation "
+            "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 10"
+        )
+        assert spark.table("ctas_nation").count() == 25
+        got = {r.n_name for r in spark.table("ctas_nation").collect()}
+        want = {r.n_name for r in spark.table("nation").collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ctas_nation")
