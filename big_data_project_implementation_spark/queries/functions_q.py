@@ -550,3 +550,55 @@ def fn_datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(od.cast("date"), 15).cast("string").alias("minus15"),
         F.from_unixtime(F.unix_timestamp(od)).alias("from_unix"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey,
+             [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT),
+              CAST(7 AS BIGINT)] AS a,
+             [CAST(7 AS BIGINT), CAST(1 AS BIGINT)] AS b
+      FROM nation
+    )
+    SELECT n_nationkey,
+           list_sort(list_distinct(list_concat(a, b)))                    AS union_ab,
+           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS inter_ab,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS except_ab,
+           list_concat(a, b)[2:4]                                         AS sl,
+           CAST(coalesce(list_position(a, 7), 0) AS BIGINT)               AS pos7,
+           list_filter(a, x -> x != 7)                                    AS removed,
+           [a[1] + 10, a[2] + 20]                                         AS zipped,
+           CAST(greatest(a[1], a[2], 7) AS BIGINT)                        AS mx
+    FROM base
+    ORDER BY n_nationkey
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations + slicing/zip (reference
+    collectionOperations.scala + the modern §2.8 bonus family):
+    array_union/intersect/except (distinct semantics — both sides
+    sorted so order conventions can't differ), slice, flatten,
+    array_position, array_remove, zip_with, array_max."""
+    n = t(spark, sf_dir, "nation")
+    a = F.transform(
+        F.array("n_nationkey", "n_regionkey", F.lit(7)), lambda x: x.cast("bigint")
+    )
+    b = F.array(F.lit(7).cast("bigint"), F.lit(1).cast("bigint"))
+    flat = F.flatten(F.array(a, b))
+    return n.select(
+        "n_nationkey",
+        F.array_sort(F.array_union(a, b)).alias("union_ab"),
+        F.array_sort(F.array_intersect(a, b)).alias("inter_ab"),
+        F.array_sort(F.array_except(a, b)).alias("except_ab"),
+        F.slice(flat, 2, 3).alias("sl"),
+        F.array_position(a, 7).cast("bigint").alias("pos7"),
+        F.array_remove(a, 7).alias("removed"),
+        F.zip_with(
+            F.slice(a, 1, 2),
+            F.array(F.lit(10).cast("bigint"), F.lit(20).cast("bigint")),
+            lambda x, y: x + y,
+        ).alias("zipped"),
+        F.array_max(a).cast("bigint").alias("mx"),
+    ).orderBy("n_nationkey")
