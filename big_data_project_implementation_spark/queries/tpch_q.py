@@ -606,20 +606,22 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13: outer join with a join-condition filter (not a WHERE —
-    unmatched customers must survive), then a two-level aggregate."""
+    """TPC-H Q13: outer join + two-level aggregate, with the per-key
+    count pushed BELOW the join (aggregate orders first, then outer-join
+    the 1-row-per-customer result). The naive shape shuffles the whole
+    customer⋈orders product on c_custkey; this shape shuffles orders
+    once for its own aggregation and joins row-per-key — the standard
+    partial-aggregation-below-outer-join rewrite."""
     cust = t(spark, sf_dir, "customer")
-    ords = t(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(
-            ords,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_key = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
     )
+    per_cust = cust.join(
+        per_key, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
