@@ -264,3 +264,64 @@ def test_event_time_timeout_fires(spark):
         assert (2, 1, False) in rows
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_restart_resumes_state(spark):
+    """applyInPandasWithState + checkpoint: a restarted query RESUMES
+    the state store — counts accumulate across runs instead of
+    restarting from zero (reference mapWithState checkpoint semantics,
+    STR/rdd/MapWithStateRDD.scala:120 / Checkpoint.scala)."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = tempfile.mkdtemp(prefix="restate_")
+    ckpt = tempfile.mkdtemp(prefix="restate_ckpt_")
+
+    def count_fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        sdf = spark.readStream.schema("user_id int, v int").json(d)
+        out = sdf.groupBy("user_id").applyInPandasWithState(
+            count_fn, "user_id int, n bigint", "n bigint", "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        got: dict[int, int] = {}
+
+        def sink(df, _epoch):
+            for r in df.collect():
+                got[r.user_id] = r.n
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    try:
+        with open(os.path.join(d, "a.json"), "w") as fh:
+            for _ in range(3):
+                fh.write(json.dumps({"user_id": 1, "v": 1}) + "\n")
+        first = run_once()
+        assert first == {1: 3}, first
+        with open(os.path.join(d, "b.json"), "w") as fh:
+            for _ in range(2):
+                fh.write(json.dumps({"user_id": 1, "v": 1}) + "\n")
+        second = run_once()
+        # only the new file is processed, but the count RESUMES from 3
+        assert second == {1: 5}, second
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
