@@ -307,10 +307,12 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approxQuantile / percentile_approx (modern builtin; the 1.6
     reference only had it via Hive UDAF — SURVEY §2.13)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
-        )
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+    # unpack the quantile array → atomic columns (registry convention)
+    return li.agg(q.alias("qs")).select(
+        F.col("qs").getItem(0).alias("q25"),
+        F.col("qs").getItem(1).alias("q50"),
+        F.col("qs").getItem(2).alias("q75"),
     )
 
 

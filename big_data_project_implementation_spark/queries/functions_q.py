@@ -288,9 +288,9 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            toks[len(toks)]                            AS tail,
            CAST(len(toks) AS BIGINT)                  AS n_toks,
            list_contains(toks, 'UNITED')              AS has_united,
-           list_sort(toks)                            AS sorted_toks,
+           array_to_string(list_sort(toks), ',')      AS sorted_toks,
            array_to_string(list_sort(toks), '_')      AS joined,
-           {'key': n_nationkey, 'region': n_regionkey} AS info_struct,
+           to_json({'key': n_nationkey, 'region': n_regionkey}) AS info_struct,
            CAST(n_nationkey + n_regionkey AS BIGINT)  AS struct_sum
     FROM (SELECT n_nationkey, n_regionkey, string_split(n_name, ' ') AS toks
           FROM nation)
@@ -300,7 +300,11 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/struct creation + extraction (reference
     complexTypeCreator.scala, complexTypeExtractors.scala,
-    collectionOperations.scala)."""
+    collectionOperations.scala).
+
+    Registry convention: array/struct values are exercised internally but
+    serialized to strings (array_join / to_json) in the OUTPUT so the
+    driver's canonicalizer can sort+hash every cell."""
     n = t(spark, sf_dir, "nation").withColumn("toks", F.split("n_name", " "))
     info = F.struct(
         F.col("n_nationkey").alias("key"), F.col("n_regionkey").alias("region")
@@ -311,9 +315,9 @@ def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("toks", -1).alias("tail"),
         F.size("toks").cast("bigint").alias("n_toks"),
         F.array_contains("toks", "UNITED").alias("has_united"),
-        F.sort_array("toks").alias("sorted_toks"),
+        F.array_join(F.sort_array("toks"), ",").alias("sorted_toks"),
         F.array_join(F.sort_array("toks"), "_").alias("joined"),
-        info.alias("info_struct"),
+        F.to_json(info).alias("info_struct"),
         (info.getField("key") + info.getField("region"))
         .cast("bigint")
         .alias("struct_sum"),
@@ -326,8 +330,8 @@ def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(words) AS BIGINT)                                  AS n_words,
            CAST(len(list_filter(words, w -> length(w) > 4)) AS BIGINT) AS n_long,
-           list_transform(list_sort(list_distinct(
-               list_filter(words, w -> length(w) > 4))), w -> upper(w)) AS long_upper,
+           array_to_string(list_transform(list_sort(list_distinct(
+               list_filter(words, w -> length(w) > 4))), w -> upper(w)), ',') AS long_upper,
            CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars
     FROM (SELECT doc_id, string_split(text, ' ') AS words
           FROM documents WHERE doc_id < 30)
@@ -348,8 +352,11 @@ def fn_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("words").cast("bigint").alias("n_words"),
         F.size(long_words).cast("bigint").alias("n_long"),
-        F.transform(
-            F.sort_array(F.array_distinct(long_words)), lambda w: F.upper(w)
+        F.array_join(
+            F.transform(
+                F.sort_array(F.array_distinct(long_words)), lambda w: F.upper(w)
+            ),
+            ",",
         ).alias("long_upper"),
         F.aggregate(
             F.transform("words", lambda w: F.length(w).cast("bigint")),
@@ -563,14 +570,18 @@ def fn_datetime_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation
     )
     SELECT n_nationkey,
-           list_sort(list_distinct(list_concat(a, b)))                    AS union_ab,
-           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS inter_ab,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS except_ab,
-           list_concat(a, b)[2:4]                                         AS sl,
-           CAST(coalesce(list_position(a, 7), 0) AS BIGINT)               AS pos7,
-           list_filter(a, x -> x != 7)                                    AS removed,
-           [a[1] + 10, a[2] + 20]                                         AS zipped,
-           CAST(greatest(a[1], a[2], 7) AS BIGINT)                        AS mx
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+           coalesce(array_to_string(
+               list_sort(list_distinct(list_concat(a, b))), ','), '')    AS union_ab,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> list_contains(b, x)))), ','), '')     AS inter_ab,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS except_ab,
+           coalesce(array_to_string(list_concat(a, b)[2:4], ','), '')    AS sl,
+           CAST(coalesce(list_position(a, 7), 0) AS BIGINT)              AS pos7,
+           coalesce(array_to_string(list_filter(a, x -> x != 7), ','), '') AS removed,
+           coalesce(array_to_string([a[1] + 10, a[2] + 20], ','), '')    AS zipped,
+           CAST(greatest(a[1], a[2], 7) AS BIGINT)                       AS mx
     FROM base
     ORDER BY n_nationkey
     """,
@@ -587,18 +598,25 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = F.array(F.lit(7).cast("bigint"), F.lit(1).cast("bigint"))
     flat = F.flatten(F.array(a, b))
+
+    def joined(arr, alias):  # serialize array output → driver-hashable
+        return F.array_join(arr.cast("array<string>"), ",").alias(alias)
+
     return n.select(
         "n_nationkey",
-        F.array_sort(F.array_union(a, b)).alias("union_ab"),
-        F.array_sort(F.array_intersect(a, b)).alias("inter_ab"),
-        F.array_sort(F.array_except(a, b)).alias("except_ab"),
-        F.slice(flat, 2, 3).alias("sl"),
+        joined(F.array_sort(F.array_union(a, b)), "union_ab"),
+        joined(F.array_sort(F.array_intersect(a, b)), "inter_ab"),
+        joined(F.array_sort(F.array_except(a, b)), "except_ab"),
+        joined(F.slice(flat, 2, 3), "sl"),
         F.array_position(a, 7).cast("bigint").alias("pos7"),
-        F.array_remove(a, 7).alias("removed"),
-        F.zip_with(
-            F.slice(a, 1, 2),
-            F.array(F.lit(10).cast("bigint"), F.lit(20).cast("bigint")),
-            lambda x, y: x + y,
-        ).alias("zipped"),
+        joined(F.array_remove(a, 7), "removed"),
+        joined(
+            F.zip_with(
+                F.slice(a, 1, 2),
+                F.array(F.lit(10).cast("bigint"), F.lit(20).cast("bigint")),
+                lambda x, y: x + y,
+            ),
+            "zipped",
+        ),
         F.array_max(a).cast("bigint").alias("mx"),
     ).orderBy("n_nationkey")

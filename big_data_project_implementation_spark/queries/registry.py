@@ -10,6 +10,12 @@ name, then order-insensitively hashes values):
   count() etc. return BIGINT; Spark's year() returns INT).
 - Never emit nondeterministic rows (sample/rand queries are registered
   without an oracle → driver records the weaker rows-only check).
+- NO bare array/struct/map OUTPUT columns: the driver canonicalizer
+  sorts+hashes cells and ``list``/``dict`` are unhashable. Exercise
+  complex types inside the query, then serialize the output column
+  (``F.array_join(arr.cast("array<string>"), ",")`` / ``F.to_json`` in
+  Spark; ``array_to_string(..., ',')`` / ``to_json`` in DuckDB).
+  Enforced by tests/test_registry_contract.py.
 """
 
 from __future__ import annotations
