@@ -32,15 +32,31 @@ def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
 
 
 def assert_read_schema_only(df: DataFrame, table_fragment: str, *cols: str) -> None:
-    """Assert the scan's ReadSchema contains exactly ``cols`` (column
-    pruning reached the reader)."""
+    """Assert the ``table_fragment`` scan's ReadSchema is exactly ``cols``
+    — i.e. column pruning reached the reader, no extra columns are
+    decoded. Matches the scan's own detail block (formatted explain
+    groups Location/PushedFilters/ReadSchema per node), so other scans
+    in the same plan can't mask a pruning failure."""
+    import re
+
     plan = formatted_plan(df)
-    for line in plan.splitlines():
-        if "ReadSchema" in line and table_fragment in plan:
-            for c in cols:
-                assert c in line or c in plan, f"{c} missing from ReadSchema"
-            return
-    raise AssertionError(f"no ReadSchema found in plan:\n{plan}")
+    for block in plan.split("\n\n"):
+        if table_fragment not in block:
+            continue
+        m = re.search(r"ReadSchema: struct<(.*)>", block)
+        if not m:
+            continue
+        # field names start the list or follow a type-separating comma;
+        # commas inside types (decimal(12,2)) don't precede `name:`
+        got = set(re.findall(r"(?:^|,)(\w+):", m.group(1)))
+        assert got == set(cols), (
+            f"{table_fragment} scan reads {sorted(got)}, "
+            f"expected exactly {sorted(cols)}"
+        )
+        return
+    raise AssertionError(
+        f"no ReadSchema block for {table_fragment!r} in plan:\n{plan}"
+    )
 
 
 def assert_broadcast_join(df: DataFrame, expect: bool = True) -> None:

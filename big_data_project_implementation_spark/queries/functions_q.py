@@ -330,8 +330,8 @@ def fn_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(words) AS BIGINT)                                  AS n_words,
            CAST(len(list_filter(words, w -> length(w) > 4)) AS BIGINT) AS n_long,
-           array_to_string(list_transform(list_sort(list_distinct(
-               list_filter(words, w -> length(w) > 4))), w -> upper(w)), ',') AS long_upper,
+           coalesce(array_to_string(list_transform(list_sort(list_distinct(
+               list_filter(words, w -> length(w) > 4))), w -> upper(w)), ','), '') AS long_upper,
            CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars
     FROM (SELECT doc_id, string_split(text, ' ') AS words
           FROM documents WHERE doc_id < 30)

@@ -32,6 +32,27 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _master_already_configured() -> bool:
+    """True when spark-submit / env / spark-defaults already set a master.
+
+    ``spark-submit --master`` exports MASTER into spark.master via the
+    launcher (PYSPARK_SUBMIT_ARGS in pyspark shells); SparkConf also
+    reads the ``spark.master`` system property / spark-defaults.conf at
+    ``getOrCreate`` time. Checking here keeps ``get_session()`` from
+    clobbering a cluster deployment with local[N].
+    """
+    if os.environ.get("MASTER") or os.environ.get("SPARK_MASTER"):
+        return True
+    if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf().contains("spark.master")
+    except Exception:
+        return False
+
+
 def get_session(
     app_name: str = "big-data-project-implementation-spark",
     master: str | None = None,
@@ -79,8 +100,10 @@ def get_session(
     )
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_GRAFT_LOCAL" in os.environ or True:
-        # no cluster in this environment; local[N] mirrors one executor
+    elif not _master_already_configured():
+        # No master from the caller, spark-submit, or spark-defaults:
+        # fall back to local[N] mirroring one executor. A submitted
+        # --master yarn/k8s always wins — never override it here.
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

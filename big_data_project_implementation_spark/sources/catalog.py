@@ -23,10 +23,14 @@ TABLES = (
     "embeddings",
 )
 
-# dimension tables small enough to broadcast at any realistic scale
-# (region/nation are fixed-size; supplier/part/customer grow with SF but
-# stay orders of magnitude under the fact table)
-BROADCASTABLE = ("region", "nation", "supplier")
+# Only FIXED-size dimensions get a forced broadcast hint: region (5
+# rows) and nation (25 rows) never grow with SF. supplier/part/customer
+# scale linearly (SF x 10k/200k/150k rows), so a forced hint would
+# override autoBroadcastJoinThreshold AND AQE demotion at 100 TB —
+# multi-GB broadcasts baked into the catalog. For SF-scaled tables the
+# threshold + AQE decide: at small SF they still broadcast (asserted in
+# tests/test_plans.py), at cluster scale they demote to shuffle joins.
+BROADCASTABLE = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -9,6 +9,7 @@ observable-plan level instead of rule level.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_project_implementation_spark import plans
@@ -106,6 +107,39 @@ def test_q16_anti_join_is_broadcast(spark):
     assert "LeftAnti, BuildRight" in plan or (
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     ), plan[:2000]
+
+
+def test_supplier_join_broadcasts_via_threshold_not_hint(spark):
+    """supplier scales with SF (SF x 10k rows), so the catalog must NOT
+    force-broadcast it — at 100 TB a forced hint overrides both
+    autoBroadcastJoinThreshold and AQE demotion. At test SF the
+    *threshold* still elects a broadcast, so the plan shape is unchanged
+    while the 100x scale-up path demotes gracefully."""
+    from big_data_project_implementation_spark.sources import catalog
+
+    assert "supplier" not in catalog.BROADCASTABLE
+    sup = catalog.load_table(spark, SF_DIR, "supplier")
+    logical = sup._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower(), logical
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, SF_DIR)
+    plan = plans.physical_plan(df)
+    bhj_supplier = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "s_suppkey" in ln
+    ]
+    assert bhj_supplier, plan[:3000]
+
+
+def test_read_schema_assertion_is_exact(spark):
+    """Negative control: the pruning assert must FAIL when the scan reads
+    more columns than expected (the round-2 version was vacuous)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plans.assert_read_schema_only(li, "lineitem", "l_orderkey", "l_quantity")
+    with pytest.raises(AssertionError):
+        plans.assert_read_schema_only(li, "lineitem", "l_orderkey")
 
 
 def test_q13_outer_join_keeps_condition_in_join(spark):
