@@ -12,7 +12,11 @@ from big_data_project_implementation_spark.sources.catalog import (
     load_tables,
     register_views,
 )
-from big_data_project_implementation_spark.sources.readers import read, read_jdbc
+from big_data_project_implementation_spark.sources.readers import (
+    read,
+    read_jdbc,
+    write_jdbc,
+)
 from big_data_project_implementation_spark.sources.writers import (
     write,
     write_bucketed_table,
@@ -25,6 +29,7 @@ __all__ = [
     "register_views",
     "read",
     "read_jdbc",
+    "write_jdbc",
     "write",
     "write_bucketed_table",
 ]

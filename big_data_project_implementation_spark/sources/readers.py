@@ -58,21 +58,53 @@ def read_jdbc(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     num_partitions: int | None = None,
+    predicates: list[str] | None = None,
     **options: Any,
 ) -> DataFrame:
     """Partitioned JDBC scan (stride on a numeric column), predicate
     pushdown compiled to the remote SQL dialect.
 
-    Reference: sql/core/.../execution/datasources/jdbc/JDBCRelation.scala,
-    JDBCRDD.scala. At scale, always pass partitioning bounds — a single
-    connection read is a driver bottleneck.
+    Reference: sql/core/.../execution/datasources/jdbc/JDBCRelation.scala
+    (columnPartition stride logic), JDBCRDD.scala (predicate compile).
+    At scale, always pass partitioning bounds — a single connection read
+    is a driver bottleneck.
+
+    Connection options (``user``, ``password``, ``driver``,
+    ``fetchsize``, ...) go through ``**options`` into the JDBC
+    ``properties`` dict — they are NOT ``DataFrameReader.jdbc`` kwargs.
+    ``predicates`` is the reference's JDBCPartition alternative: one
+    WHERE fragment per partition, for non-numeric splits.
     """
-    kwargs: dict[str, Any] = dict(options)
+    properties = {k: str(v) for k, v in options.items()}
     if partition_column is not None:
-        kwargs.update(
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC read needs lower_bound and upper_bound "
+                f"alongside partition_column={partition_column!r}"
+            )
+        return spark.read.jdbc(
+            url,
+            table,
             column=partition_column,
             lowerBound=lower_bound,
             upperBound=upper_bound,
             numPartitions=num_partitions or 8,
+            properties=properties,
         )
-    return spark.read.jdbc(url, table, properties={}, **kwargs)
+    if predicates is not None:
+        return spark.read.jdbc(url, table, predicates=predicates, properties=properties)
+    return spark.read.jdbc(url, table, properties=properties)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "error",
+    **options: Any,
+) -> None:
+    """JDBC sink (reference: DataFrameWriter.jdbc → JdbcUtils.saveTable).
+
+    Connection options route into ``properties`` like ``read_jdbc``.
+    """
+    df.write.jdbc(url, table, mode=mode, properties={k: str(v) for k, v in options.items()})
