@@ -53,7 +53,8 @@ _CERTIFICATION_WINDOW = [
     # streaming (5)
     "stream_tumbling_window", "stream_sliding_window", "stream_per_key_counts",
     "stream_stream_join", "stream_sessionize",
-    # multimodal features (de-stubbed this round; rows-only driver check)
+    # multimodal features (de-stubbed this round; oracled via the
+    # synthesize→header-parse closed-form round trip)
     "multimodal_features",
     # relational / set-ops (9 of 15)
     "project_filter", "predicates_null_in_like", "union_all",

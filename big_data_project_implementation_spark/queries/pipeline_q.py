@@ -295,20 +295,36 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "mime", "n_bytes").orderBy("media_id")
 
 
-@query("multimodal_features")  # stubbed decoder → rows-only; shape tested in pytest
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 20 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CAST(CASE WHEN doc_id % 20 = 0 THEN 45
+                     ELSE 44 + 2 * (100 + doc_id % 400) END AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 20 = 0 THEN 'png' ELSE 'wav' END AS kind,
+           CASE WHEN doc_id % 20 = 0
+                THEN CAST(16 + doc_id % 97 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 20 = 0
+                THEN CAST(16 + (7 * doc_id) % 89 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 20 <> 0 THEN CAST(1 AS BIGINT) END AS channels,
+           CASE WHEN doc_id % 20 <> 0 THEN CAST(8000 AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 20 <> 0
+                THEN CAST(100 + doc_id % 400 AS BIGINT) END AS n_frames
+    FROM documents WHERE doc_id % 10 = 0
+    ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/featurize via Arrow-batched mapInPandas with the
-    deterministic fake decoder (real decode stubbed —
-    operators.multimodal._decode_stub)."""
+    """Binary media decode, end to end: synthesize real PNG/WAV payloads
+    keyed on doc_id (operators.multimodal.synthesize_media), ship them
+    through Arrow as binary columns, parse headers back with the
+    stdlib decoder (extract_media_metadata). The oracle recomputes the
+    expected metadata in closed form, so a bug in either the encoder or
+    the parser breaks the hash match."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    media = multimodal.attach_binary_payload(d, source_col="text", id_col="doc_id")
-    feats = multimodal.extract_features(media, deterministic_fake=True)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.size("feature").cast("bigint").alias("dim"),
-    ).orderBy("media_id")
+    media = multimodal.synthesize_media(d, id_col="doc_id")
+    return multimodal.extract_media_metadata(media).orderBy("media_id")
 
 
 @query("similarity_ivf_topk")  # approximate → rows-only; recall tested in pytest

@@ -34,8 +34,9 @@ def test_window_composition():
 
 
 def test_window_maximizes_oracled_entries():
-    """Only multimodal_features (rows-only by design) lacks an oracle."""
+    """Every window entry carries a DuckDB oracle (multimodal_features
+    gained one via the synthesize→parse closed-form round trip)."""
     no_oracle = [
         n for n in _CERTIFICATION_WINDOW if REGISTRY[n].oracle is None
     ]
-    assert no_oracle == ["multimodal_features"]
+    assert no_oracle == []

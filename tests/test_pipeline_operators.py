@@ -115,7 +115,7 @@ def test_embedding_near_dup_lsh_contained_in_exact(spark):
 def test_multimodal_feature_shapes(spark):
     docs = _docs(spark).limit(40)
     media = multimodal.attach_binary_payload(docs, "text", "doc_id")
-    feats = multimodal.extract_features(media, deterministic_fake=True).collect()
+    feats = multimodal.extract_features(media).collect()
     assert len(feats) == 40
     for r in feats:
         assert len(r.feature) == 8
@@ -137,13 +137,79 @@ def test_multimodal_frame_sampling(spark):
         assert sorted(r.frame_no for r in rows) == list(range(len(rows)))
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_strict_decode_rejects_non_media(spark):
+    """strict=True demands a recognized media container; text payloads
+    (no PNG/GIF/BMP/JPEG/WAV header) must raise DecoderNotAvailable."""
     docs = _docs(spark).limit(2)
     media = multimodal.attach_binary_payload(docs, "text", "doc_id")
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="decode"):
-        multimodal.extract_features(media, deterministic_fake=False).collect()
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_media_header_parsers_match_hand_computed():
+    """Pure-python header parsers vs hand-built byte layouts."""
+    png = multimodal.png_bytes(640, 480)
+    assert len(png) == 45  # magic 8 + IHDR 25 + IEND 12
+    assert multimodal.parse_media_header(png) == {
+        "kind": "png", "width": 640, "height": 480,
+    }
+
+    wav = multimodal.wav_bytes(8000, sample_rate=16000, channels=2)
+    assert len(wav) == 44 + 2 * 8000 * 2  # canonical header + 16-bit PCM
+    assert multimodal.parse_media_header(wav) == {
+        "kind": "wav", "channels": 2, "sample_rate": 16000, "n_frames": 8000,
+    }
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert multimodal.parse_media_header(gif) == {
+        "kind": "gif", "width": 320, "height": 200,
+    }
+
+    bmp = b"BM" + b"\x00" * 16 + (800).to_bytes(4, "little") + (
+        (-600) % (1 << 32)
+    ).to_bytes(4, "little")
+    # negative height = top-down DIB; dimension is the magnitude
+    assert multimodal.parse_media_header(bmp) == {
+        "kind": "bmp", "width": 800, "height": 600,
+    }
+
+    # JPEG: SOI + APP0 stub + SOF0 with height 1080, width 1920
+    import struct as _s
+
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + _s.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + _s.pack(">H", 11) + b"\x08"
+        + _s.pack(">HH", 1080, 1920) + b"\x01\x00\x00\x00"
+    )
+    assert multimodal.parse_media_header(jpeg) == {
+        "kind": "jpeg", "width": 1920, "height": 1080,
+    }
+
+    assert multimodal.parse_media_header(b"plain text") is None
+    assert multimodal.parse_media_header(b"") is None
+
+
+def test_extract_media_metadata_roundtrip(spark):
+    """synthesize_media → extract_media_metadata recovers the closed-form
+    id-derived metadata (the multimodal_features oracle contract)."""
+    docs = _docs(spark).limit(60)
+    media = multimodal.synthesize_media(docs, id_col="doc_id")
+    rows = {r.media_id: r for r in multimodal.extract_media_metadata(media).collect()}
+    assert len(rows) == 60
+    for mid, r in rows.items():
+        if mid % 20 == 0:
+            assert (r.kind, r.mime) == ("png", "image/png")
+            assert r.width == 16 + mid % 97
+            assert r.height == 16 + (7 * mid) % 89
+            assert r.n_bytes == 45 and r.n_frames is None
+        else:
+            assert (r.kind, r.mime) == ("wav", "audio/wav")
+            assert r.n_frames == 100 + mid % 400
+            assert (r.channels, r.sample_rate) == (1, 8000)
+            assert r.n_bytes == 44 + 2 * r.n_frames
+            assert r.width is None
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark):
