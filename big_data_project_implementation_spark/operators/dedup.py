@@ -61,7 +61,9 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
-def _bitmask_set_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+def _bitmask_set_pairs(
+    sets: DataFrame, threshold: float, n_parts: int | None = None
+) -> DataFrame:
     """All-pairs exact Jaccard over distinct shingle sets for SMALL
     vocabularies: encode each set as a bitmask over the vocab (one
     bigint per 64 words), so intersection size is a popcount of ANDed
@@ -118,6 +120,8 @@ def _bitmask_set_pairs(sets: DataFrame, threshold: float) -> DataFrame:
         lambda acc, x: acc + x,
     )
     len_ok = F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
+    if n_parts:  # fan the u^2/2 popcount stream over every core
+        a = a.repartition(n_parts)
     return (
         a.join(F.broadcast(b), (F.col("sid_a") < F.col("sid_b")) & len_ok)
         .withColumn("n_common", nc)
@@ -167,8 +171,16 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    # canonicalize + compare HASHED shingles (8-byte longs), not the
+    # shingle strings: set cardinalities and intersections are
+    # hash-collision-exact w.h.p. (~n^2/2^64), array ops on fixed-width
+    # longs run ~3x faster than on strings, and every downstream
+    # shuffle/broadcast moves 8 bytes per token instead of ~20
     docs = df.select(
-        F.col(id_col).alias("id"), F.array_sort(shingles(text_col, k)).alias("sh")
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     ).filter(F.size("sh") > 0)
     member = docs.withColumn("sid", F.min("id").over(Window.partitionBy("sh")))
     member.cache()  # reused: sets, intra pairs, expansion joins
@@ -190,11 +202,20 @@ def ngram_jaccard_pairs(
         vocab_est = sets.select(F.explode("sh").alias("s")).agg(
             F.approx_count_distinct("s").alias("v")
         ).first()["v"]
+        # the streamed side of the nested-loop would otherwise inherit
+        # the (often AQE-coalesced, possibly single) upstream partition
+        # count — u^2/2 array_intersect verifications must fan out over
+        # every core, so rebalance the u-row side explicitly (cheap)
+        n_parts = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
         if vocab_est <= 4096:
-            set_pairs = _bitmask_set_pairs(sets, threshold)
+            set_pairs = _bitmask_set_pairs(sets, threshold, n_parts)
         else:
             set_pairs = (
-                a.join(F.broadcast(b), (F.col("sid_a") < F.col("sid_b")) & len_ok)
+                a.repartition(n_parts)
+                .join(F.broadcast(b), (F.col("sid_a") < F.col("sid_b")) & len_ok)
                 .withColumn("jaccard", jac)
                 .filter(F.col("jaccard") >= threshold)
                 .select("sid_a", "sid_b", "jaccard")
@@ -263,18 +284,76 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_one(sh: Column, seed: int) -> Column:
-    # helper (not a default-arg lambda): pyspark HOF lambdas must take
-    # exactly (element[, index]) params
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
-
-
 def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
     """Array of ``num_hashes`` min-hashes over a shingle array.
 
-    Hash family: xxhash64(shingle, salt=i) — JVM-side, no UDF.
-    Signature is num_hashes longs per doc."""
-    return F.array(*[_minhash_one(sh, i) for i in range(num_hashes)])
+    Hash family: each shingle STRING is hashed once (xxhash64), then
+    the family is seeded xxhash64 over that fixed-width long —
+    re-hashing 8 bytes num_hashes times costs a fraction of re-hashing
+    the variable-length string num_hashes times (Broder's
+    one-hash-then-derive construction). JVM-side, no UDF.
+
+    NOTE: this per-row expression form runs ``num_hashes`` interpreted
+    higher-order passes over each shingle array. For batch corpora use
+    ``minhash_signatures`` (explode + codegen'd min-aggregates) — same
+    values, whole-stage-codegen speed; this form remains for contexts
+    that need a single-column expression (e.g. streaming projections)."""
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig) per document via explode + one groupBy with
+    ``num_hashes`` min-aggregates — value-identical to
+    ``minhash_signature`` but JVM-codegen end to end.
+
+    Scale shape: the shingle explode is map-local; partial (map-side)
+    min-aggregation collapses each doc to one 64-long row BEFORE the
+    single shuffle, so the exchange carries |docs| x 512 bytes, never
+    the shingle postings. The interpreted-HOF form this replaces was
+    ~10x slower at sf0.1 (num_hashes passes per row outside codegen).
+
+    Docs with no shingles keep a row (explode_outer) with an all-null
+    signature — identical to array_min over an empty array.
+
+    The input is repartitioned to the session's default parallelism
+    first: a small corpus often arrives as ONE scan partition (single
+    parquet file locally; AQE-coalesced exchange upstream), which would
+    run the entire hash chain single-threaded. At real scale the scan
+    is already wide and the repartition is a cheap rebalance."""
+    spark = df.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    posts = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .repartition(n_parts, "id")
+        .select("id", F.explode_outer(shingles("_t", k)).alias("s"))
+        .select("id", "s", F.xxhash64("s").alias("h"))
+    )
+    # one string hash per posting; the family re-hashes the fixed-width
+    # long, not the variable-length string, once per seed
+    aggs = [
+        F.min(
+            F.when(F.col("s").isNotNull(), F.xxhash64("h", F.lit(i)))
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return posts.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -312,9 +391,8 @@ def minhash_lsh_pairs(
     import logging
 
     rows_per_band = num_hashes // bands
-    all_sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, k), num_hashes).alias("sig"),
+    all_sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes
     )
     member = all_sig.withColumn("sid", F.min("id").over(Window.partitionBy("sig")))
     member.cache()  # reused: distinct sigs, intra pairs, expansion
@@ -436,6 +514,49 @@ def simhash(text: Column | str, k: int = 3, bits: int = 64) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, sh64) per document — value-identical to ``simhash`` but via
+    explode + ``bits`` codegen'd sum-aggregates (the same
+    one-shuffle/map-side-combine shape as ``minhash_signatures``; the
+    expression form runs ``bits`` interpreted passes per row)."""
+    spark = df.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    posts = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .repartition(n_parts, "id")
+        .select("id", F.explode_outer(shingles("_t", k)).alias("s"))
+        .select("id", "s", F.xxhash64("s").alias("h"))
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("s").isNotNull(),
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(
+                F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return posts.groupBy("id").agg(*aggs).select("id", out.alias("sh64"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -455,9 +576,9 @@ def simhash_pairs(
     hashes are skipped with a logged warning."""
     import logging
 
-    member = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, k).alias("sh64")
-    ).withColumn("gid", F.min("id").over(Window.partitionBy("sh64")))
+    member = simhash_signatures(df, text_col=text_col, id_col=id_col, k=k).withColumn(
+        "gid", F.min("id").over(Window.partitionBy("sh64"))
+    )
     member.cache()  # reused: distinct hashes, intra pairs, expansion
     h = member.filter(F.col("id") == F.col("gid")).select(
         F.col("gid").alias("sid"), "sh64"

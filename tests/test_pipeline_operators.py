@@ -112,6 +112,57 @@ def test_embedding_near_dup_lsh_contained_in_exact(spark):
     assert lsh_pairs <= exact_pairs  # soundness: LSH never invents a pair
 
 
+def test_minhash_agg_signatures_match_expression_form(spark):
+    """The codegen'd explode+min-agg signature path must be
+    value-identical to the per-row HOF expression form."""
+    docs = _docs(spark).limit(50)
+    agg = {
+        r.id: r.sig
+        for r in dedup.minhash_signatures(docs, num_hashes=16).collect()
+    }
+    expr = {
+        r.id: r.sig
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            dedup.minhash_signature(dedup.shingles("text", 3), 16).alias("sig"),
+        ).collect()
+    }
+    assert agg == expr
+
+
+def test_simhash_agg_signatures_match_expression_form(spark):
+    docs = _docs(spark).limit(50)
+    agg = {r.id: r.sh64 for r in dedup.simhash_signatures(docs).collect()}
+    expr = {
+        r.id: r.sh64
+        for r in docs.select(
+            F.col("doc_id").alias("id"), dedup.simhash("text", 3).alias("sh64")
+        ).collect()
+    }
+    assert agg == expr
+
+
+def test_lsh_vectorized_signatures_match_expression_form(spark):
+    """The numpy-matmul bucket signature must agree with the
+    expression-only lsh_tables form (same hyperplanes/seeds)."""
+    emb = _emb(spark).limit(100)
+    vec = {
+        r.vec_id: list(r.buckets)
+        for r in emb.select(
+            "vec_id",
+            similarity.lsh_signatures(64, 4, 6, 42)("embedding").alias("buckets"),
+        ).collect()
+    }
+    expr = {
+        r.vec_id: [tb.bucket for tb in sorted(r.tbs, key=lambda s: s.tbl)]
+        for r in emb.select(
+            "vec_id",
+            similarity.lsh_tables("embedding", 64, 4, 6, 42).alias("tbs"),
+        ).collect()
+    }
+    assert vec == expr
+
+
 def test_multimodal_feature_shapes(spark):
     docs = _docs(spark).limit(40)
     media = multimodal.attach_binary_payload(docs, "text", "doc_id")

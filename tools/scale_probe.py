@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PROBE_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
     "q9_product_profit",
     "q13_customer_distribution",
     "join_inner_shuffle",
