@@ -17,13 +17,15 @@ from pyspark.sql import functions as F
 from big_data_project_implementation_spark.queries.registry import events_stream, query
 
 
-def _run_stream_to_table(sdf: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_stream_to_table(
+    sdf: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DF to completion into a memory sink."""
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -205,3 +207,32 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.start").alias("session_start"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_keys
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (streaming.dedup_stream →
+    dropDuplicates keyed state) — a training-data ingest pipeline
+    dedups on the stream; first arrival of each (event_type, user_id)
+    survives, later duplicates are dropped by the state store. The
+    memory-sink result is then aggregated batch-side; the oracle is the
+    equivalent batch DISTINCT. The bounded-state watermarked variant
+    (dropDuplicatesWithinWatermark) is covered in tests/test_streaming.py."""
+    from big_data_project_implementation_spark import streaming as stm
+
+    sdf = events_stream(spark, sf_dir).select("event_type", "user_id", "ts")
+    deduped = stm.dedup_stream(sdf, ["event_type", "user_id"])
+    out = _run_stream_to_table(deduped, spark, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("event_type")
+    )

@@ -90,6 +90,31 @@ def run_with_state(
     )
 
 
+def dedup_stream(
+    sdf: DataFrame,
+    keys: list[str],
+    watermark_col: str | None = None,
+    delay: str | None = None,
+) -> DataFrame:
+    """Stateful streaming exact-dedup — the streaming counterpart of
+    operators.dedup.exact_dedup (beyond-reference: a training-data
+    ingest pipeline dedups ON the stream, not in a later batch pass).
+
+    With ``watermark_col`` + ``delay``: dropDuplicatesWithinWatermark —
+    keyed state is evicted once the watermark passes, so state size is
+    bounded by the key arrival rate x delay (the 100 TB/day path;
+    duplicates farther apart than ``delay`` re-emit, by contract).
+    Without: global dropDuplicates — exact forever, state grows with
+    distinct keys (fine for bounded key domains, documented tradeoff)."""
+    if watermark_col is not None:
+        if delay is None:
+            raise ValueError("watermarked dedup_stream needs a delay")
+        return sdf.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return sdf.dropDuplicates(keys)
+
+
 def to_memory_sink(
     sdf: DataFrame,
     output_mode: str = "update",

@@ -325,3 +325,50 @@ def test_stateful_restart_resumes_state(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_dedup_stream_exact_matches_batch_distinct(spark):
+    """Streaming dropDuplicates keyed state == batch DISTINCT."""
+    sdf = events_stream(spark, SF_DIR).select("event_type", "user_id", "ts")
+    deduped = streaming.dedup_stream(sdf, ["event_type", "user_id"])
+    name, q = streaming.to_memory_sink(deduped, output_mode="append")
+    q.awaitTermination()
+    got = spark.table(name).select("event_type", "user_id").distinct().count()
+    want = (
+        _batch_events(spark).select("event_type", "user_id").distinct().count()
+    )
+    assert spark.table(name).count() == want  # one survivor per key
+    assert got == want
+
+
+def test_dedup_stream_within_watermark_drops_near_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving within
+    the delay is dropped; keys are evicted after the watermark passes
+    (bounded state — the streaming-ingest dedup path)."""
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),  # dup within 1h of first → dropped
+            (2, "2024-01-01 10:05:00"),
+        ],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    deduped = streaming.dedup_stream(
+        sdf, ["k"], watermark_col="ts", delay="1 hour"
+    )
+    name, q = streaming.to_memory_sink(deduped, output_mode="append")
+    q.awaitTermination()
+    rows = spark.table(name).groupBy("k").count().collect()
+    assert {r.k: r["count"] for r in rows} == {1: 1, 2: 1}
+
+
+def test_dedup_stream_watermark_requires_delay(spark):
+    sdf = events_stream(spark, SF_DIR)
+    with pytest.raises(ValueError, match="delay"):
+        streaming.dedup_stream(sdf, ["user_id"], watermark_col="ts")
