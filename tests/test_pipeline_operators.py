@@ -112,6 +112,26 @@ def test_embedding_near_dup_lsh_contained_in_exact(spark):
     assert lsh_pairs <= exact_pairs  # soundness: LSH never invents a pair
 
 
+def test_jaccard_sparse_prefix_path_matches_dense(spark):
+    """Force the AllPairs prefix-filter strategy (dense_max_sets=0) —
+    the 100 TB path — and require pair-identical output vs the dense
+    broadcast-NL strategy on the same corpus. Any consistent global
+    token order is valid for prefix filtering; this pins that the
+    (doc-frequency, hashed-shingle) order misses nothing."""
+    docs = _docs(spark).limit(200)
+    dense = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    sparse = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, dense_max_sets=0
+        ).collect()
+    }
+    assert sparse == dense
+
+
 def test_minhash_agg_signatures_match_expression_form(spark):
     """The codegen'd explode+min-agg signature path must be
     value-identical to the per-row HOF expression form."""
