@@ -83,9 +83,13 @@ def main() -> None:
     from pyspark.sql.functions import pandas_udf
 
     _ident = pandas_udf(lambda s: s, "long")
+    try:
+        _parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. 'auto' on managed platforms
+        _parts = spark.sparkContext.defaultParallelism
     (
         spark.range(100_000)
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .repartition(_parts)
         .select(_ident("id"))
         .write.mode("overwrite")
         .format("noop")

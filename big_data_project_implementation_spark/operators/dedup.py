@@ -29,6 +29,47 @@ def _norm(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _target_parallelism(df: DataFrame) -> int:
+    """Cores-worth of partitions for CPU-heavy small-input stages.
+
+    ``spark.sql.shuffle.partitions`` may be non-numeric on platforms
+    with auto-optimized shuffle ('auto') — fall back to the scheduler's
+    default parallelism rather than crash at plan-build time."""
+    spark = df.sparkSession
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_parts = 0
+    return max(spark.sparkContext.defaultParallelism, conf_parts)
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition ONLY when the input is narrower than the core count
+    (a single local parquet file or an AQE-coalesced exchange would
+    otherwise run a CPU-bound chain single-threaded). Already-wide
+    inputs — the 100 TB scan shape — pass through with no shuffle."""
+    n_parts = _target_parallelism(df)
+    if df.rdd.getNumPartitions() >= n_parts:
+        return df
+    return df.repartition(n_parts, *cols) if cols else df.repartition(n_parts)
+
+
+def _hashed_postings(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, s, h) shingle postings: one xxhash64 per shingle string,
+    explode_outer so empty docs keep a row (s null). Shared by the
+    minhash/simhash signature aggregates."""
+    return (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+            "id",
+        )
+        .select("id", F.explode_outer(shingles("_t", k)).alias("s"))
+        .select("id", "s", F.xxhash64("s").alias("h"))
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -206,10 +247,7 @@ def ngram_jaccard_pairs(
         # the (often AQE-coalesced, possibly single) upstream partition
         # count — u^2/2 array_intersect verifications must fan out over
         # every core, so rebalance the u-row side explicitly (cheap)
-        n_parts = max(
-            df.sparkSession.sparkContext.defaultParallelism,
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        )
+        n_parts = _target_parallelism(df)
         if vocab_est <= 4096:
             set_pairs = _bitmask_set_pairs(sets, threshold, n_parts)
         else:
@@ -327,22 +365,11 @@ def minhash_signatures(
     Docs with no shingles keep a row (explode_outer) with an all-null
     signature — identical to array_min over an empty array.
 
-    The input is repartitioned to the session's default parallelism
-    first: a small corpus often arrives as ONE scan partition (single
-    parquet file locally; AQE-coalesced exchange upstream), which would
-    run the entire hash chain single-threaded. At real scale the scan
-    is already wide and the repartition is a cheap rebalance."""
-    spark = df.sparkSession
-    n_parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
-    posts = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-        .repartition(n_parts, "id")
-        .select("id", F.explode_outer(shingles("_t", k)).alias("s"))
-        .select("id", "s", F.xxhash64("s").alias("h"))
-    )
+    Contract: ``id_col`` values must be unique — groupBy(id) would
+    blend the shingles of two rows sharing an id into one fabricated
+    signature (the per-row expression form emits one per row instead).
+    Narrow inputs are spread across cores first (see ``_spread``)."""
+    posts = _hashed_postings(df, text_col, id_col, k)
     # one string hash per posting; the family re-hashes the fixed-width
     # long, not the variable-length string, once per seed
     aggs = [
@@ -524,18 +551,9 @@ def simhash_signatures(
     """(id, sh64) per document — value-identical to ``simhash`` but via
     explode + ``bits`` codegen'd sum-aggregates (the same
     one-shuffle/map-side-combine shape as ``minhash_signatures``; the
-    expression form runs ``bits`` interpreted passes per row)."""
-    spark = df.sparkSession
-    n_parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
-    posts = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-        .repartition(n_parts, "id")
-        .select("id", F.explode_outer(shingles("_t", k)).alias("s"))
-        .select("id", "s", F.xxhash64("s").alias("h"))
-    )
+    expression form runs ``bits`` interpreted passes per row). Same
+    unique-``id_col`` contract as ``minhash_signatures``."""
+    posts = _hashed_postings(df, text_col, id_col, k)
     aggs = [
         F.sum(
             F.when(

@@ -96,13 +96,22 @@ def parse_media_header(payload: bytes) -> dict | None:
         w, h = struct.unpack("<HH", b[6:10])
         return {"kind": "gif", "width": w, "height": h}
     if b[:2] == b"BM" and len(b) >= 26:
-        w, h = struct.unpack("<ii", b[18:26])
-        return {"kind": "bmp", "width": w, "height": abs(h)}
+        # DIB header size at offset 14 disambiguates the two layouts:
+        # BITMAPCOREHEADER (12) stores int16 dims, BITMAPINFOHEADER
+        # (>=40) stores int32 dims (height sign = row order)
+        (dib,) = struct.unpack("<I", b[14:18])
+        if dib == 12 and len(b) >= 22:
+            w, h = struct.unpack("<HH", b[18:22])
+            return {"kind": "bmp", "width": w, "height": h}
+        if dib >= 40:
+            w, h = struct.unpack("<ii", b[18:26])
+            return {"kind": "bmp", "width": w, "height": abs(h)}
+        return None
     if b[:3] == b"\xff\xd8\xff":
         # walk JPEG segments to the first frame header (SOF0..SOF15,
         # excluding DHT/JPG/DAC which reuse the C-range)
         i = 2
-        while i + 9 < len(b) and b[i] == 0xFF:
+        while i + 9 <= len(b) and b[i] == 0xFF:
             marker, seglen = b[i + 1], struct.unpack(">H", b[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
@@ -118,7 +127,10 @@ def parse_media_header(payload: bytes) -> dict | None:
                     "sample_rate": w.getframerate(),
                     "n_frames": w.getnframes(),
                 }
-        except wave.Error:
+        except (wave.Error, EOFError, struct.error):
+            # truncated/corrupt RIFF raises EOFError/struct.error from
+            # the chunk reader, not just wave.Error — all are "not a
+            # parseable WAV", never a task-killing exception
             return None
     return None
 

@@ -158,10 +158,21 @@ def lsh_signatures(dim: int, n_planes: int, n_tables: int, seed: int):
     weights = planes.reshape(-1, dim).T.copy()  # (D, T*P)
     powers = (1 << np.arange(n_planes, dtype=np.int64))  # bucket bit weights
 
+    def _clean(v):
+        # null / ragged vectors -> zero vector -> every projection 0 ->
+        # bucket 0, matching the expression form's null-propagation
+        # (proj null -> otherwise(0)); never a task-killing ValueError
+        if v is None:
+            return np.zeros(dim)
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape != (dim,):
+            return np.zeros(dim)
+        return a
+
     def _sig(vecs):
         if not len(vecs):
             return pd.Series([], dtype=object)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = np.stack([_clean(v) for v in vecs])
         proj = mat @ weights  # (n, T*P)
         bits = (proj > 0).reshape(len(vecs), -1, n_planes)
         buckets = (bits * powers).sum(axis=2)  # (n, T)

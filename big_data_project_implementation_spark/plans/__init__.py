@@ -46,9 +46,25 @@ def assert_read_schema_only(df: DataFrame, table_fragment: str, *cols: str) -> N
         m = re.search(r"ReadSchema: struct<(.*)>", block)
         if not m:
             continue
-        # field names start the list or follow a type-separating comma;
-        # commas inside types (decimal(12,2)) don't precede `name:`
-        got = set(re.findall(r"(?:^|,)(\w+):", m.group(1)))
+        inner = m.group(1)
+        assert "more fields" not in inner, (
+            "ReadSchema truncated (spark.sql.debug.maxToStringFields) — "
+            "raise the conf before asserting on this scan"
+        )
+        # top-level field names only: split on commas at angle-bracket /
+        # paren depth 0 so nested struct<a:int,b:int> or decimal(12,2)
+        # component names are not miscounted as scan columns
+        got, depth, start = set(), 0, 0
+        for idx, ch in enumerate(inner + ","):
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                field = inner[start:idx]
+                got.add(field.split(":", 1)[0].strip())
+                start = idx + 1
+        got.discard("")
         assert got == set(cols), (
             f"{table_fragment} scan reads {sorted(got)}, "
             f"expected exactly {sorted(cols)}"

@@ -33,16 +33,15 @@ def _default_parallelism() -> int:
 
 
 def _master_already_configured() -> bool:
-    """True when spark-submit / env / spark-defaults already set a master.
+    """True when spark-submit / shell args already set a master.
 
-    ``spark-submit --master`` exports MASTER into spark.master via the
-    launcher (PYSPARK_SUBMIT_ARGS in pyspark shells); SparkConf also
-    reads the ``spark.master`` system property / spark-defaults.conf at
-    ``getOrCreate`` time. Checking here keeps ``get_session()`` from
-    clobbering a cluster deployment with local[N].
+    Under ``spark-submit`` the JVM starts first and ``SparkConf()``
+    sees the ``spark.master`` system property; interactive ``pyspark``
+    shells carry ``--master`` in PYSPARK_SUBMIT_ARGS. Checking here
+    keeps ``get_session()`` from clobbering a cluster deployment with
+    local[N]. (Deliberately NOT keyed on generic env vars like MASTER —
+    an unrelated shell export must not suppress the local fallback.)
     """
-    if os.environ.get("MASTER") or os.environ.get("SPARK_MASTER"):
-        return True
     if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
         return True
     try:

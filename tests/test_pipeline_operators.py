@@ -183,6 +183,24 @@ def test_lsh_vectorized_signatures_match_expression_form(spark):
     assert vec == expr
 
 
+def test_lsh_signatures_tolerate_null_and_ragged_vectors(spark):
+    """A null or wrong-length embedding must land in bucket 0 (the
+    expression form's null-propagation behavior), not kill the task."""
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: list(r.b)
+        for r in df.select(
+            "vec_id",
+            similarity.lsh_signatures(64, 4, 2, 42)("embedding").alias("b"),
+        ).collect()
+    }
+    assert rows[2] == [0, 0] and rows[3] == [0, 0]
+    assert len(rows[1]) == 2  # real vector still hashes
+
+
 def test_multimodal_feature_shapes(spark):
     docs = _docs(spark).limit(40)
     media = multimodal.attach_binary_payload(docs, "text", "doc_id")
@@ -238,9 +256,11 @@ def test_media_header_parsers_match_hand_computed():
         "kind": "gif", "width": 320, "height": 200,
     }
 
-    bmp = b"BM" + b"\x00" * 16 + (800).to_bytes(4, "little") + (
-        (-600) % (1 << 32)
-    ).to_bytes(4, "little")
+    bmp = (
+        b"BM" + b"\x00" * 12 + (40).to_bytes(4, "little")
+        + (800).to_bytes(4, "little")
+        + ((-600) % (1 << 32)).to_bytes(4, "little")
+    )
     # negative height = top-down DIB; dimension is the magnitude
     assert multimodal.parse_media_header(bmp) == {
         "kind": "bmp", "width": 800, "height": 600,
@@ -260,6 +280,30 @@ def test_media_header_parsers_match_hand_computed():
 
     assert multimodal.parse_media_header(b"plain text") is None
     assert multimodal.parse_media_header(b"") is None
+
+    # poison-pill safety: truncated RIFF must return None, never raise
+    # (wave's chunk reader throws EOFError/struct.error, not wave.Error)
+    truncated_wav = multimodal.wav_bytes(100)[:20]
+    assert multimodal.parse_media_header(truncated_wav) is None
+
+    # SOF frame abutting the end of a header-only prefix still parses
+    jpeg_tail = (
+        b"\xff\xd8\xff" + b"\xc0" + _s.pack(">H", 8) + b"\x08"
+        + _s.pack(">HH", 480, 640)
+    )
+    assert multimodal.parse_media_header(jpeg_tail) == {
+        "kind": "jpeg", "width": 640, "height": 480,
+    }
+
+    # OS/2 BITMAPCOREHEADER stores int16 dims at 18/20
+    core_bmp = (
+        b"BM" + b"\x00" * 12 + (12).to_bytes(4, "little")
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")  # planes, bpp
+    )
+    assert multimodal.parse_media_header(core_bmp) == {
+        "kind": "bmp", "width": 320, "height": 240,
+    }
 
 
 def test_extract_media_metadata_roundtrip(spark):

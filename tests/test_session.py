@@ -12,14 +12,21 @@ from big_data_project_implementation_spark import session
 
 
 def _clear_master_env(monkeypatch):
-    for var in ("MASTER", "SPARK_MASTER", "PYSPARK_SUBMIT_ARGS"):
-        monkeypatch.delenv(var, raising=False)
+    monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
 
 
-def test_master_env_var_wins(monkeypatch):
+def test_generic_master_env_var_is_ignored(monkeypatch):
+    """MASTER is a generic shell variable name (e.g. a DB primary
+    host); an unrelated export must not suppress the local fallback."""
     _clear_master_env(monkeypatch)
-    monkeypatch.setenv("MASTER", "yarn")
-    assert session._master_already_configured()
+    monkeypatch.setenv("MASTER", "db-primary.internal")
+
+    class FakeConf:
+        def contains(self, key):
+            return False
+
+    monkeypatch.setattr("pyspark.SparkConf", FakeConf)
+    assert not session._master_already_configured()
 
 
 def test_submit_args_master_wins(monkeypatch):
