@@ -160,6 +160,57 @@ def dedup_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id AS id, list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+      FROM documents
+    ),
+    posts AS (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS n_common
+      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id, a.n, b.n
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE n_common / (n_a + n_b - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    cc AS (
+      SELECT id, id AS comp FROM w
+      UNION
+      SELECT e.v AS id, cc.comp FROM cc JOIN edges e ON cc.id = e.u
+    )
+    SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
+           MIN(comp) = id AS is_survivor
+    FROM cc GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering, end to end: exact word-Jaccard
+    pairs (threshold 0.8) -> connected components (alternating
+    large-star/small-star, operators.dedup.connected_components) ->
+    every doc labeled with its cluster's min-id survivor. The DuckDB
+    oracle recomputes the closure with a recursive CTE, so both the
+    pair generation and the clustering are hash-certified."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=1, threshold=0.8
+    )
+    return (
+        dedup.assign_dedup_clusters(d, pairs, id_col="doc_id")
+        .select("doc_id", "component", "is_survivor")
+        .orderBy("doc_id")
+    )
+
+
 @query("dedup_minhash_lsh")  # approximate → rows-only; recall tested in pytest
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join

@@ -413,3 +413,62 @@ def test_rdd_escape_hatch(spark):
     total = sum(rdd.collect())
     exact = li.agg(F.sum(F.floor("l_quantity"))).collect()[0][0]
     assert total == exact
+
+
+def test_connected_components_topologies(spark):
+    """Chain (multi-round convergence), clique, hub star, and an
+    isolated 2-cycle all collapse to min-id components."""
+    edges = [
+        # chain 10-11-12-13-14 (worst case for naive label propagation)
+        (11, 10), (12, 11), (13, 12), (14, 13),
+        # clique on {20,21,22}
+        (20, 21), (21, 22), (20, 22),
+        # hub: 30 connected to 31..35
+        (30, 31), (30, 32), (30, 33), (30, 34), (30, 35),
+        # pair, reversed + duplicated input
+        (41, 40), (40, 41), (40, 41),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    want = (
+        {(n, 10) for n in range(10, 15)}
+        | {(n, 20) for n in (20, 21, 22)}
+        | {(n, 30) for n in range(30, 36)}
+        | {(40, 40), (41, 40)}
+    )
+    assert got == want
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node chain needs O(log n) star rounds, not O(n): it must
+    finish inside the default max_iterations."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_empty_and_self_loops(spark):
+    pairs = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_assign_dedup_clusters_labels_every_row(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = {
+        (r["doc_id"], r["component"], r["is_survivor"])
+        for r in dedup.assign_dedup_clusters(df, pairs).collect()
+    }
+    assert out == {
+        (0, 0, True), (1, 1, True), (2, 2, True),
+        (3, 0, False), (4, 4, True), (5, 0, False),
+    }
