@@ -11,7 +11,7 @@ UDFs anywhere, so they run at scan throughput on any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the heuristic language ID.
@@ -203,3 +203,114 @@ def pipe_transform(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+# --- cleaning / curation (C4- and Gopher-style corpus prep) ----------
+
+# Deliberately simple, cross-engine-identical patterns (Java regex and
+# DuckDB RE2 agree on this subset) so the scrub is oracle-checkable.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails then URLs with typed placeholder tokens.
+
+    Expression-only (two chained regexp_replace): scan-throughput on a
+    100 TB corpus, no Python. Real pipelines extend PII_PATTERNS (phone
+    formats, id numbers) the same way; order matters — emails first so
+    mailto:-style overlaps resolve deterministically."""
+    col = F.col(text) if isinstance(text, str) else text
+    col = F.regexp_replace(col, PII_PATTERNS["email"], "<EMAIL>")
+    return F.regexp_replace(col, PII_PATTERNS["url"], "<URL>")
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind redaction counts (regexp_count, JVM-side)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.regexp_count(col, F.lit(pat)).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+#: Gopher-ish keep rules over the with_text_stats() columns, evaluated
+#: in order; a doc's ``drop_reason`` is the FIRST failed rule (null =
+#: keep). Thresholds follow Rae et al. 2021 (Gopher §A1.1) adapted to
+#: whitespace tokens.
+QUALITY_RULES: tuple[tuple[str, str], ...] = (
+    ("too_short", "n_tokens < 3"),
+    ("too_long", "n_tokens > 100000"),
+    ("token_len_out_of_range", "mean_token_len < 2 OR mean_token_len > 12"),
+    ("too_much_punct", "punct_ratio > 0.3"),
+    ("too_repetitive", "repetition_ratio > 0.5"),
+)
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based quality filter: adds stats columns plus ``keep`` /
+    ``drop_reason``. Single projection over the scan — rules are a
+    CASE chain, so filtering 100 TB is pure codegen with zero shuffles;
+    the keep-predicate pushes into the scan when selected on."""
+    out = with_text_stats(df, text_col=text_col)
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(QUALITY_RULES):
+        reason = F.when(F.expr(cond), F.lit(name)).otherwise(reason)
+    return out.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+def hash_split(
+    id_col: Column | str,
+    train: int = 12,
+    val: int = 2,
+    seed: str = "",
+) -> Column:
+    """Deterministic train/val/test assignment from the id alone.
+
+    md5 (identical across engines, unlike xxhash64/DuckDB-hash) of the
+    id's string form, first hex nibble bucketed 16 ways:
+    [0,train) -> 'train', [train,train+val) -> 'val', rest 'test'.
+    Stable under re-runs, resharding, and engine swap — membership is a
+    pure function of the id, never of partition layout or sampling
+    state. ``seed`` salts the hash to draw a fresh split."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    nibble = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(seed))), 1, 1), 16, 10
+    ).cast("int")
+    return (
+        F.when(nibble < F.lit(train), F.lit("train"))
+        .when(nibble < F.lit(train + val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    partition_col: Column | str | None = None,
+) -> DataFrame:
+    """Sequence packing: assign docs (in ``order_col`` order) to
+    fixed-token-budget packs — ``pack_id`` = which context-window bin
+    the doc starts in, by running token count. Deterministic streaming
+    packing (the common LLM-pretraining concatenation strategy), not
+    NP-hard best-fit.
+
+    The running sum is a window over ``partition_col`` when given (one
+    pack stream per shard — embarrassingly parallel, the 100 TB shape);
+    the unpartitioned form is for bounded groups only, same caveat as
+    any global window."""
+    w = (
+        Window.partitionBy(partition_col)
+        if partition_col is not None
+        else Window.partitionBy()
+    ).orderBy(order_col)
+    cum_before = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("bigint")
+    return df.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
+    ).withColumn("pack_offset", (cum_before % F.lit(budget)).cast("bigint"))

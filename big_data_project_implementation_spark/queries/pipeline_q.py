@@ -389,3 +389,187 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries_df, emb, cents, k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' see https://example.org/d/' || doc_id ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+             AS n_urls,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g')) AS scrubbed_md5
+    FROM enriched
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/boilerplate scrubbing (operators.text.scrub_pii): typed regex
+    redaction at scan throughput. The fixture corpus is synthetic prose
+    with no PII, so deterministic emails/URLs are injected keyed on
+    doc_id — the oracle rebuilds the same input and re-scrubs it, so
+    both the injection and the redaction are hash-checked (scrubbed
+    text compared via md5 to keep output cells scalar)."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://example.org/d/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    counts = text.pii_counts("text")
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["url"].alias("n_urls"),
+        F.md5(text.scrub_pii("text")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / GREATEST(length(text), 1), 6) AS punct_ratio,
+             ROUND(1.0 - len(list_distinct(string_split(text, ' ')))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS repetition_ratio,
+             ROUND(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, punct_ratio, repetition_ratio, mean_token_len,
+           CASE WHEN n_tokens < 3 THEN 'too_short'
+                WHEN n_tokens > 100000 THEN 'too_long'
+                WHEN mean_token_len < 2 OR mean_token_len > 12
+                     THEN 'token_len_out_of_range'
+                WHEN punct_ratio > 0.3 THEN 'too_much_punct'
+                WHEN repetition_ratio > 0.5 THEN 'too_repetitive'
+                END AS drop_reason,
+           CASE WHEN n_tokens < 3 THEN FALSE
+                WHEN n_tokens > 100000 THEN FALSE
+                WHEN mean_token_len < 2 OR mean_token_len > 12 THEN FALSE
+                WHEN punct_ratio > 0.3 THEN FALSE
+                WHEN repetition_ratio > 0.5 THEN FALSE
+                ELSE TRUE END AS keep
+    FROM stats
+    ORDER BY doc_id
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (operators.text
+    .quality_filter): stats + ordered CASE rules in one codegen
+    projection; ``drop_reason`` names the first failed rule."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        text.quality_filter(d)
+        .select(
+            "doc_id", "n_tokens", "punct_ratio", "repetition_ratio",
+            "mean_token_len", "drop_reason", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "data_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                - 1 AS BIGINT) AS bucket,
+           CASE WHEN strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 12
+                     THEN 'train'
+                WHEN strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators.text.hash_split):
+    membership is a pure function of the doc id (md5 nibble), invariant
+    to partitioning, ordering, and engine — the property sampling-based
+    splits lack. 12/2/2 nibble buckets = 75/12.5/12.5."""
+    d = t(spark, sf_dir, "documents")
+    nibble = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        nibble.alias("bucket"),
+        text.hash_split("doc_id").alias("split"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens
+               AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           cum_before // 512 AS pack_id,
+           cum_before % 512 AS pack_offset
+    FROM packed
+    ORDER BY doc_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (operators.text.pack_sequences):
+    docs stream into fixed-token-budget packs via a running-sum window,
+    partitioned per language shard — embarrassingly parallel, no global
+    sort at 100 TB."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text.token_count("text")
+    )
+    return (
+        text.pack_sequences(
+            d, order_col="doc_id", tokens_col="n_tokens", budget=512,
+            partition_col="lang",
+        )
+        .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    )

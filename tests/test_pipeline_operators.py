@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from big_data_project_implementation_spark.operators import dedup, multimodal, similarity
+from big_data_project_implementation_spark.operators import text as text_ops
 from tests.conftest import SF_DIR
 
 
@@ -472,3 +473,79 @@ def test_assign_dedup_clusters_labels_every_row(spark):
         (0, 0, True), (1, 1, True), (2, 2, True),
         (3, 0, False), (4, 4, True), (5, 0, False),
     }
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = dict(
+        df.select("doc_id", text_ops.hash_split("doc_id").alias("s")).collect()
+    )
+    b = dict(
+        df.repartition(17)
+        .select("doc_id", text_ops.hash_split("doc_id").alias("s"))
+        .collect()
+    )
+    assert a == b  # membership is a pure function of the id
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.70 < frac["train"] / 2000 < 0.80  # 12/16 nominal
+    assert set(frac) == {"train", "val", "test"}
+    # a different seed draws a genuinely different split
+    c = dict(
+        df.select(
+            "doc_id", text_ops.hash_split("doc_id", seed="v2").alias("s")
+        ).collect()
+    )
+    assert a != c
+
+
+def test_pack_sequences_budget_and_continuity(spark):
+    rows = [(i, "g", 100 + (i * 37) % 300) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = text_ops.pack_sequences(
+        df, order_col="doc_id", tokens_col="n_tokens", budget=1000,
+        partition_col="grp",
+    ).orderBy("doc_id").collect()
+    # pack_offset is the running token count mod budget; pack_id is
+    # nondecreasing along the stream and every doc STARTS inside its pack
+    cum = 0
+    for r in out:
+        assert r["pack_id"] == cum // 1000
+        assert r["pack_offset"] == cum % 1000
+        cum += r["n_tokens"]
+
+
+def test_quality_filter_first_failed_rule_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "ok text with a few plain words here"),
+            (1, "xx"),                      # too_short (1 token)
+            (2, "!! ?? ;; :: ,, .. !! ??"), # punct... but token len 2 is in range
+            (3, "a b c d e f g h"),         # mean_token_len 1 -> out of range
+            (4, "dup dup dup dup dup dup"), # repetitive
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in text_ops.quality_filter(df).collect()
+    }
+    assert got[0] == (True, None)
+    assert got[1] == (False, "too_short")
+    assert got[2][0] is False  # fails some rule, ordered CASE decides which
+    assert got[3] == (False, "token_len_out_of_range")
+    assert got[4] == (False, "too_repetitive")
+
+
+def test_scrub_pii_idempotent_and_typed(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@x-corp.io or https://a.io/p?q=1 end")],
+        "doc_id long, text string",
+    )
+    once = df.select(text_ops.scrub_pii("text").alias("t"))
+    twice = once.select(text_ops.scrub_pii("t").alias("t"))
+    s1 = once.collect()[0]["t"]
+    s2 = twice.collect()[0]["t"]
+    assert s1 == "mail <EMAIL> or <URL> end"
+    assert s1 == s2
