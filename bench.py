@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "text_stats",
     "dedup_exact_prefix",
     "dedup_word_jaccard",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
