@@ -160,9 +160,90 @@ def dedup_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query(
-    "dedup_clusters",
-    oracle="""
+def _duckdb_star_round(i: int) -> str:
+    """One large-star + small-star contraction round as DuckDB CTEs.
+
+    MATERIALIZED is load-bearing: DuckDB 1.0 otherwise INLINES each CTE
+    into every use site, so unrolled round r would re-expand the whole
+    jaccard-pairs subtree 2^r times (thousands of parquet re-scans)."""
+    p = f"e{i - 1}"
+    return f"""
+    sym{i} AS MATERIALIZED (
+      SELECT big AS u, small AS v FROM {p} UNION ALL SELECT small, big FROM {p}),
+    mins{i} AS MATERIALIZED (
+      SELECT u, LEAST(MIN(v), u) AS m FROM sym{i} GROUP BY u),
+    large{i} AS MATERIALIZED (
+      SELECT DISTINCT s.v AS big, m.m AS small
+      FROM sym{i} s JOIN mins{i} m USING (u)
+      WHERE s.v > s.u AND s.v <> m.m
+    ),
+    mins2_{i} AS MATERIALIZED (SELECT big, MIN(small) AS m FROM large{i} GROUP BY big),
+    e{i} AS MATERIALIZED (
+      SELECT DISTINCT node AS big, m AS small FROM (
+        SELECT x.small AS node, m2.m FROM large{i} x JOIN mins2_{i} m2 USING (big)
+        UNION ALL
+        SELECT big, m FROM mins2_{i}
+      ) WHERE node <> m
+    )"""
+
+
+#: Unrolled star-contraction depth for the dedup_clusters oracle. The
+#: algorithm converges in O(log n) rounds (3 observed at sf0.01 AND
+#: sf0.1); 8 is double margin. An extra probe round feeds the
+#: not_converged poison row, so insufficient depth breaks the row-count
+#: match LOUDLY instead of silently certifying a wrong closure.
+_STAR_ROUNDS = 8
+
+
+def _dedup_clusters_oracle(rounds: int = _STAR_ROUNDS) -> str:
+    """DuckDB oracle for dedup_clusters: jaccard pairs (threshold 0.8)
+    then ``rounds`` unrolled large-star/small-star contractions — the
+    same O(edges · log n) algorithm the Spark operator runs, instead of
+    a ``WITH RECURSIVE`` reachability closure whose O(Σ component²) row
+    blowup takes >20 min at sf0.1 (SCALING.md). Equivalence against the
+    recursive-closure form is pinned in tests/test_queries_oracle.py."""
+    body = ",".join(_duckdb_star_round(i) for i in range(1, rounds + 2))
+    return f"""
+    WITH
+    w AS MATERIALIZED (
+      SELECT doc_id AS id, list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+      FROM documents
+    ),
+    posts AS MATERIALIZED (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
+    inter AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS n_common
+      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id, a.n, b.n
+    ),
+    e0 AS MATERIALIZED (
+      SELECT GREATEST(id_a, id_b) AS big, LEAST(id_a, id_b) AS small FROM inter
+      WHERE n_common / (n_a + n_b - n_common) >= 0.8
+    ),{body},
+    not_converged AS MATERIALIZED (
+      SELECT (SELECT COUNT(*) FROM
+                (SELECT * FROM e{rounds + 1} EXCEPT SELECT * FROM e{rounds})) +
+             (SELECT COUNT(*) FROM
+                (SELECT * FROM e{rounds} EXCEPT SELECT * FROM e{rounds + 1})) AS delta
+    ),
+    labels AS MATERIALIZED (
+      SELECT big AS id, small AS comp FROM e{rounds}
+      UNION
+      SELECT small, small FROM e{rounds}
+    )
+    SELECT w.id AS doc_id,
+           CAST(COALESCE(l.comp, w.id) AS BIGINT) AS component,
+           COALESCE(l.comp, w.id) = w.id AS is_survivor
+    FROM w LEFT JOIN labels l ON w.id = l.id
+    UNION ALL
+    SELECT -1, -1, FALSE FROM not_converged WHERE delta > 0
+    ORDER BY doc_id
+    """
+
+
+#: Recursive-closure reference form of the same oracle — exact at any
+#: depth but O(Σ component²): kept for the equivalence pytest, NOT used
+#: as the registered oracle (>20 min at sf0.1 vs 21 s unrolled).
+DEDUP_CLUSTERS_CLOSURE_SQL = """
     WITH RECURSIVE
     w AS (
       SELECT doc_id AS id, list_distinct(string_split(lower(trim(text)), ' ')) AS ws
@@ -191,8 +272,10 @@ def dedup_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
            MIN(comp) = id AS is_survivor
     FROM cc GROUP BY id ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_dedup_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clustering, end to end: exact word-Jaccard
     pairs (threshold 0.8) -> connected components (alternating
