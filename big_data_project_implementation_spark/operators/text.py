@@ -314,3 +314,37 @@ def pack_sequences(
     return df.withColumn(
         "pack_id", F.floor(cum_before / F.lit(budget)).cast("bigint")
     ).withColumn("pack_offset", (cum_before % F.lit(budget)).cast("bigint"))
+
+
+def hash_sample_bucket(id_col: Column | str, seed: str = "") -> Column:
+    """256-way deterministic bucket from md5 hex chars 3-4 of the id
+    (chars 1-2 would correlate with hash_split's nibble; disjoint
+    substrings of md5 are independent for this purpose)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(seed))), 3, 2), 16, 10
+    ).cast("bigint")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum downsampling with a DETERMINISTIC membership
+    function: keep a row iff its 256-way id-hash bucket is under
+    rate*256 for its stratum. Unlike ``sampleBy`` (partition-order RNG)
+    the kept set is a pure function of (id, stratum rates, seed) —
+    reproducible across runs, engines, and repartitioning, which is
+    what corpus-rebalancing pipelines need for auditability. Rates
+    quantize to 1/256 granularity. Pure codegen expressions; the keep
+    predicate pushes into the scan when the id/stratum columns do."""
+    thresh = F.lit(default_rate * 256).cast("bigint")
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(rate * 256))
+        ).otherwise(thresh)
+    return df.filter(hash_sample_bucket(id_col, seed=seed) < thresh)

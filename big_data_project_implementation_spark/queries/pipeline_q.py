@@ -294,6 +294,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_clusters_lsh")  # approximate pairs → rows-only
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup composition at 100 TB: MinHash-LSH candidate
+    pairs (linear-ish in corpus size) -> star-contraction connected
+    components -> per-doc survivor assignment. Same clustering operator
+    as dedup_clusters but fed from the approximate pair path, so the
+    whole pipeline scales; rows-only (LSH pairs have no exact oracle),
+    clustering itself is oracle-certified via dedup_clusters and
+    topology pytests."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", k=1, num_hashes=32, bands=8,
+        threshold=0.7,
+    )
+    return (
+        dedup.assign_dedup_clusters(d, pairs, id_col="doc_id")
+        .select("doc_id", "component", "is_survivor")
+        .orderBy("doc_id")
+    )
+
+
 @query("dedup_minhash_lsh")  # approximate → rows-only; recall tested in pytest
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join
@@ -654,5 +675,44 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_col="lang",
         )
         .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 1.0}
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) * 16
+             + CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS BIGINT)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64
+                             WHEN 'fr' THEN 64 WHEN 'es' THEN 32
+                             WHEN 'zh' THEN 256 ELSE 0 END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators.text
+    .stratified_hash_sample): per-language downsampling rates applied
+    through a 256-way id-hash bucket — membership is reproducible
+    across runs/engines/partitionings (unlike sampleBy's RNG), so the
+    kept set itself is oracle-certifiable."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        text.stratified_hash_sample(
+            d, strata_col="lang", rates=_SAMPLE_RATES, id_col="doc_id"
+        )
+        .select("doc_id", "lang", text.hash_sample_bucket("doc_id").alias("bucket"))
         .orderBy("doc_id")
     )

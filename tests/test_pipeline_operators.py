@@ -549,3 +549,35 @@ def test_scrub_pii_idempotent_and_typed(spark):
     s2 = twice.collect()[0]["t"]
     assert s1 == "mail <EMAIL> or <URL> end"
     assert s1 == s2
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(4000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 0.5, "de": 0.125}
+    kept = text_ops.stratified_hash_sample(
+        df, strata_col="lang", rates=rates, id_col="doc_id"
+    )
+    rows = kept.collect()
+    again = set(
+        r["doc_id"]
+        for r in text_ops.stratified_hash_sample(
+            df.repartition(13), strata_col="lang", rates=rates, id_col="doc_id"
+        ).collect()
+    )
+    assert set(r["doc_id"] for r in rows) == again  # layout-invariant
+    from collections import Counter
+
+    by_lang = Counter(r["lang"] for r in rows)
+    assert abs(by_lang["en"] / 2000 - 0.5) < 0.05
+    assert abs(by_lang["de"] / 2000 - 0.125) < 0.05
+    # un-listed strata fall back to default_rate=0.0 (dropped)
+    extra = spark.createDataFrame([(99999, "xx")], "doc_id long, lang string")
+    assert (
+        text_ops.stratified_hash_sample(
+            extra, strata_col="lang", rates=rates, id_col="doc_id"
+        ).count()
+        == 0
+    )

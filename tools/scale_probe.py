@@ -49,6 +49,7 @@ PROBE_QUERIES = [
 PIPELINE_QUERIES = [
     "dedup_exact_prefix",
     "dedup_minhash_lsh",
+    "dedup_clusters_lsh",
     "text_stats",
     "text_language_id",
     "similarity_bruteforce_topk",
