@@ -153,3 +153,38 @@ def test_q13_outer_join_keeps_condition_in_join(spark):
         f"SELECT count(*) FROM read_parquet('{SF_DIR}/customer.parquet')"
     ).fetchone()[0]
     assert sum(rows.values()) == n_cust  # every customer represented
+
+
+def test_curation_ops_are_pure_codegen(spark):
+    """PII scrub / quality filter / hash split / stratified sample must
+    stay JVM-side: no Python eval nodes, and the filter/projection over
+    documents prunes to the columns the query touches."""
+    from big_data_project_implementation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "text_pii_scrub",
+        "text_quality_filter",
+        "data_hash_split",
+        "sample_stratified",
+    ):
+        plan = plans.physical_plan(REGISTRY[name].fn(spark, sf))
+        assert "EvalPython" not in plan, f"{name} fell back to Python: {plan[:400]}"
+    # stratified sample reads only (doc_id, lang); quality stats only
+    # (doc_id, text) — pruning reaches the scan either way
+    plans.assert_read_schema_only(
+        REGISTRY["sample_stratified"].fn(spark, sf), "documents", "doc_id", "lang"
+    )
+    plans.assert_read_schema_only(
+        REGISTRY["text_quality_filter"].fn(spark, sf), "documents", "doc_id", "text"
+    )
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """The packing window must hash-partition on the shard column, not
+    collapse to a single global-sort partition."""
+    from big_data_project_implementation_spark.queries import REGISTRY
+
+    df = REGISTRY["text_pack_sequences"].fn(spark, "/root/testdata/sf0.001")
+    plan = plans.physical_plan(df)
+    assert "hashpartitioning(lang" in plan, plan[:600]
