@@ -60,6 +60,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents table (file source) — same
+    symlinked-dir trick as events_stream, no timestamp conversion."""
+    import os
+    import tempfile
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "docs_stream_" + sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(raw_schema).parquet(stream_dir)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source), with the same
     nanos→µs conversion as the batch path.

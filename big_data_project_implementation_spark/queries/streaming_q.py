@@ -236,3 +236,53 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_keys"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_quality_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / GREATEST(length(text), 1), 6) AS punct_ratio,
+             ROUND(1.0 - len(list_distinct(string_split(text, ' ')))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS repetition_ratio,
+             ROUND(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 3 THEN 'too_short'
+                WHEN n_tokens > 100000 THEN 'too_long'
+                WHEN mean_token_len < 2 OR mean_token_len > 12
+                     THEN 'token_len_out_of_range'
+                WHEN punct_ratio > 0.3 THEN 'too_much_punct'
+                WHEN repetition_ratio > 0.5 THEN 'too_repetitive'
+                END AS drop_reason,
+           CASE WHEN n_tokens < 3 THEN FALSE
+                WHEN n_tokens > 100000 THEN FALSE
+                WHEN mean_token_len < 2 OR mean_token_len > 12 THEN FALSE
+                WHEN punct_ratio > 0.3 THEN FALSE
+                WHEN repetition_ratio > 0.5 THEN FALSE
+                ELSE TRUE END AS keep
+    FROM stats
+    ORDER BY doc_id
+    """,
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the Gopher-rule quality filter
+    (operators.text.quality_filter — a pure projection, so it applies
+    unchanged to a readStream) over a documents file stream, append
+    mode. Shares text_quality_filter's oracle verbatim: ingest-time and
+    batch curation must certify identically."""
+    from big_data_project_implementation_spark.operators import text as text_ops
+    from big_data_project_implementation_spark.queries.registry import (
+        documents_stream,
+    )
+
+    sdf = text_ops.quality_filter(documents_stream(spark, sf_dir))
+    out = _run_stream_to_table(
+        sdf.select("doc_id", "drop_reason", "keep"), spark, output_mode="append"
+    )
+    return out.orderBy("doc_id")
