@@ -31,9 +31,9 @@ def test_window_composition():
     assert windows <= window and len(windows) == 7
     assert udf <= window and len(udf) == 6
     # the 5 round-2-era streaming queries are in the window;
-    # stream_dedup_exact (added round 3) rotates in next round
+    # round-3 additions rotate in next round (schedule in COVERAGE.md)
     assert len(streaming & window) == 5
-    assert streaming - window <= {"stream_dedup_exact"}
+    assert streaming - window <= {"stream_dedup_exact", "stream_quality_filter"}
 
 
 def test_window_maximizes_oracled_entries():
