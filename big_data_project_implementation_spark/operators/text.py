@@ -348,3 +348,53 @@ def stratified_hash_sample(
             F.col(strata_col) == F.lit(value), F.lit(int(rate * 256))
         ).otherwise(thresh)
     return df.filter(hash_sample_bucket(id_col, seed=seed) < thresh)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model (add-one smoothing) — the CCNet-style perplexity
+    proxy: low scores flag gibberish / OOV-heavy docs, high scores flag
+    boilerplate. Two passes, both shuffle-bounded:
+
+    1. vocab: explode tokens -> groupBy(word).count (map-side combined,
+       one shuffle; vocabulary-sized result).
+    2. score: posting join tokens x vocab on word (at 100 TB the vocab
+       side is Zipf-truncated and AQE picks broadcast vs shuffle), then
+       one groupBy(doc) for the mean.
+
+    Cross-engine determinism: each log term is cast to DECIMAL before
+    the sum — double addition is order-sensitive and partial
+    aggregation order differs between engines; decimal addition is
+    exact, so the oracle hash cannot flip a low bit."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        toks.join(vocab, "word")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.log((F.col("c") + 1) / (F.col("total") + F.col("v_size")))
+            .cast("decimal(28,10)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round((F.sum("lp") / F.count("*")).cast("double"), 6).alias(
+                "mean_logprob"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
+    )

@@ -716,3 +716,31 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", text.hash_sample_bucket("doc_id").alias("bucket"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, UNNEST(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+    totals AS (SELECT SUM(c) AS total, COUNT(*) AS v_size FROM vocab)
+    SELECT t.id AS doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ln((v.c + 1) / (tt.total + tt.v_size))
+                              AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE), 6)
+             AS mean_logprob
+    FROM toks t JOIN vocab v USING (word) CROSS JOIN totals tt
+    GROUP BY t.id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per doc (operators.text
+    .unigram_logprob) — the CCNet-style perplexity-proxy quality
+    signal; add-one smoothing, decimal-summed for cross-engine hash
+    stability."""
+    d = t(spark, sf_dir, "documents")
+    return text.unigram_logprob(d).orderBy("doc_id")

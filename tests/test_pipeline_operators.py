@@ -581,3 +581,13 @@ def test_stratified_hash_sample_rates_and_determinism(spark):
         ).count()
         == 0
     )
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    docs = [(0, "the the the the"), (1, "zqx wvu jkl mno")] + [
+        (i, "the and of to a") for i in range(2, 20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in text_ops.unigram_logprob(df).collect()}
+    assert got[0] > got[1]  # common tokens -> higher mean logprob
+    assert all(v < 0 for v in got.values())
