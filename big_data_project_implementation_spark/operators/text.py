@@ -398,3 +398,46 @@ def unigram_logprob(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any word
+    k-gram with a benchmark/eval corpus (the standard n-gram-overlap
+    decontamination rule for pretraining data).
+
+    Scale shape: both sides shingle to DISTINCT k-grams, hash to
+    8-byte keys (the shuffle carries longs, never gram strings), and
+    the left-semi join against the (much smaller, deduped) eval gram
+    set does the matching — eval grams broadcast when small, AQE
+    decides otherwise. Per-doc counts come from one groupBy; docs with
+    zero hits are restored by a left join so EVERY doc gets a row."""
+    from big_data_project_implementation_spark.operators.dedup import shingles
+
+    dg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("gram"),
+    ).select("id", F.xxhash64("gram").alias("h"))
+    eg = (
+        eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("gram"))
+        .select(F.xxhash64("gram").alias("h"))
+        .distinct()
+    )
+    hits = dg.join(eg, "h", "left_semi").groupBy("id").agg(
+        F.count("*").alias("n_hit")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(F.col(text_col), k)).cast("bigint").alias("n_grams"),
+    )
+    return (
+        base.join(hits, "id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)).cast("bigint"))
+        .withColumn("contaminated", F.col("n_hit") > 0)
+        .select(F.col("id").alias(id_col), "n_grams", "n_hit", "contaminated")
+    )

@@ -744,3 +744,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     stability."""
     d = t(spark, sf_dir, "documents")
     return text.unigram_logprob(d).orderBy("doc_id")
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len(ws) - 4, 1) + 1),
+               i -> array_to_string(ws[i:i+4], ' '))) AS grams
+      FROM w
+    ),
+    posts AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    eg AS (SELECT DISTINCT gram FROM posts WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT p.doc_id, COUNT(*) AS n_hit
+      FROM posts p JOIN eg USING (gram)
+      GROUP BY p.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           COALESCE(h.n_hit, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators.text.decontaminate): flag
+    docs sharing any 5-gram with the held-out set (doc_id % 97 == 0
+    stands in for the benchmark corpus). Hashed-gram semi-join — the
+    shuffle carries longs, not gram strings."""
+    d = t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    return text.decontaminate(d, eval_df, k=5).orderBy("doc_id")

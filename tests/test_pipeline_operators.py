@@ -591,3 +591,23 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     got = {r["doc_id"]: r["mean_logprob"] for r in text_ops.unigram_logprob(df).collect()}
     assert got[0] > got[1]  # common tokens -> higher mean logprob
     assert all(v < 0 for v in got.values())
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # eval doc
+            (1, "alpha beta gamma delta epsilon other"),  # shares a 5-gram
+            (2, "totally different words here now yes"),  # clean
+            (3, "one two"),                               # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["contaminated"])
+        for r in text_ops.decontaminate(df, df.filter("doc_id = 0"), k=5).collect()
+    }
+    assert out[0] == (2, 2, True)    # eval doc: both its 5-grams hit
+    assert out[1] == (2, 1, True)    # one shared 5-gram
+    assert out[2] == (2, 0, False)
+    assert out[3] == (1, 0, False)   # short doc -> single truncated gram
