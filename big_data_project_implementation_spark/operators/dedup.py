@@ -392,9 +392,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int = 2000,
+    min_band_collisions: int = 1,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, then verified
     with the estimated Jaccard (signature agreement rate).
+
+    ``min_band_collisions`` is the precision knob for near-threshold-
+    dense corpora (SCALING.md): requiring a pair to collide in ≥m bands
+    cuts the candidate set roughly by the m-th power of the per-band
+    collision rate while true high-J pairs (per-band p = j^rows ≈ 1)
+    are barely affected. The default 1 is classic LSH.
 
     bands=16 over 64 hashes → rows-per-band 4 → collision prob
     1-(1-j^4)^16 (≈0.98 at j=0.8). Only band buckets join, so the
@@ -465,8 +472,17 @@ def minhash_lsh_pairs(
             & (F.col("x.sid") < F.col("y.sid")),
         )
         .select(F.col("x.sid").alias("sid_a"), F.col("y.sid").alias("sid_b"))
-        .distinct()
     )
+    if min_band_collisions > 1:
+        # one join row per shared (band, bucket) → count distinct bands
+        cand = (
+            cand.groupBy("sid_a", "sid_b")
+            .agg(F.count("*").alias("_nb"))
+            .filter(F.col("_nb") >= min_band_collisions)
+            .select("sid_a", "sid_b")
+        )
+    else:
+        cand = cand.distinct()
     sa = sig.select(F.col("sid").alias("sid_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("sid").alias("sid_b"), F.col("sig").alias("sig_b"))
     est = F.size(

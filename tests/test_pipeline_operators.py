@@ -611,3 +611,31 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert out[1] == (2, 1, True)    # one shared 5-gram
     assert out[2] == (2, 0, False)
     assert out[3] == (1, 0, False)   # short doc -> single truncated gram
+
+
+def test_min_band_collisions_precision_knob(spark):
+    """m=2 candidates are a subset of m=1; exact duplicates (colliding
+    in every band) always survive."""
+    docs = t_docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near dup
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(text_col="text", id_col="doc_id", k=1, num_hashes=32, bands=8,
+              threshold=0.5)
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, **kw).collect()
+    }
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, **kw, min_band_collisions=2
+        ).collect()
+    }
+    assert p2 <= p1
+    assert (0, 1) in p2  # exact dup collides in all bands
