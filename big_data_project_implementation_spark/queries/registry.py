@@ -87,6 +87,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream_dir = os.path.join(
@@ -98,4 +99,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(f"{sf_dir}/events.parquet", link)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        # legacy TIMESTAMP(NANOS) fixture decoded as raw nanos
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # native micros decodes as TIMESTAMP_NTZ; align with catalog.py
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf

@@ -36,15 +36,25 @@ BROADCASTABLE = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projection into it.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; read as raw nanos (legacy conf) and integral-divide to µs
-    — same truncation DuckDB applies casting ns→µs."""
+    ``events.ts`` fixtures have shipped as both parquet TIMESTAMP(NANOS)
+    (which Spark's reader rejects — read as raw nanos via the legacy
+    conf, then integral-divide to µs, matching DuckDB's ns→µs cast
+    truncation) and native TIMESTAMP(MICROS) (read as-is). Branch on
+    the decoded type so either fixture vintage works."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # native micros decodes as TIMESTAMP_NTZ; cast to session-TZ
+            # TIMESTAMP (session is pinned UTC — value-preserving) so the
+            # engine-facing schema is identical across fixture vintages
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in BROADCASTABLE:
         # bounded-size dimensions: hint the planner so any join builds on
