@@ -319,12 +319,19 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join
     — operators.dedup.minhash_lsh_pairs). The 100 TB dedup path: only
-    band-bucket collisions are joined."""
+    band-bucket collisions are joined.
+
+    Threshold mirrors the exact ``dedup_word_jaccard`` oracle (0.8) —
+    LSH approximates that query, so a looser cut would just re-admit
+    the near-threshold impostor flood the banding exists to avoid. No
+    orderBy: pair output feeds clustering (order-free), and the driver
+    check is rows-only — a global sort of the pair set would be the
+    single most expensive node in the plan at any scale."""
     d = t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         d, text_col="text", id_col="doc_id", k=1, num_hashes=32, bands=8,
-        threshold=0.7,
-    ).orderBy("id_a", "id_b")
+        threshold=0.8,
+    )
 
 
 @query("dedup_simhash")  # approximate → rows-only; tested in pytest
