@@ -400,6 +400,111 @@ def unigram_logprob(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by TF-IDF.
+
+    Rank is integer-deterministic — (tf DESC, doc-frequency ASC, term
+    ASC) — never by the float score, so engine-to-engine float noise
+    cannot reorder the selected rows; the tfidf double (tf * ln(N/df))
+    is reported, rounded to 6.
+
+    Scale shape: two map-side-combined aggregations (doc-term counts,
+    then term doc-frequencies over the already-collapsed doc-term
+    table), the corpus size N as a one-row broadcast, and a per-doc
+    ranking window over the doc partitioning. The shuffle carries
+    (doc, term, count) triples — bounded by distinct terms per doc,
+    not raw token count."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    tf = toks.groupBy("id", "word").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = df.agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("word")
+    )
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "rank", F.col("word").alias("term"),
+            "tf", "df", "tfidf",
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document for a bag-of-words query
+    (Robertson/Sparck Jones; the standard lexical retrieval scorer).
+    Emits only docs matching >= 1 query term.
+
+    Scale shape: the token explode filters to the query's terms
+    BEFORE the doc-term aggregation, so the shuffle is bounded by
+    |matching docs| x |query terms|; document length and the corpus
+    stats (N, avgdl) come from a lengths-only projection (no explode)
+    and a one-row broadcast. Per-term contributions are cast to
+    DECIMAL before the per-doc sum — double addition is
+    order-sensitive and partial aggregation order differs between
+    engines; decimal addition is exact, so the score hash cannot flip
+    a low bit."""
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.lower(F.col(text_col))).alias("dl"),
+    )
+    stats = lens.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .filter(F.col("word").isin(*query_terms))
+        .groupBy("id", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        tf.join(dfreq, "word")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+        .select("id", contrib.cast("decimal(28,10)").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.round(F.sum("c").cast("double"), 6).alias("score"),
+        )
+        .select(F.col("id").alias(id_col), "n_terms", "score")
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

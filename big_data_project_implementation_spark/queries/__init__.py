@@ -16,6 +16,7 @@ from big_data_project_implementation_spark.queries.registry import (
 # registration side effects — keep sorted
 from big_data_project_implementation_spark.queries import (  # noqa: E402,F401
     aggregates_q,
+    events_q,
     functions_q,
     joins_q,
     pipeline_q,

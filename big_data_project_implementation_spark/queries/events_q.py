@@ -1,0 +1,117 @@
+"""Event-log analytics queries: ordered funnel, retention cohorts,
+rolling active users (operators.events).
+
+The reference covers event analytics only as generic SQL over its
+relational operators; these register the engineered compositions with
+exact DuckDB oracles — all-integer outputs, so the hash compare has no
+float edge at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_project_implementation_spark.operators import events as ev
+from big_data_project_implementation_spark.queries.registry import query, t
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_users
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click',
+             (SELECT CAST(count(*) AS BIGINT) FROM t2)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase',
+             (SELECT CAST(count(*) AS BIGINT) FROM t3)
+    ) ORDER BY step_idx
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view->click->purchase: users counted at step i
+    only if step i happened strictly after their first qualifying
+    step i-1 (operators.events.funnel_counts — one exchange on user,
+    stacked window mins; the oracle's per-step join chain is the
+    textbook SQL the single-shuffle plan replaces)."""
+    e = t(spark, sf_dir, "events")
+    return ev.funnel_counts(e, FUNNEL_STEPS)
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT f.cohort,
+             CAST(floor(date_diff('day', CAST(f.cohort AS DATE),
+                                  CAST(date_trunc('day', e.ts) AS DATE))
+                        / 7) AS BIGINT) AS week_offset,
+             e.user_id
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort, week_offset
+    ORDER BY cohort, week_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users cohorted by ISO week of first
+    event; n_active = distinct cohort members active k weeks later
+    (operators.events.retention_cohorts — the (cohort, offset, user)
+    triple-distinct bounds the shuffle by active users, not events)."""
+    e = t(spark, sf_dir, "events")
+    return ev.retention_cohorts(e)
+
+
+@query(
+    "events_rolling_active",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id AS u FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    wau AS (
+      SELECT days.d AS day, CAST(count(DISTINCT du.u) AS BIGINT) AS wau
+      FROM days JOIN du
+        ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    ),
+    dau AS (
+      SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d
+    )
+    SELECT day, dau.dau, wau.wau
+    FROM dau JOIN wau USING (day)
+    ORDER BY day
+    """,
+)
+def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU + trailing-7-day actives (operators.events
+    .rolling_active_users): distinct-over-range-window recast as a
+    bounded explode + groupBy — the oracle's range join is the
+    quadratic shape the explode replaces at scale."""
+    e = t(spark, sf_dir, "events")
+    return ev.rolling_active_users(e, window_days=7)

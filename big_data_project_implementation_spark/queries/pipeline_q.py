@@ -754,6 +754,96 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, UNNEST(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY id, word
+    ),
+    dfreq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    ranked AS (
+      SELECT tf.id, tf.word, tf.tf, dfreq.df,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY tf.id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.word ASC
+             ) AS BIGINT) AS rank
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    SELECT id AS doc_id, rank, word AS term, tf, df, tfidf
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF
+    (operators.text.tfidf_top_terms). Rank is integer-deterministic
+    (tf DESC, df ASC, term ASC) so cross-engine float noise cannot
+    reorder rows; the float score is report-only, rounded."""
+    d = t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+BM25_QUERY_TERMS = ("customer", "spark", "vector")
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id AS id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM lens
+    ),
+    tf AS (
+      SELECT id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id AS id,
+                   UNNEST(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word IN ('customer', 'spark', 'vector')
+      GROUP BY id, word
+    ),
+    dfreq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    )
+    SELECT tf.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           ROUND(CAST(SUM(CAST(
+             ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+             AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+    FROM tf
+    JOIN dfreq USING (word)
+    JOIN lens USING (id)
+    CROSS JOIN stats
+    GROUP BY tf.id
+    ORDER BY doc_id
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the corpus for a fixed bag-of-words
+    query (operators.text.bm25_scores, k1=1.2 b=0.75). Per-term
+    contributions are decimal-summed so partial-aggregation order
+    cannot flip the score hash; the oracle mirrors the exact
+    expression-tree association order."""
+    d = t(spark, sf_dir, "documents")
+    return text.bm25_scores(d, BM25_QUERY_TERMS).orderBy("doc_id")
+
+
+@query(
     "text_decontaminate",
     oracle="""
     WITH w AS (

@@ -286,3 +286,40 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf.select("doc_id", "drop_reason", "keep"), spark, output_mode="append"
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: a live event stream enriched against a
+    batch dimension table (Structured Streaming re-plans the static
+    side per micro-batch; the dim broadcasts, so NO stream-side state
+    is kept — unlike stream-stream joins). DStreams could only
+    transform() against a static RDD snapshot per batch; this is the
+    declarative upgrade. Aggregated per market segment to a
+    deterministic, batch-oracled result."""
+    from big_data_project_implementation_spark.queries.registry import t
+
+    sdf = events_stream(spark, sf_dir).select("user_id", "value")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        sdf.join(F.broadcast(cust), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_stream_to_table(agg, spark)
+    return out.orderBy("segment")
