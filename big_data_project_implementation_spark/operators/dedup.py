@@ -810,3 +810,76 @@ def assign_dedup_clusters(
         .withColumn("component", F.coalesce("component", F.col(id_col).cast("long")))
         .withColumn("is_survivor", F.col("component") == F.col(id_col))
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Maximal duplicated token spans (ExactSubstr-style dedup, Lee et
+    al. "Deduplicating Training Data Makes Language Models Better",
+    ACL'22, adapted from suffix arrays to a shuffle-bounded k-gram
+    shape): for every document, the maximal runs of token positions
+    whose k-token gram occurs more than once in the corpus (in another
+    doc, or repeated within the same doc). Emits one row per maximal
+    span: (doc_id, span_start 0-based token index, span_tokens,
+    n_grams). Cutting the spans (or whole docs over a duplicated-mass
+    budget) is the caller's policy.
+
+    Scale shape — three shuffle-bounded stages, no suffix array:
+
+    1. positional grams: map-local posexplode; each occurrence hashes
+       its gram to 8 bytes (xxhash64), so the corpus-wide frequency
+       groupBy shuffles (hash, count) longs, never gram text.
+    2. duplicated-gram filter: left-semi join of occurrences against
+       grams with count > 1 (AQE broadcasts the dup set when small —
+       on real corpora the duplicated vocabulary is the Zipf head,
+       orders of magnitude smaller than the gram universe).
+    3. islands: per-doc window (lag + running sum) merges adjacent
+       duplicated positions into maximal spans — partitioned by doc,
+       so no global sort anywhere.
+
+    The 64-bit gram hash makes stage 1 exact up to xxhash64 collisions
+    (~n^2/2^65 expected false dup-marks); the oracle groups raw gram
+    strings instead, which doubles as the collision check at test SF.
+    """
+    toks = F.split(_norm(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos", "h"),
+    )
+    dup = occ.groupBy("h").agg(F.count("*").alias("_c")).filter(
+        F.col("_c") > 1
+    )
+    flagged = occ.join(dup.select("h"), "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) != 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = flagged.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("id", "_island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("bigint").alias("span_tokens"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_tokens", "n_grams"
+        )
+    )

@@ -754,6 +754,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 5
+                  THEN list_transform(range(1, len(ws) - 5 + 2),
+                                      i -> array_to_string(ws[i:i+4], ' '))
+                  ELSE [] END AS grams
+      FROM w
+    ),
+    occ AS (
+      SELECT doc_id,
+             UNNEST(range(0, len(grams))) AS pos,
+             UNNEST(grams) AS gram
+      FROM g0
+    ),
+    dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) > 1),
+    fl AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w2 IS NULL
+                    OR pos - lag(pos) OVER w2 != 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM fl WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    num AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM num GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated 5-token spans per document
+    (operators.dedup.duplicated_spans — the ExactSubstr dedup signal).
+    Spark shuffles 8-byte gram hashes; the oracle groups raw gram
+    strings, doubling as the hash-collision check at test SF."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(d, k=5).orderBy("doc_id", "span_start")
+
+
+@query(
     "text_tfidf_topk",
     oracle="""
     WITH toks AS (

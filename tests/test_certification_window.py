@@ -33,7 +33,11 @@ def test_window_composition():
     # the 5 round-2-era streaming queries are in the window;
     # round-3 additions rotate in next round (schedule in COVERAGE.md)
     assert len(streaming & window) == 5
-    assert streaming - window <= {"stream_dedup_exact", "stream_quality_filter"}
+    assert streaming - window <= {
+        "stream_dedup_exact",
+        "stream_quality_filter",
+        "stream_static_join",
+    }
 
 
 def test_window_maximizes_oracled_entries():
