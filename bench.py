@@ -42,11 +42,15 @@ BENCH_QUERIES = [
     "window_running_agg",
     "text_stats",
     "dedup_exact_prefix",
+    "dedup_spans",
     "dedup_word_jaccard",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
+    "events_funnel",
+    "events_rolling_active",
+    "text_tfidf_topk",
 ]
 
 

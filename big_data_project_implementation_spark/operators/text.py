@@ -465,9 +465,15 @@ def bm25_scores(
     order-sensitive and partial aggregation order differs between
     engines; decimal addition is exact, so the score hash cannot flip
     a low bit."""
+    # null text must yield null dl (Spark size(null) is -1, which would
+    # silently pull avgdl down; DuckDB len(string_split(NULL)) is NULL
+    # and SUM skips it — keep both engines on the skip semantics)
     lens = df.select(
         F.col(id_col).alias("id"),
-        token_count(F.lower(F.col(text_col))).alias("dl"),
+        F.when(
+            F.col(text_col).isNotNull(),
+            token_count(F.lower(F.col(text_col))),
+        ).alias("dl"),
     )
     stats = lens.agg(
         F.count("*").cast("bigint").alias("n"),

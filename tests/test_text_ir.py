@@ -70,6 +70,24 @@ def test_bm25_omits_nonmatching_docs(spark):
     assert [r.doc_id for r in out] == [2]
 
 
+def test_bm25_null_text_does_not_skew_avgdl(spark):
+    """A null-text doc must be skipped by avgdl (not counted as
+    size(null) = -1) and emit no score row; it still counts toward N.
+    DuckDB's len(string_split(NULL)) is NULL -> SUM skips it; the
+    Spark side must agree or the oracle hash flips on real corpora."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple apple banana common"), (1, None)], SCHEMA
+    )
+    out = {r.doc_id: r.score for r in text.bm25_scores(docs, ("apple",)).collect()}
+    assert set(out) == {0}
+    n, avgdl = 2, 5 / 2  # N counts the null doc; avgdl does not
+    idf = math.log(1.0 + (n - 1 + 0.5) / (1 + 0.5))
+    expect = idf * (3 * 2.2) / (3 + 1.2 * (1 - 0.75 + 0.75 * 5 / avgdl))
+    assert out[0] == round(expect, 6)
+
+
 def test_bm25_sums_multi_term_matches(spark):
     out = {
         r.doc_id: r.n_terms

@@ -50,9 +50,15 @@ PIPELINE_QUERIES = [
     "dedup_exact_prefix",
     "dedup_minhash_lsh",
     "dedup_clusters_lsh",
+    "dedup_spans",
     "text_stats",
     "text_language_id",
+    "text_tfidf_topk",
+    "text_bm25_search",
     "similarity_bruteforce_topk",
+    "events_funnel",
+    "events_retention",
+    "events_rolling_active",
 ]
 
 SCALED = ("lineitem", "orders", "events", "customer", "documents", "embeddings")
