@@ -883,3 +883,76 @@ def duplicated_spans(
             F.col("id").alias(id_col), "span_start", "span_tokens", "n_grams"
         )
     )
+
+
+def duplicated_mass(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    drop_threshold: float = 0.8,
+) -> DataFrame:
+    """Per-document duplicated-token mass — the policy layer over
+    ``duplicated_spans``: what fraction of each doc's tokens sits
+    inside a duplicated k-gram, and the curation action that follows
+    (RefinedWeb-style: drop near-fully-duplicated docs, trim docs with
+    partial duplication, keep clean ones). One row per input doc.
+
+    Exact token accounting: a flagged gram at position p covers tokens
+    p..p+k-1; spans closer than k tokens overlap, so summing span
+    lengths would double-count. Each flagged gram instead explodes its
+    k covered positions (bounded, k is a small constant) and the
+    per-doc DISTINCT collapses overlaps before counting — the shuffle
+    carries (doc, position) pairs, bounded by corpus token count.
+    """
+    toks = F.split(_norm(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h")
+    )
+    dup = occ.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1)
+    covered = (
+        occ.join(dup.select("h"), "h", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tok"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("dup_tokens"))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.col(text_col).isNotNull(), F.size(F.split(_norm(F.col(text_col)), " "))
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    out = (
+        base.join(covered, "id", "left")
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("dup_tokens") / F.greatest("n_tokens", F.lit(1)), 6),
+        )
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "dup_tokens",
+        "dup_fraction",
+        F.when(F.col("dup_fraction") >= drop_threshold, F.lit("drop"))
+        .when(F.col("dup_tokens") > 0, F.lit("trim"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )

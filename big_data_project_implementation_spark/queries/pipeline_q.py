@@ -809,6 +809,61 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_mass",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents
+    ),
+    g0 AS (
+      -- COALESCE: null text must report n_tokens 0 (Spark side agrees)
+      SELECT doc_id, COALESCE(len(ws), 0) AS n_tokens,
+             CASE WHEN len(ws) >= 5
+                  THEN list_transform(range(1, len(ws) - 5 + 2),
+                                      i -> array_to_string(ws[i:i+4], ' '))
+                  ELSE [] END AS grams
+      FROM w
+    ),
+    occ AS (
+      SELECT doc_id,
+             UNNEST(range(0, len(grams))) AS pos,
+             UNNEST(grams) AS gram
+      FROM g0
+    ),
+    dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) > 1),
+    cov AS (
+      SELECT DISTINCT occ.doc_id, occ.pos + o.o AS tok
+      FROM occ JOIN dup USING (gram), UNNEST(range(0, 5)) o(o)
+    ),
+    dt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT g0.doc_id,
+           CAST(g0.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(dt.dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(dt.dup_tokens, 0)
+                 / GREATEST(g0.n_tokens, 1), 6) AS dup_fraction,
+           CASE WHEN COALESCE(dt.dup_tokens, 0)
+                     / GREATEST(g0.n_tokens, 1) >= 0.8 THEN 'drop'
+                WHEN COALESCE(dt.dup_tokens, 0) > 0 THEN 'trim'
+                ELSE 'keep' END AS action
+    FROM g0 LEFT JOIN dt USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token fraction + curation action
+    (operators.dedup.duplicated_mass — the RefinedWeb-style policy
+    over ExactSubstr spans): every doc keeps a row; overlap-exact
+    token accounting via bounded offset explode + distinct."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.duplicated_mass(d, k=5).orderBy("doc_id")
+
+
+@query(
     "text_tfidf_topk",
     oracle="""
     WITH toks AS (
