@@ -552,3 +552,68 @@ def decontaminate(
         .withColumn("contaminated", F.col("n_hit") > 0)
         .select(F.col("id").alias(id_col), "n_grams", "n_hit", "contaminated")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "",
+    buckets: int = 1,
+) -> DataFrame:
+    """Deterministic data-mixture sampling: fill each source's token
+    budget by taking documents in md5-of-id order until the running
+    token total would exceed the budget (greedy prefix; a doc is kept
+    iff its own cumulative total still fits). The pretraining
+    data-mixing step — "2B tokens of web, 1B of code" — as one
+    engine-invariant DataFrame op: md5 ordering (not a RNG) makes the
+    kept set reproducible across runs, engines, and partitionings, so
+    the sample itself is oracle-certifiable. Sources absent from
+    ``budgets`` are dropped.
+
+    Scale shape: one window keyed by source — with few fat sources the
+    per-source running sum serializes, so ``buckets=B`` splits every
+    source into B md5-sliced sub-partitions with budget/B each
+    (parallelism x B, same expected mixture; the greedy boundary doc
+    per bucket is the only divergence from B=1). ``seed`` salts the
+    order for a fresh draw."""
+    bmap = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    ntok = (
+        F.when(F.col(text_col).isNotNull(), token_count(F.col(text_col)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src"),
+        ntok.alias("n_tokens"),
+        order.alias("_ord"),
+    )
+    if buckets > 1:
+        # first md5 nibble slices sub-partitions; per-bucket budget
+        d = d.withColumn(
+            "_bkt", F.conv(F.substring("_ord", 1, 2), 16, 10).cast("int") % buckets
+        )
+        part, budget = ["src", "_bkt"], F.floor(bmap[F.col("src")] / buckets)
+    else:
+        part, budget = ["src"], bmap[F.col("src")]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("_ord", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("src").alias(source_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )

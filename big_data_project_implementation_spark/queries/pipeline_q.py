@@ -953,6 +953,48 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_scores(d, BM25_QUERY_TERMS).orderBy("doc_id")
 
 
+# even sources get 800 tokens, odd 400 — a deliberately non-uniform
+# mixture so the greedy boundary is exercised per source
+_MIX_BUDGETS = {f"src{i}": (800 if i % 2 == 0 else 400) for i in range(20)}
+_MIX_CASES = " ".join(
+    f"WHEN '{s}' THEN {b}" for s, b in _MIX_BUDGETS.items()
+)
+
+
+@query(
+    "data_token_budget_mixture",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE source {_MIX_CASES} ELSE 0 END
+    ORDER BY doc_id
+    """,
+)
+def data_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling (operators.text
+    .token_budget_sample): fill each source's token budget in
+    md5-of-id order — the "N tokens of web, M of code" pretraining
+    mixing step, engine/partition-invariant so the kept set itself is
+    oracle-certified. Bucketed variant for fat sources is
+    property-tested in pytest."""
+    d = t(spark, sf_dir, "documents")
+    return text.token_budget_sample(d, _MIX_BUDGETS).orderBy("doc_id")
+
+
 @query(
     "text_decontaminate",
     oracle="""
