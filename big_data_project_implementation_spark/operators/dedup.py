@@ -812,6 +812,27 @@ def assign_dedup_clusters(
     )
 
 
+def _positional_gram_occ(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h) positional k-gram occurrences: one xxhash64 per
+    gram. The normalize/split/slice/hash chain is CPU-bound, so narrow
+    inputs (a single local parquet file) are ``_spread`` across cores
+    first — the 100 TB scan shape passes through with no shuffle."""
+    toks = F.split(_norm(F.col("_t")), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        "id",
+    ).select("id", F.posexplode(grams).alias("pos", "h"))
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -845,18 +866,7 @@ def duplicated_spans(
     (~n^2/2^65 expected false dup-marks); the oracle groups raw gram
     strings instead, which doubles as the collision check at test SF.
     """
-    toks = F.split(_norm(F.col(text_col)), " ")
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    occ = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(grams).alias("pos", "h"),
-    )
+    occ = _positional_gram_occ(df, text_col, id_col, k)
     dup = occ.groupBy("h").agg(F.count("*").alias("_c")).filter(
         F.col("_c") > 1
     )
@@ -905,17 +915,7 @@ def duplicated_mass(
     per-doc DISTINCT collapses overlaps before counting — the shuffle
     carries (doc, position) pairs, bounded by corpus token count.
     """
-    toks = F.split(_norm(F.col(text_col)), " ")
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    occ = df.select(
-        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h")
-    )
+    occ = _positional_gram_occ(df, text_col, id_col, k)
     dup = occ.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1)
     covered = (
         occ.join(dup.select("h"), "h", "left_semi")
