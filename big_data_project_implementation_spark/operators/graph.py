@@ -1,0 +1,89 @@
+"""Generic iterative graph dataflow over edge DataFrames.
+
+Companion to the connected-components operator in ``dedup.py`` (the
+alternating star algorithm): where CC answers "which docs form one
+near-dup cluster", PageRank answers "which doc is the most central
+member" — canonical-document selection inside a cluster, domain/link
+authority over a crawl graph, influence over an interaction graph.
+
+The reference ships no graph operator (GraphX is out of its surveyed
+surface, SURVEY §7.4); both operators are beyond-reference
+training-data-pipeline components built purely from joins + groupBys,
+so Catalyst/AQE own the physical strategy at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) PageRank over the undirected graph given as a pair
+    list (near-dup pairs, co-click pairs, hyperlinks-as-pairs).
+    Undirected: each edge contributes mass in both directions, the
+    standard symmetrization for similarity graphs.
+
+    Power iteration, fixed ``iterations`` (8 rounds reaches ~1e-3 on
+    graphs with damping 0.85; callers needing tighter tails raise it):
+
+        r(v) <- (1-d)/N + d * sum_{u~v} r(u) / deg(u)
+
+    Every node appearing in ``pairs`` gets a row; ranks over each
+    connected component sum to that component's share of N (teleport
+    is uniform), so within-cluster ranks are directly comparable for
+    canonical-member selection.
+
+    100 TB design: one join (ranks x edges on the source key) + one
+    groupBy (destination key) per iteration — both hash-partitioned by
+    node id, map-side combined; degrees come from one upfront groupBy.
+    Rank state is localCheckpoint-ed every iteration to truncate the
+    iterative lineage (swap for checkpoint() on a cluster if executor
+    loss matters). Hub nodes cost their own degree, never a
+    neighborhood materialization.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()
+    teleport = (1.0 - damping) / n_nodes
+    ranks = deg.select("u", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            sym.join(ranks, "u")
+            .join(deg, "u")
+            .select("v", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("mass"))
+        )
+        # left join keeps isolated-by-direction nodes (none in the
+        # symmetrized graph, but the shape stays correct for directed
+        # callers); missing mass means only teleport rank
+        ranks = (
+            deg.select("u")
+            .join(contribs.withColumnRenamed("v", "u"), "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("id"), "rank")

@@ -334,6 +334,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("graph_pagerank")  # float fixpoint → rows-only; invariants in pytest
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash-LSH near-dup graph
+    (operators.graph.pagerank, 8 undirected power iterations) — ranks
+    every doc in a dup cluster by centrality, the canonical-member
+    selection signal. Join+groupBy per iteration, localCheckpoint'd
+    lineage; invariants (mass conservation, symmetry, hand-computed
+    stars) are pinned in tests/test_graph.py."""
+    from big_data_project_implementation_spark.operators import graph
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", k=1, num_hashes=32, bands=8,
+        threshold=0.8,
+    )
+    return graph.pagerank(pairs).select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 @query("dedup_simhash")  # approximate → rows-only; tested in pytest
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit weighted-feature hash, banded

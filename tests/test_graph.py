@@ -1,0 +1,61 @@
+"""Invariants for operators.graph.pagerank (the graph_pagerank query
+registers rows-only — a float fixpoint has no cross-engine exact
+oracle, so correctness is pinned here instead).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_project_implementation_spark.operators import graph
+
+SCHEMA = "id_a long, id_b long"
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, SCHEMA)
+    return {r.id: r.rank for r in graph.pagerank(df, **kw).collect()}
+
+
+def test_mass_conservation_and_star_center(spark):
+    # star: 0 is the hub of 1..4 — hub outranks leaves, leaves equal,
+    # total mass = 1
+    r = _ranks(spark, [(0, i) for i in range(1, 5)])
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+    assert r[0] > r[1]
+    assert r[1] == pytest.approx(r[2]) == pytest.approx(r[3]) == pytest.approx(r[4])
+
+
+def test_symmetry_within_clique_and_across_components(spark):
+    # two disconnected cliques (3 nodes, 2 nodes): symmetric nodes get
+    # equal rank; each component's mass is its share of N
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11)]
+    r = _ranks(spark, edges)
+    assert r[0] == pytest.approx(r[1]) == pytest.approx(r[2])
+    assert r[10] == pytest.approx(r[11])
+    assert r[0] + r[1] + r[2] == pytest.approx(3 / 5, abs=1e-6)
+    assert r[10] + r[11] == pytest.approx(2 / 5, abs=1e-6)
+
+
+def test_path_middle_is_most_central(spark):
+    r = _ranks(spark, [(0, 1), (1, 2)])
+    assert r[1] > r[0]
+    assert r[0] == pytest.approx(r[2])
+
+
+def test_hand_computed_two_nodes(spark):
+    # single edge: both nodes deg 1, rank fixpoint = 0.5 each exactly
+    # at every iteration
+    r = _ranks(spark, [(7, 9)], iterations=3)
+    assert r[7] == pytest.approx(0.5, abs=1e-12)
+    assert r[9] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_partitioning_invariance(spark):
+    edges = [(i, (i * 7 + 1) % 50) for i in range(120)]
+    df = spark.createDataFrame(edges, SCHEMA)
+    a = {r.id: r.rank for r in graph.pagerank(df).collect()}
+    b = {r.id: r.rank for r in graph.pagerank(df.repartition(13)).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-9)
