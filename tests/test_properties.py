@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the curation operators whose
+contracts are algebraic: random micro-corpora, invariants checked
+against independent Python recomputation. Complements the fixed-fixture
+unit tests and the DuckDB oracle gate (SURVEY §5 test strategy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data_project_implementation_spark.operators import dedup, text
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=24).map(" ".join)
+_corpus = st.lists(
+    st.tuples(st.integers(0, 10**6), _doc),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+_SETTINGS = dict(max_examples=12, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_duplicated_mass_bounds_and_consistency(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = dedup.duplicated_mass(df, k=2).collect()
+    assert len(rows) == len(corpus)  # every doc exactly one row
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert r.dup_fraction == round(
+            r.dup_tokens / max(r.n_tokens, 1), 6
+        )
+        if r.dup_fraction >= 0.8:
+            assert r.action == "drop"
+        elif r.dup_tokens > 0:
+            assert r.action == "trim"
+        else:
+            assert r.action == "keep"
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_duplicated_spans_are_maximal_and_disjoint(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    k = 2
+    by_doc: dict[int, list] = {}
+    for r in dedup.duplicated_spans(df, k=k).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.span_start)
+        for prev, nxt in zip(doc_rows, doc_rows[1:]):
+            # maximality: islands are separated by >= 1 missing gram
+            assert nxt.span_start >= prev.span_start + prev.n_grams + 1
+        for r in doc_rows:
+            # contiguous island: token extent is gram count + k - 1
+            assert r.span_tokens == r.n_grams + k - 1
+
+
+def _expected_mixture(corpus, budgets):
+    """Independent Python recomputation of token_budget_sample."""
+    kept = {}
+    by_src: dict[str, list] = {}
+    for doc_id, src, txt in corpus:
+        by_src.setdefault(src, []).append((doc_id, txt))
+    for src, docs in by_src.items():
+        if src not in budgets:
+            continue
+        docs.sort(key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+        cum = 0
+        for doc_id, txt in docs:
+            n = len(re.split(r"\s+", txt)) if txt is not None else 0
+            cum += n
+            if cum <= budgets[src]:
+                kept[doc_id] = (src, n, cum)
+    return kept
+
+
+@settings(**_SETTINGS)
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.sampled_from(["web", "code", "wiki"]),
+            _doc,
+        ),
+        min_size=1,
+        max_size=14,
+        unique_by=lambda t: t[0],
+    ),
+    budgets=st.fixed_dictionaries(
+        {"web": st.integers(0, 60), "code": st.integers(0, 60)}
+    ),
+)
+def test_token_budget_sample_matches_python_recompute(spark, corpus, budgets):
+    df = spark.createDataFrame(corpus, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+        for r in text.token_budget_sample(df, budgets).collect()
+    }
+    assert got == _expected_mixture(corpus, budgets)
