@@ -509,6 +509,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_metadata(media).orderBy("media_id")
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 20 = 0 THEN 45
+                  ELSE 44 + 2 * (100 + doc_id % 400) END AS n_bytes
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT media_id,
+           CAST(ceil(n_bytes / 256.0) AS BIGINT) AS n_frames_sampled,
+           CAST(n_bytes AS BIGINT) AS total_bytes
+    FROM m ORDER BY media_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end to end (operators.multimodal
+    .sample_frames): synthesize real PNG/WAV payloads, slice each into
+    256-byte 'frames' through Arrow, aggregate frame counts + byte
+    totals per media. The oracle recomputes both in closed form from
+    the synthesized payload sizes, so a slicing bug (lost tail bytes,
+    off-by-one frame) breaks the hash match."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = multimodal.synthesize_media(d, id_col="doc_id")
+    frames = multimodal.sample_frames(media, every_n_bytes=256)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames_sampled"),
+            F.sum(F.length("frame_bytes")).cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
 @query("similarity_ivf_topk")  # approximate → rows-only; recall tested in pytest
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators.similarity.ivf_centroids/ivf_topk): k-means
