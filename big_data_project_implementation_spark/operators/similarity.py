@@ -428,3 +428,40 @@ def ivf_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column — the distributed
+    vector reduction under k-means/IVF training and class-prototype
+    methods, certified directly: one row per (label, dimension) with
+    the member count and centroid component.
+
+    Scale shape: posexplode to (label, dim, value) then ONE
+    map-side-combined groupBy on (label, dim) — the shuffle carries
+    |labels| x |dims| partial sums per task, never vectors. Components
+    are widened float->double->DECIMAL before the sum (double addition
+    is order-sensitive and partial-aggregation order differs between
+    engines; decimal addition is exact), then divided by the count in
+    double — so the centroid hash cannot flip a low bit."""
+    e = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return (
+        e.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                (
+                    F.sum(F.col("v").cast("double").cast("decimal(28,10)"))
+                    .cast("double")
+                    / F.count("*")
+                ),
+                6,
+            ).alias("centroid"),
+        )
+    )

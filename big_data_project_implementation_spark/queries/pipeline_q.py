@@ -544,6 +544,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             UNNEST(range(0, len(embedding))) AS dim,
+             UNNEST(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10)))
+                      AS DOUBLE) / count(*), 6) AS centroid
+    FROM e GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators.similarity
+    .label_centroids) — the distributed vector reduction under
+    k-means/IVF and class prototypes, decimal-summed so partial
+    aggregation order cannot flip the hash."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb).orderBy("label", "dim")
+
+
 @query("similarity_ivf_topk")  # approximate → rows-only; recall tested in pytest
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators.similarity.ivf_centroids/ivf_topk): k-means
