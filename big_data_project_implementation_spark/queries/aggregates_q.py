@@ -413,3 +413,38 @@ def describe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats("l_quantity").unionAll(stats("l_discount")).orderBy("col")
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (SQL `percentile`; reference exposes
+    only Hive UDAF percentile_approx — the exact form is the modern
+    upgrade, and the oracle pins Spark's linear interpolation against
+    DuckDB's quantile_cont bit-for-bit after rounding). The
+    approxQuantile/t-digest path for 100 TB cardinalities is
+    agg_approx_quantile (rows-only by design); this is its exact
+    small-group counterpart."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(l_extendedprice, {q})"), 6
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.5, 0.95, 0.99)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
