@@ -46,3 +46,38 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return left_s.join(right_s, on + ["_salt"], how).drop("_salt")
+
+
+def key_skew_stats(df: DataFrame, *key_cols: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key — the
+    measurement that decides between a plain shuffle, AQE skew
+    splitting, and ``salted_join``:
+
+        n_keys      distinct key values
+        n_rows      total rows
+        max_count   heaviest key's row count
+        top_share   max_count / n_rows (a single task's worst-case
+                    share of the shuffle under hash partitioning)
+        entropy     Shannon entropy of the key distribution in nats;
+                    ln(n_keys) = perfectly even, near 0 = one hot key
+
+    Two map-side-combined aggregations (per-key counts, then the
+    1-row rollup) — safe to run on the full 100 TB table. Entropy
+    terms are decimal-summed so partial-aggregation order cannot
+    perturb the result (the 1-row output is oracle-certifiable)."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("c"))
+    # 1-row broadcast total, NOT a global window (whose single
+    # partition would serialize a large key set)
+    totals = counts.agg(F.sum("c").alias("_tot"))
+    p = F.col("c") / F.col("_tot")
+    return counts.crossJoin(F.broadcast(totals)).agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.round((F.max("c") / F.first("_tot")).cast("double"), 6).alias(
+            "top_share"
+        ),
+        F.round(
+            (-F.sum((p * F.log(p)).cast("decimal(28,10)"))).cast("double"), 6
+        ).alias("entropy"),
+    )

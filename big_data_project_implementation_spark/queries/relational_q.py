@@ -325,3 +325,32 @@ def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(c) AS t FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           ROUND(MAX(c) / ANY_VALUE(t), 6) AS top_share,
+           ROUND(CAST(-SUM(CAST((c / t) * ln(c / t)
+                                AS DECIMAL(28,10))) AS DOUBLE), 6) AS entropy
+    FROM counts CROSS JOIN tot
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators.relational
+    .key_skew_stats) over events.user_id — n_keys / max key share /
+    distribution entropy, the measurement that picks between a plain
+    shuffle, AQE skew splitting, and salted_join. Entropy terms
+    decimal-summed; totals via 1-row broadcast, never a global
+    window."""
+    from big_data_project_implementation_spark.operators import relational
+
+    e = t(spark, sf_dir, "events")
+    return relational.key_skew_stats(e, "user_id")
