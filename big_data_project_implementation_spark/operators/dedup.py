@@ -956,3 +956,58 @@ def duplicated_mass(
         .otherwise(F.lit("keep"))
         .alias("action"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices (sources,
+    crawls, snapshot vintages): for every pair of groups, the number
+    of shared distinct k-gram shingles and the Jaccard of their
+    shingle sets. The corpus-diagnostics companion to document-level
+    dedup — "which of my sources are copies of each other" before any
+    per-doc work.
+
+    Scale shape: shingles collapse to DISTINCT (group, gram-hash)
+    postings first — group count (not doc count) bounds everything
+    after that; the gram-keyed self-join emits one row per
+    (gram, group-pair) and a Zipf-truncated gram that floods G groups
+    costs G^2/2 rows for that gram only. Output is |groups|^2/2 rows.
+    """
+    sg = (
+        _spread(
+            df.select(F.col(group_col).alias("g"), F.col(text_col).alias("_t")),
+            "g",
+        )
+        .select("g", F.explode(shingles("_t", k)).alias("s"))
+        .select("g", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    sizes = sg.groupBy("g").agg(F.count("*").alias("n"))
+    shared = (
+        sg.alias("a")
+        .join(sg.alias("b"), "h")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("g_a"), F.col("b.g").alias("g_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("g").alias("g_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("g_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "g_a")
+        .join(sb, "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

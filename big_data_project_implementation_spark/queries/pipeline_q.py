@@ -835,6 +835,50 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_source_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents
+    ),
+    sg AS (
+      SELECT DISTINCT source AS g, gram
+      FROM (
+        SELECT source,
+               UNNEST(list_distinct(list_transform(
+                 range(1, GREATEST(len(ws) - 2, 1) + 1),
+                 i -> array_to_string(ws[i:i+2], ' ')))) AS gram
+        FROM w
+      )
+    ),
+    sizes AS (SELECT g, count(*) AS n FROM sg GROUP BY g),
+    shared AS (
+      SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM sg a JOIN sg b USING (gram)
+      WHERE a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT g_a, g_b, n_shared,
+           ROUND(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.g = shared.g_a
+    JOIN sizes sb ON sb.g = shared.g_b
+    ORDER BY g_a, g_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (operators.dedup
+    .source_overlap_matrix, 3-gram shingle sets): which corpus slices
+    share content — the source-level contamination diagnostic run
+    before any per-doc dedup. Oracle uses raw gram strings (collision
+    check); Spark shuffles 8-byte hashes."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.source_overlap_matrix(d, k=3).orderBy("g_a", "g_b")
+
+
+@query(
     "dedup_spans",
     oracle="""
     WITH w AS (
