@@ -47,3 +47,32 @@ def test_window_maximizes_oracled_entries():
         n for n in _CERTIFICATION_WINDOW if REGISTRY[n].oracle is None
     ]
     assert no_oracle == []
+
+
+def test_round4_window_is_valid_and_covers_the_uncertified():
+    """The auto-rotation's round-4 window must be 50 real registry
+    names and contain every entry that had no driver row after rounds
+    1-3 (round 1-2 = CORRECTNESS_r02 keys, round 3 = the R3 window)."""
+    import json
+
+    from big_data_project_implementation_spark.queries import (
+        _WINDOW_R3,
+        _WINDOW_R4,
+    )
+
+    assert len(_WINDOW_R4) == 50
+    assert len(set(_WINDOW_R4)) == 50
+    assert set(_WINDOW_R4) <= set(REGISTRY)
+    certified = set(json.load(open("/root/repo/CORRECTNESS_r02.json")))
+    certified |= set(_WINDOW_R3)
+    never = set(REGISTRY) - certified
+    assert never <= set(_WINDOW_R4), sorted(never - set(_WINDOW_R4))
+
+
+def test_round_detection_counts_driver_files():
+    from big_data_project_implementation_spark.queries import _round_number
+
+    import glob
+
+    n_files = len(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    assert _round_number() == n_files + 1
