@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_rolling_active",
     "text_tfidf_topk",
+    "dedup_mass",
+    "text_bm25_search",
 ]
 
 

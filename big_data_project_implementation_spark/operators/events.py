@@ -154,11 +154,14 @@ def rolling_active_users(
         F.date_trunc("day", F.col(ts_col)).alias("d"),
         F.col(user_col).alias("u"),
     ).distinct()
-    # du feeds three consumers (day grid, postings, DAU); cache the
-    # compacted day x user table rather than re-scanning raw events
-    # three times — it is smaller than the source by the per-day event
-    # multiplicity, which is exactly the factor that matters at 100 TB
-    du.cache()
+    # du feeds three consumers (day grid, postings, DAU); materialize
+    # the compacted day x user table once rather than re-scanning raw
+    # events three times — it is smaller than the source by the
+    # per-day event multiplicity, which is exactly the factor that
+    # matters at 100 TB. localCheckpoint (not cache) so the blocks are
+    # reclaimed when the result plan is dropped — repeated invocations
+    # (bench + scale probes) must not accumulate executor storage.
+    du = du.localCheckpoint(eager=True)
     days = du.select("d").distinct()
     posted = (
         du.select(
@@ -185,4 +188,104 @@ def rolling_active_users(
         dau.withColumnRenamed("d", "day")
         .join(wau.withColumnRenamed("report_d", "day"), "day")
         .orderBy("day")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch gaps-and-islands sessionization: a new session starts when
+    a user's inter-event gap exceeds ``gap_minutes``.
+
+    The streaming twin is ``stream_sessionize`` (session_window); this
+    is the batch/backfill shape every analytics stack needs for
+    reprocessing history. Exactly ONE hash exchange on the user key:
+    the lag/cum-sum windows and the final (user, session) groupBy all
+    reuse the same HashPartitioning(user) — Spark satisfies a groupBy
+    whose keys are a superset of the existing partitioning without a
+    second exchange. Skewed power users cost only their own event
+    count; there is no cross-user state.
+
+    Reference parity: reference sessionization ships as generic SQL
+    over window operators (reference `EXE/Window.scala`); the DuckDB
+    oracle in queries/events_q.py is that textbook two-window SQL.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (
+            F.col(ts_col).cast("long") - prev_ts.cast("long")
+            > gap_minutes * 60
+        )
+    ).cast("bigint")
+    with_idx = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+    ).withColumn(
+        "session_idx",
+        F.sum(is_new).over(
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_idx.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log:
+    collapse each user's consecutive runs of the same ``state_col``
+    into effective-dated rows (valid_from, valid_to, is_current).
+
+    The CDC-to-dimension compaction every warehouse load runs: change
+    detection is a lag() over (user ORDER BY ts), interval close is a
+    lead() over the surviving change rows — both windows and the
+    change filter reuse ONE HashPartitioning(user) exchange, and the
+    filter drops the (usually dominant) non-change rows before the
+    second window touches them. Payload columns never shuffle twice.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    changes = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("event_id"),
+        )
+        .withColumn("prev_state", F.lag("state").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from")
     )

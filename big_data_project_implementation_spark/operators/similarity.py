@@ -465,3 +465,52 @@ def label_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension scalar quantization (the SQ8 building block of
+    vector indexes): learn min/max per dimension over the corpus, then
+    code each component into ``levels`` uniform bins —
+    ``code = min(floor((v - mn) / (mx - mn) * levels), levels - 1)``.
+
+    Scale shape: posexplode to (id, dim, v); the per-dim min/max is a
+    map-side-combined groupBy over |dims| keys (a few hundred partial
+    rows per task), broadcast back onto the exploded stream for the
+    code projection. The corpus-sized data takes exactly zero
+    shuffles — only the |dims|-row stats table moves. Arithmetic is
+    float->double (exact widening) with identical operation order on
+    any engine, so codes are deterministic and integer — hash-safe.
+
+    A constant dimension (mx == mn) codes to 0.
+    """
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
+    stats = e.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * levels
+            ),
+            F.lit(levels - 1),
+        )
+    )
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("bigint").alias("dim"),
+            code.cast("bigint").alias("code"),
+        )
+        .orderBy("vec_id", "dim")
+    )

@@ -617,3 +617,91 @@ def token_budget_sample(
             "cum_tokens",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """RAG-style chunking: split each document into fixed-size token
+    windows with ``overlap`` tokens of context shared between
+    consecutive chunks (stride = chunk_tokens - overlap; the final
+    chunk may be short; a doc shorter than one chunk yields one chunk).
+
+    Scale shape: a pure per-row explode — zero shuffles, predicate
+    and column pruning reach the scan untouched, and the expansion
+    factor is bounded by ceil(n_tokens/stride). The chunk text is
+    re-materialized with array slices inside codegen; no Python
+    touches the hot path."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    d = df.withColumn("_toks", F.split(F.col(text_col), " ")).withColumn(
+        "_n", F.size("_toks")
+    )
+    # n > chunk: 1 first window + ceil((n-chunk)/stride) more;
+    # ceil(a/stride) == floor((a+stride-1)/stride) since a >= 1 there
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor(
+            (F.col("_n") - chunk_tokens + stride - 1) / F.lit(stride)
+        ).cast("int")
+        + 1
+    )
+    start = (F.col("chunk_idx") * stride).cast("int")
+    chunk_toks = F.slice(F.col("_toks"), start + 1, chunk_tokens)
+    return (
+        d.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+            ).alias("chunk_idx"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size(chunk_toks).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(chunk_toks, " ").alias("chunk_text"),
+        )
+        .orderBy(id_col, "chunk_idx")
+    )
+
+
+def ngram_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams by exact count — the
+    boilerplate/template detector that feeds line- and span-level
+    curation policies.
+
+    Scale shape: explode n-grams per doc, ONE map-side-combined
+    groupBy on the gram, TakeOrderedAndProject for the top-k (no
+    global sort). The shuffle carries (gram, partial_count) pairs —
+    bounded by distinct-gram cardinality per task, not corpus size.
+    Deterministic tie-break: (count DESC, gram ASC)."""
+    gram_i = "concat(" + ", ' ', ".join(
+        f"element_at(_toks, i + {j})" for j in range(n)
+    ) + ")"
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {n - 1}), i -> {gram_i})"
+    )
+    d = df.withColumn("_toks", F.split(F.col(text_col), " "))
+    return (
+        d.select(
+            F.explode(
+                F.when(F.size("_toks") >= n, grams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )

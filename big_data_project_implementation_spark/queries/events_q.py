@@ -115,3 +115,69 @@ def events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic shape the explode replaces at scale."""
     e = t(spark, sf_dir, "events")
     return ev.rolling_active_users(e, window_days=7)
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS session_idx
+      FROM o
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization, 30-minute gap
+    (operators.events.sessionize): lag-change flag, cumulative-sum
+    session index, (user, session) rollup — all on ONE user-key
+    exchange. The batch twin of stream_sessionize's session_window,
+    certified against the textbook two-window SQL."""
+    e = t(spark, sf_dir, "events")
+    return ev.sessionize(e, gap_minutes=30)
+
+
+@query(
+    "events_scd2",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM marked
+      WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+)
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 compaction of an event log (operators.events
+    .scd2_intervals): consecutive same-state runs per user collapse to
+    effective-dated (valid_from, valid_to, is_current) rows — the CDC
+    dimension-load shape, one user-key exchange, non-change rows
+    dropped before the interval-close window."""
+    e = t(spark, sf_dir, "events")
+    return ev.scd2_intervals(e)

@@ -743,8 +743,8 @@ def data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT doc_id, lang, n_tokens,
-           cum_before // 512 AS pack_id,
-           cum_before % 512 AS pack_offset
+           CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS pack_offset
     FROM packed
     ORDER BY doc_id
     """,
@@ -1159,3 +1159,129 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     eval_df = d.filter(F.col("doc_id") % 97 == 0)
     return text.decontaminate(d, eval_df, k=5).orderBy("doc_id")
+
+
+@query(
+    "text_chunk_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             UNNEST(range(0, CASE WHEN n <= 64 THEN 1
+                                  ELSE (n - 64 + 47) // 48 + 1 END))
+               AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * 48 + 1,
+                               chunk_idx * 48 + 64)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+                                      chunk_idx * 48 + 64), ' ')
+             AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (operators.text.chunk_documents): 64-token windows
+    with 16-token overlap (stride 48), final short chunk kept, one
+    chunk minimum per doc. Pure per-row explode — zero shuffles; the
+    oracle mirrors the exact start/length arithmetic with 1-based
+    DuckDB list slices."""
+    d = t(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS tks FROM documents
+    ),
+    g AS (
+      SELECT UNNEST(list_transform(range(1, len(tks)),
+                                   i -> tks[i] || ' ' || tks[i + 1]))
+               AS gram
+      FROM toks
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 50
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 bigrams by exact count (operators.text
+    .ngram_heavy_hitters): the boilerplate detector feeding span- and
+    line-level curation. One map-side-combined gram groupBy +
+    TakeOrderedAndProject; deterministic (count DESC, gram ASC)
+    tie-break makes the top-k hash-stable."""
+    d = t(spark, sf_dir, "documents")
+    return text.ngram_heavy_hitters(d, n=2, k=50)
+
+
+@query(
+    "er_blocked_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, split_part(p_name, ' ', 2) AS block,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.n_rows AS rows_a, b.n_rows AS rows_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    ORDER BY name_a, name_b
+    """,
+)
+def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on part names (operators.relational
+    .blocked_entity_match): distinct-names-first (kills the O(rows²)
+    pairing — distinct names << rows), blocking on the head noun,
+    Levenshtein <= 4 verify inside blocks only. The distinct-name side
+    broadcasts; edit distance runs in JVM codegen."""
+    from big_data_project_implementation_spark.operators import relational
+
+    p = t(spark, sf_dir, "part")
+    return relational.blocked_entity_match(
+        p, "p_name", F.split(F.col("name"), " ").getItem(1), max_distance=4
+    )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             UNNEST(range(0, len(embedding))) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim
+    )
+    SELECT vec_id, CAST(e.dim AS BIGINT) AS dim,
+           CAST(CASE WHEN mx = mn THEN 0
+                     ELSE LEAST(FLOOR((v - mn) / (mx - mn) * 256), 255)
+                END AS BIGINT) AS code
+    FROM e JOIN s USING (dim)
+    ORDER BY vec_id, dim
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embedding corpus
+    (operators.similarity.scalar_quantize): per-dim min/max learned in
+    a |dims|-key groupBy, broadcast back; codes are pure integer
+    output of identical-order double arithmetic — the corpus itself
+    never shuffles."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize(e, levels=256)

@@ -293,7 +293,8 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(e.value), 2) AS total_value
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE), 2)
+             AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     ORDER BY segment
@@ -318,7 +319,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # per-row DECIMAL(28,10) widening before SUM: double
+            # addition is order-sensitive across partial-agg orders,
+            # so a raw double total near a rounding boundary could
+            # hash-mismatch nondeterministically (float-oracle rule)
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 2
+            ).alias("total_value"),
         )
     )
     out = _run_stream_to_table(agg, spark)

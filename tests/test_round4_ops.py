@@ -1,0 +1,263 @@
+"""Unit semantics for the round-4 operators: batch sessionization,
+SCD2 interval compaction, RAG chunking, n-gram heavy hitters, blocked
+entity matching, scalar quantization. End-to-end oracle parity runs
+per-query in test_queries_oracle.py; these pin the operator semantics
+on hand-built micro-fixtures plus the plan-shape claims.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark import plans
+from big_data_project_implementation_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+from big_data_project_implementation_spark.operators import (
+    events as ev,
+    relational,
+    similarity,
+    text,
+)
+
+EV_SCHEMA = "user_id long, ts timestamp, event_id long, event_type string"
+T0 = datetime(2024, 1, 1, 12, 0)
+
+
+def _m(minutes: int) -> datetime:
+    return T0 + timedelta(minutes=minutes)
+
+
+# ---------------------------------------------------------------- sessionize
+
+
+def test_sessionize_splits_on_gap(spark):
+    df = spark.createDataFrame(
+        [
+            # u1: two events 10 min apart, then a 31-min gap
+            (1, _m(0), 1, "view"), (1, _m(10), 2, "view"), (1, _m(41), 3, "view"),
+            # u2: single event
+            (2, _m(0), 4, "view"),
+        ],
+        EV_SCHEMA,
+    )
+    out = ev.sessionize(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    assert by_user[1][0].n_events == 2
+    assert by_user[1][0].session_start == _m(0)
+    assert by_user[1][0].session_end == _m(10)
+    assert by_user[1][1].n_events == 1
+    assert by_user[1][1].session_start == _m(41)
+    assert len(by_user[2]) == 1
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    # 30:00 exactly is NOT > 30 min: same session
+    df = spark.createDataFrame(
+        [(1, _m(0), 1, "view"), (1, _m(30), 2, "view")], EV_SCHEMA
+    )
+    out = ev.sessionize(df, gap_minutes=30).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_sessionize_single_user_exchange(spark):
+    # lag window + cum-sum window + (user, session) groupBy all reuse
+    # one HashPartitioning(user); the trailing orderBy adds its range
+    # exchange — so at most 2 total
+    e = load_table(spark, SF_DIR, "events")
+    assert plans.count_shuffles(ev.sessionize(e)) <= 2
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def test_scd2_compacts_runs_and_closes_intervals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _m(0), 1, "free"), (1, _m(5), 2, "free"),
+            (1, _m(10), 3, "paid"), (1, _m(20), 4, "free"),
+        ],
+        EV_SCHEMA,
+    )
+    out = ev.scd2_intervals(df).collect()
+    assert [(r.state, r.valid_from, r.valid_to) for r in out] == [
+        ("free", _m(0), _m(10)),
+        ("paid", _m(10), _m(20)),
+        ("free", _m(20), None),
+    ]
+    assert [r.is_current for r in out] == [False, False, True]
+
+
+def test_scd2_one_current_row_per_user(spark):
+    e = load_table(spark, SF_DIR, "events")
+    out = ev.scd2_intervals(e)
+    current = out.filter("is_current").groupBy("user_id").count()
+    assert current.filter("count != 1").count() == 0
+    # intervals chain: valid_to of row i == valid_from of row i+1
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    chained = out.withColumn("next_from", F.lead("valid_from").over(w)).filter(
+        F.col("next_from").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert chained.count() == 0
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunk_counts_and_overlap(spark):
+    words = [f"w{i}" for i in range(113)]
+    d = _docs(spark, [" ".join(words)])
+    out = text.chunk_documents(d, chunk_tokens=64, overlap=16).collect()
+    # stride 48: starts 0, 48, 96 -> 3 chunks (96 + 17 = 113)
+    assert [r.chunk_idx for r in out] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in out] == [64, 64, 17]
+    # consecutive chunks share exactly the 16-token overlap
+    c0, c1 = out[0].chunk_text.split(" "), out[1].chunk_text.split(" ")
+    assert c0[48:] == c1[:16]
+    # stride-concatenation reconstructs the doc
+    rebuilt = c0 + c1[16:] + out[2].chunk_text.split(" ")[16:]
+    assert rebuilt == words
+
+
+def test_chunk_short_and_exact_docs(spark):
+    d = _docs(spark, ["a b c", " ".join(f"w{i}" for i in range(64))])
+    out = text.chunk_documents(d, chunk_tokens=64, overlap=16)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 2  # one chunk each
+    assert rows[0].n_chunk_tokens == 3
+    assert rows[1].n_chunk_tokens == 64
+
+
+def test_chunk_is_shuffle_free(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    chunks = text.chunk_documents(d)  # before the query's orderBy
+    # explode + projections only — the corpus never shuffles (the
+    # registered query adds one orderBy exchange for presentation)
+    assert plans.count_shuffles(chunks) <= 1
+
+
+# ---------------------------------------------------------------- n-grams
+
+
+def test_ngram_counts_exact(spark):
+    d = _docs(spark, ["a b a b", "b a"])
+    out = {
+        r.gram: r.n_occurrences
+        for r in text.ngram_heavy_hitters(d, n=2, k=10).collect()
+    }
+    assert out == {"a b": 2, "b a": 2}
+
+
+def test_ngram_short_docs_yield_nothing(spark):
+    d = _docs(spark, ["solo", ""])
+    assert text.ngram_heavy_hitters(d, n=2, k=10).count() == 0
+
+
+def test_trigram_and_tiebreak(spark):
+    d = _docs(spark, ["x y z x y"])
+    out = text.ngram_heavy_hitters(d, n=3, k=10).collect()
+    assert [(r.gram, r.n_occurrences) for r in out] == [
+        ("x y z", 1), ("y z x", 1), ("z x y", 1),
+    ]
+
+
+# ---------------------------------------------------------------- ER
+
+
+def test_blocked_match_matches_bruteforce(spark):
+    import itertools
+
+    p = load_table(spark, SF_DIR, "part")
+    got = relational.blocked_entity_match(
+        p, "p_name", F.split(F.col("name"), " ").getItem(1), max_distance=4
+    ).collect()
+    # brute-force reference on the distinct names (small by design)
+    import pandas as pd
+
+    names = p.select("p_name").toPandas()["p_name"]
+    counts = names.value_counts()
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expect = set()
+    for a, b in itertools.combinations(sorted(counts.index), 2):
+        if a.split(" ")[1] == b.split(" ")[1] and lev(a, b) <= 4:
+            expect.add((a, b))
+    assert {(r.name_a, r.name_b) for r in got} == expect
+    for r in got:
+        assert r.name_a < r.name_b and r.dist <= 4
+        assert r.rows_a == counts[r.name_a] and r.rows_b == counts[r.name_b]
+
+
+def test_blocked_match_never_crosses_blocks(spark):
+    df = spark.createDataFrame(
+        [("red widget",), ("blu widget",), ("red gear",)], "p_name string"
+    )
+    out = relational.blocked_entity_match(
+        df, "p_name", F.split(F.col("name"), " ").getItem(1), max_distance=4
+    ).collect()
+    # "red gear" ~ "red widget" is dist 5 anyway, but blocking alone
+    # must already keep the widget-block and gear-block apart
+    assert [(r.name_a, r.name_b, r.dist) for r in out] == [
+        ("blu widget", "red widget", 3)
+    ]
+
+
+# ---------------------------------------------------------------- SQ8
+
+
+def test_quantize_codes_bounded_and_monotone(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    out = similarity.scalar_quantize(e, levels=256)
+    assert out.filter((F.col("code") < 0) | (F.col("code") > 255)).count() == 0
+    # min/max component of every dim must code to 0 / 255
+    lo_hi = out.groupBy("dim").agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    )
+    assert lo_hi.filter("lo != 0 OR hi != 255").count() == 0
+
+
+def test_quantize_reconstruction_error_bound(spark):
+    rows = [(0, [0.0, 10.0]), (1, [5.0, 20.0]), (2, [10.0, 15.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    codes = {
+        (r.vec_id, r.dim): r.code
+        for r in similarity.scalar_quantize(df, levels=256).collect()
+    }
+    spans = {0: (0.0, 10.0), 1: (10.0, 20.0)}
+    for (vid, dim), code in codes.items():
+        mn, mx = spans[dim]
+        v = rows[vid][1][dim]
+        recon = mn + (code + 0.5) * (mx - mn) / 256
+        assert abs(recon - v) <= (mx - mn) / 256 / 2 + 1e-9
+
+
+def test_quantize_constant_dim_codes_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (1, [1.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    out = similarity.scalar_quantize(df).collect()
+    assert all(r.code == 0 for r in out if r.dim == 0)

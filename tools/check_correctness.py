@@ -47,9 +47,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
+            # Strict, driver-grade form: a float cell must NEVER
+            # canonicalize to the same string as an int cell — the
+            # driver's hasher distinguishes 2061 (BIGINT) from 2061.0
+            # (float64), and collapsing them here is exactly how the
+            # q12/text_pack_sequences HUGEINT oracle bugs slipped
+            # through to the round-3 driver gate (VERDICT r3 #4).
             if v == int(v) and abs(v) < 1e15:
-                return f"{int(v)}"
-            return f"{v:.9g}"
+                return f"{int(v)}.0"
+            s = f"{v:.9g}"
+            # %.9g drops the point when 9 sig figs round to integral
+            # (2061.0000000001 → "2061"); keep float-form everywhere
+            return s if ("." in s or "e" in s or "n" in s) else s + ".0"
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(canon(x) for x in v) + "]"
         if isinstance(v, dict):
