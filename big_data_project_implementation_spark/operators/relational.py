@@ -128,3 +128,72 @@ def blocked_entity_match(
         )
         .orderBy("name_a", "name_b")
     )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Temporal-validity join: attach to each fact row the dimension
+    interval that was in effect at its timestamp (``from <= ts < to``,
+    NULL ``to`` = still current) — the lookup every SCD2 dimension
+    exists to serve.
+
+    Scale shape: this is an EQUI-join on ``key`` with the range
+    predicates as residual join conditions, so Spark plans a hash/SMJ
+    exchange on the key — never a theta-join blowup. Per-key interval
+    counts are small by construction (one per state change), so the
+    residual scan inside each key group is cheap and there is no
+    skew amplification beyond the key's own fact count.
+    """
+    i = intervals.select(
+        F.col(key).alias("_k"),
+        F.col(from_col).alias("_from"),
+        F.col(to_col).alias("_to"),
+        *[
+            c
+            for c in intervals.columns
+            if c not in (key, from_col, to_col)
+        ],
+    )
+    cond = (
+        (facts[key] == i["_k"])
+        & (facts[ts_col] >= i["_from"])
+        & (i["_to"].isNull() | (facts[ts_col] < i["_to"]))
+    )
+    return facts.join(i, cond).drop("_k", "_from", "_to")
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram: global [min, max] split into ``buckets``
+    uniform bins; the max value folds into the last bin.
+
+    Scale shape: the 1-row min/max aggregate broadcasts back onto the
+    stream (no second scan pass materializes anything), the bucket id
+    is a codegen projection, and the final count is a map-side-combined
+    groupBy over ``buckets`` keys — shuffle traffic is O(buckets) per
+    task regardless of input size. Bucket arithmetic is identical-order
+    double math, so bucket ids are engine-deterministic."""
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("_mn"), F.max(v).alias("_mx")
+    )
+    bucket = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * buckets),
+            F.lit(buckets - 1),
+        )
+    )
+    return (
+        df.join(F.broadcast(stats))
+        .select(bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("bucket")
+    )

@@ -705,3 +705,102 @@ def ngram_heavy_hitters(
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(k)
     )
+
+
+def strip_top_df_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 10,
+) -> DataFrame:
+    """Corpus-driven stopword stripping: learn the ``top_n`` terms by
+    DOCUMENT frequency (distinct docs containing the term, tie-break
+    term ASC), then remove every occurrence from every doc, preserving
+    the order and multiplicity of the surviving tokens.
+
+    Scale shape: the df-ranking is a distinct (doc, term) projection +
+    one map-side-combined groupBy on term; the ``top_n`` list is a
+    1-row array broadcast onto the corpus, where the strip itself is a
+    JVM higher-order ``filter`` inside codegen — the corpus never
+    shuffles and no Python runs. (array_except would dedup surviving
+    tokens; filter + array_contains keeps multiplicity.)"""
+    toks = df.withColumn("_toks", F.split(F.col(text_col), " "))
+    dfreq = (
+        toks.select(id_col, F.explode("_toks").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_n)
+    )
+    sw = dfreq.agg(F.sort_array(F.collect_list("term")).alias("_sw"))
+    kept = F.filter(
+        "_toks", lambda t: ~F.array_contains(F.col("_sw"), t)
+    )
+    return (
+        toks.join(F.broadcast(sw))
+        .select(
+            id_col,
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.array_join(kept, " ").alias("stripped"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def pack_sequences_bfd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str = "lang",
+    budget: int = 2048,
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing: within each shard, sort
+    docs by token count descending and place each into the fullest
+    existing pack that still fits, else open a new pack. Tighter than
+    ``pack_sequences``' streaming concatenation (fewer packs, less
+    padding waste) at the cost of being inherently sequential — so it
+    runs per-shard via ``applyInPandas``: the legitimate
+    custom-stateful escape hatch (SURVEY §7.3), Arrow-batched, one
+    group per language shard, parallel across shards. Deterministic:
+    ties in token count break on ``id_col``, and best-fit ties pick
+    the lowest pack id.
+
+    Oversized docs (> budget) get a singleton pack. Registered
+    rows-only (a stateful loop is not SQL-expressible); invariants —
+    budget respected, pack-count lower bound, partitioning
+    independence — are pinned in tests/test_round4_ops.py."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, {shard_col} string, {tokens_col} long, "
+        "pack_id long, pack_fill long"
+    )
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assign: list[int] = []
+        for n in pdf[tokens_col]:
+            best, best_fill = -1, -1
+            for pid, fill in enumerate(fills):
+                if fill + n <= budget and fill > best_fill:
+                    best, best_fill = pid, fill
+            if best < 0:
+                fills.append(int(n))
+                assign.append(len(fills) - 1)
+            else:
+                fills[best] += int(n)
+                assign.append(best)
+        pdf["pack_id"] = assign
+        pdf["pack_fill"] = [fills[a] for a in assign]
+        return pdf[[id_col, shard_col, tokens_col, "pack_id", "pack_fill"]]
+
+    return (
+        df.select(id_col, shard_col, F.col(tokens_col).cast("long"))
+        .groupBy(shard_col)
+        .applyInPandas(bfd, out_schema)
+        .orderBy(shard_col, "pack_id", id_col)
+    )

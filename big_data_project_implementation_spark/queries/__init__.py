@@ -113,17 +113,18 @@ _WINDOW_R5 = [
     "dedup_word_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "similarity_bruteforce_topk", "similarity_lsh_topk",
     "embedding_near_dup", "embedding_near_dup_lsh", "multimodal_metadata",
-    # the 6 round-4 additions — first driver row next window
-    "events_sessionize", "events_scd2", "text_chunk_overlap",
-    "text_ngram_topk", "er_blocked_pairs", "embedding_quantize",
-    # 10 rotated-back round-3-certified representatives so the heavy
-    # families keep a recent driver row (TPC-H / windows / UDF /
-    # streaming / relational anchors); the rest of the R3 window
+    # the 10 round-4 additions — first driver row next window
+    "events_sessionize", "events_scd2", "events_point_in_interval",
+    "text_chunk_overlap", "text_ngram_topk", "text_stopword_strip",
+    "text_pack_bfd", "er_blocked_pairs", "embedding_quantize",
+    "agg_histogram",
+    # 6 rotated-back round-3-certified representatives so the heavy
+    # families keep a recent driver row (TPC-H / UDF / streaming /
+    # multimodal / relational anchors); the rest of the R3 window
     # re-certifies at round 6 when the cycle returns to _WINDOW_R3
-    "q1_pricing_summary", "q21_waiting_orders",
-    "window_ranking", "udf_grouped_agg", "stream_tumbling_window",
-    "multimodal_features", "project_filter", "predicates_null_in_like",
-    "explode_lateral_view", "sql_front_door",
+    "q1_pricing_summary", "q21_waiting_orders", "udf_grouped_agg",
+    "stream_tumbling_window", "multimodal_features",
+    "explode_lateral_view",
 ]
 
 

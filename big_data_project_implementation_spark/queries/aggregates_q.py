@@ -448,3 +448,32 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH s AS (
+      SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+             max(CAST(l_extendedprice AS DOUBLE)) AS mx
+      FROM lineitem
+    )
+    SELECT CAST(CASE WHEN mx = mn THEN 0
+                     ELSE LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn)
+                                      / (mx - mn) * 20), 19)
+                END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem CROSS JOIN s
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice into 20 bins
+    (operators.relational.equi_width_histogram): 1-row min/max
+    broadcast onto the stream, codegen bucket id, O(buckets)
+    map-side-combined rollup — identical-order double arithmetic keeps
+    bucket ids engine-deterministic."""
+    from big_data_project_implementation_spark.operators import relational
+
+    li = t(spark, sf_dir, "lineitem")
+    return relational.equi_width_histogram(li, "l_extendedprice", buckets=20)

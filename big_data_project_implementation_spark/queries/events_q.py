@@ -181,3 +181,47 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped before the interval-close window."""
     e = t(spark, sf_dir, "events")
     return ev.scd2_intervals(e)
+
+
+@query(
+    "events_point_in_interval",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM marked
+      WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    iv AS (
+      SELECT user_id, state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT e.event_id, e.user_id, e.ts, iv.state
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.valid_from
+     AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+    ORDER BY e.event_id
+    """,
+)
+def events_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-validity join (operators.relational.interval_join over
+    operators.events.scd2_intervals): label every event with the SCD2
+    state in effect at its timestamp — [from, to) semantics, so each
+    event matches exactly one interval and the output is row-for-row
+    the event table. The join is equi on user_id with the range as
+    residual condition: a hash exchange, never a theta blowup."""
+    from big_data_project_implementation_spark.operators import relational
+
+    e = t(spark, sf_dir, "events")
+    iv = ev.scd2_intervals(e).select(
+        "user_id", "state", "valid_from", "valid_to"
+    )
+    facts = e.select("event_id", "user_id", "ts")
+    return relational.interval_join(facts, iv, "user_id").orderBy("event_id")

@@ -1285,3 +1285,53 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles."""
     e = t(spark, sf_dir, "embeddings")
     return similarity.scalar_quantize(e, levels=256)
+
+
+@query(
+    "text_stopword_strip",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tks FROM documents
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM (
+        SELECT DISTINCT doc_id, term
+        FROM (SELECT doc_id, UNNEST(tks) AS term FROM toks)
+      )
+      GROUP BY term
+    ),
+    top AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 10),
+    sw AS (SELECT list_sort(list(term)) AS sw_list FROM top)
+    SELECT doc_id,
+           CAST(len(list_filter(tks, x -> NOT list_contains(sw.sw_list, x)))
+                AS BIGINT) AS n_kept,
+           array_to_string(
+             list_filter(tks, x -> NOT list_contains(sw.sw_list, x)), ' ')
+             AS stripped
+    FROM toks CROSS JOIN sw
+    ORDER BY doc_id
+    """,
+)
+def text_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword stripping (operators.text
+    .strip_top_df_terms): top-10 document-frequency terms learned in a
+    distinct+groupBy, broadcast as a 1-row array, removed by a JVM
+    higher-order filter that preserves order and multiplicity — the
+    corpus itself never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    return text.strip_top_df_terms(d, top_n=10)
+
+
+@query("text_pack_bfd")  # rows-only: a stateful packing loop is not
+# SQL-expressible; invariants (budget bound, pack-count lower bound,
+# partitioning independence) are pinned in tests/test_round4_ops.py
+def text_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing per language shard
+    (operators.text.pack_sequences_bfd): applyInPandas per shard — the
+    documented custom-stateful escape hatch — tighter than the
+    streaming pack_sequences at the cost of a per-shard sort."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text.token_count("text")
+    )
+    return text.pack_sequences_bfd(d, budget=512)

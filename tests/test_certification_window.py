@@ -110,13 +110,15 @@ def test_window_r5_composition():
     assert stale <= set(_WINDOW_R5), sorted(stale - set(_WINDOW_R5))
     no_oracle = {n for n in _WINDOW_R5 if REGISTRY[n].oracle is None}
     # fn_partition_introspection (spark_partition_id is engine-local),
-    # the similarity/near-dup approximate paths: rows-only by design
+    # the similarity/near-dup approximate paths, and the stateful BFD
+    # packing loop: rows-only by design
     assert no_oracle <= {
         "fn_partition_introspection",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "similarity_lsh_topk",
         "embedding_near_dup_lsh",
+        "text_pack_bfd",
     }
 
 

@@ -261,3 +261,118 @@ def test_quantize_constant_dim_codes_zero(spark):
     )
     out = similarity.scalar_quantize(df).collect()
     assert all(r.code == 0 for r in out if r.dim == 0)
+
+
+# ------------------------------------------------------- interval join
+
+
+def test_interval_join_point_semantics(spark):
+    iv = spark.createDataFrame(
+        [
+            (1, "free", _m(0), _m(10)),
+            (1, "paid", _m(10), None),
+        ],
+        "user_id long, state string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, _m(0)), (11, 1, _m(9)), (12, 1, _m(10)), (13, 1, _m(99))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.state
+        for r in relational.interval_join(facts, iv, "user_id").collect()
+    }
+    # [from, to): the boundary instant belongs to the NEW interval
+    assert got == {10: "free", 11: "free", 12: "paid", 13: "paid"}
+
+
+def test_point_in_interval_covers_every_event_once(spark):
+    e = load_table(spark, SF_DIR, "events")
+    iv = ev.scd2_intervals(e).select(
+        "user_id", "state", "valid_from", "valid_to"
+    )
+    joined = relational.interval_join(
+        e.select("event_id", "user_id", "ts"), iv, "user_id"
+    )
+    assert joined.count() == e.count()
+    assert joined.select("event_id").distinct().count() == e.count()
+
+
+# ---------------------------------------------------------- histogram
+
+
+def test_histogram_buckets_and_counts(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    out = {r.bucket: r.n for r in
+           relational.equi_width_histogram(df, "v", buckets=10).collect()}
+    # [0, 99] into 10 bins of width 9.9; max folds into bucket 9
+    assert sum(out.values()) == 100
+    assert set(out) == set(range(10))
+    assert out[9] == 10  # floor(90/9.9)=9 .. 99 (max fold) -> 10 values
+
+
+def test_histogram_constant_column(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    out = relational.equi_width_histogram(df, "v").collect()
+    assert [(r.bucket, r.n) for r in out] == [(0, 2)]
+
+
+# ------------------------------------------------------ stopword strip
+
+
+def test_stopword_strip_keeps_order_and_multiplicity(spark):
+    # "a" is in every doc (df=3) -> stopword; others df<=2 survive
+    d = _docs(spark, ["a b a c", "a b", "a x"])
+    out = {r.doc_id: r for r in text.strip_top_df_terms(d, top_n=1).collect()}
+    assert out[0].stripped == "b c" and out[0].n_kept == 2
+    assert out[1].stripped == "b" and out[2].stripped == "x"
+
+
+def test_stopword_strip_df_tiebreak_is_term_asc(spark):
+    # all terms df=1; top-1 must be the lexicographically smallest
+    d = _docs(spark, ["z q m"])
+    out = text.strip_top_df_terms(d, top_n=1).collect()[0]
+    assert out.stripped == "z q"  # "m" stripped
+
+
+# -------------------------------------------------------- BFD packing
+
+
+def _bfd_input(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    )
+
+
+def test_bfd_respects_budget_and_beats_naive(spark):
+    rows = [(i, "en", n) for i, n in enumerate([300, 300, 260, 240, 200, 200])]
+    out = text.pack_sequences_bfd(
+        _bfd_input(spark, rows), budget=512
+    ).collect()
+    fills = {}
+    for r in out:
+        fills.setdefault(r.pack_id, 0)
+        fills[r.pack_id] += r.n_tokens
+    assert all(f <= 512 for f in fills.values())
+    # lower bound: ceil(1500/512) = 3 packs; BFD hits it
+    assert len(fills) == 3
+    # pack_fill column reports the final fill of the doc's pack
+    for r in out:
+        assert r.pack_fill == fills[r.pack_id]
+
+
+def test_bfd_oversized_doc_gets_singleton_pack(spark):
+    out = text.pack_sequences_bfd(
+        _bfd_input(spark, [(0, "en", 9999), (1, "en", 10)]), budget=512
+    ).collect()
+    by_doc = {r.doc_id: r.pack_id for r in out}
+    assert by_doc[0] != by_doc[1]
+
+
+def test_bfd_deterministic_across_partitionings(spark):
+    rows = [(i, "l" + str(i % 3), 50 + (i * 37) % 400) for i in range(60)]
+    a = text.pack_sequences_bfd(_bfd_input(spark, rows), budget=512)
+    b = text.pack_sequences_bfd(
+        _bfd_input(spark, rows).repartition(7), budget=512
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
