@@ -330,3 +330,53 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream_to_table(agg, spark)
     return out.orderBy("segment")
+
+
+@query(
+    "stream_point_in_interval",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM marked
+      WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    iv AS (
+      SELECT user_id, state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT e.event_id, e.user_id, e.ts, iv.state
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.valid_from
+     AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+    ORDER BY e.event_id
+    """,
+)
+def stream_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static TEMPORAL join: a live event stream enriched with
+    the SCD2 state valid at each event's timestamp — the static
+    interval dimension (operators.events.scd2_intervals, re-planned
+    per micro-batch) joins equi-on-user with the range as residual
+    condition, stateless on the stream side. Shares
+    events_point_in_interval's oracle verbatim: ingest-time and batch
+    enrichment must certify identically."""
+    from big_data_project_implementation_spark.operators import (
+        events as ev_ops,
+        relational,
+    )
+    from big_data_project_implementation_spark.queries.registry import t
+
+    iv = ev_ops.scd2_intervals(t(spark, sf_dir, "events")).select(
+        "user_id", "state", "valid_from", "valid_to"
+    )
+    sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    joined = relational.interval_join(sdf, iv, "user_id")
+    out = _run_stream_to_table(joined, spark, output_mode="append")
+    return out.orderBy("event_id")

@@ -20,7 +20,9 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "json", "csv", "text", "orc")
+# xml is native DataSource V2 since Spark 4 (rowTag option required);
+# avro would need the external spark-avro jar, absent in this container
+_FORMATS = ("parquet", "json", "csv", "text", "orc", "xml")
 
 
 def read(

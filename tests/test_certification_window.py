@@ -73,12 +73,14 @@ def test_window_r3_composition():
     assert tpch <= window and len(tpch) == 22
     assert windows <= window and len(windows) == 7
     assert udf <= window and len(udf) == 6
-    # the 5 round-2-era streaming queries; round-3 additions are in R4
+    # the 5 round-2-era streaming queries; round-3 additions are in
+    # R4, round-4 additions in R5
     assert len(streaming & window) == 5
     assert streaming - window <= {
         "stream_dedup_exact",
         "stream_quality_filter",
         "stream_static_join",
+        "stream_point_in_interval",
     }
     # every R3 window entry carries a DuckDB oracle
     assert [n for n in _WINDOW_R3 if REGISTRY[n].oracle is None] == []

@@ -26,14 +26,18 @@ def _nation(spark):
     return sources.load_table(spark, SF_DIR, "nation")
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc", "xml"])
 def test_roundtrip_formats(spark, tmpdir_, fmt):
     df = _nation(spark)
     path = f"{tmpdir_}/{fmt}"
     opts = {"header": "true"} if fmt == "csv" else {}
+    if fmt == "xml":  # rowTag is mandatory for the native Spark 4 source
+        opts = {"rowTag": "row"}
     sources.write(df, path, fmt=fmt, mode="overwrite", **opts)
     if fmt == "csv":
         back = sources.read(spark, path, fmt=fmt, header="true", inferSchema="true")
+    elif fmt == "xml":
+        back = sources.read(spark, path, fmt=fmt, rowTag="row")
     else:
         back = sources.read(spark, path, fmt=fmt)
     assert back.count() == df.count()

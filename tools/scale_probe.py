@@ -130,6 +130,12 @@ def main() -> None:
     ap.add_argument(
         "--pipeline", action="store_true", help="probe dedup/text/similarity instead"
     )
+    ap.add_argument(
+        "--queries",
+        nargs="*",
+        help="explicit probe list (overrides --pipeline), e.g. the "
+        "worst-case 100x dedup_spans + dedup_mass pressure test",
+    )
     args = ap.parse_args()
 
     from big_data_project_implementation_spark import get_session
@@ -140,7 +146,7 @@ def main() -> None:
     build_scaled(spark, args.src, dst, args.factor)
     print(f"built {args.factor}x copy in {round(time.time() - t0, 1)}s", flush=True)
 
-    names = PIPELINE_QUERIES if args.pipeline else PROBE_QUERIES
+    names = args.queries or (PIPELINE_QUERIES if args.pipeline else PROBE_QUERIES)
     base = time_queries(spark, args.src, names)  # warm + baseline
     scaled = time_queries(spark, dst, names)
     report = {
