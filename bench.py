@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "dedup_mass",
     "text_bm25_search",
+    "pipeline_curate_end_to_end",
 ]
 
 

@@ -1335,3 +1335,109 @@ def text_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", text.token_count("text")
     )
     return text.pack_sequences_bfd(d, budget=512)
+
+
+@query(
+    "pipeline_curate_end_to_end",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, text, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / GREATEST(length(text), 1), 6) AS punct_ratio,
+             ROUND(1.0 - len(list_distinct(string_split(text, ' ')))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS repetition_ratio,
+             ROUND(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, lang FROM stats
+      WHERE n_tokens >= 3 AND n_tokens <= 100000
+        AND mean_token_len >= 2 AND mean_token_len <= 12
+        AND punct_ratio <= 0.3 AND repetition_ratio <= 0.5
+    ),
+    surv_ids AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept
+      GROUP BY array_to_string(string_split(lower(trim(text)), ' ')[1:5], ' ')
+    ),
+    survd AS (SELECT k.* FROM kept k JOIN surv_ids USING (doc_id)),
+    w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM survd
+    ),
+    posts AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(ws) - 4, 1) + 1),
+               i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+      FROM w
+    ),
+    ew AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    eg AS (
+      SELECT DISTINCT UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(ws) - 4, 1) + 1),
+               i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+      FROM ew
+    ),
+    contaminated AS (SELECT DISTINCT p.doc_id FROM posts p JOIN eg USING (gram))
+    SELECT s.doc_id, s.lang,
+           CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
+           CASE WHEN strpos('0123456789abcdef',
+                            substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1)) - 1 < 12
+                     THEN 'train'
+                WHEN strpos('0123456789abcdef',
+                            substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM survd s LEFT JOIN contaminated c ON s.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+    ORDER BY s.doc_id
+    """,
+)
+def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE Catalyst plan — the flagship
+    composition a reference user actually runs: Gopher-rule quality
+    filter (codegen projection) → exact dedup on the normalized 5-word
+    prefix (8-byte fingerprint shuffle, min-id survivor) → eval-set
+    decontamination (hashed 5-gram semi-join vs the doc_id % 97 == 0
+    held-out slice) → deterministic md5-nibble train/val/test split.
+    Every stage is an already-certified operator; composing them in one
+    DataFrame lets Catalyst pipeline the projections and share the
+    scan — no materialization between stages, which IS the 100 TB
+    deployment shape."""
+    from big_data_project_implementation_spark.operators import dedup
+
+    d = t(spark, sf_dir, "documents")
+    kept = (
+        text.quality_filter(d)
+        .filter("keep")
+        .select("doc_id", "text", "lang")
+    )
+    pref = F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 5), " "
+    )
+    surv = dedup.exact_dedup(
+        kept.withColumn("prefix", pref), text_col="prefix", id_col="doc_id"
+    ).drop("prefix")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    flags = text.decontaminate(surv, eval_df, k=5).select(
+        "doc_id", "contaminated"
+    )
+    return (
+        surv.join(flags, "doc_id")
+        .filter(~F.col("contaminated"))
+        .select(
+            "doc_id",
+            "lang",
+            text.token_count("text").alias("n_tokens"),
+            text.hash_split("doc_id").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
