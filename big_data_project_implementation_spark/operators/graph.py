@@ -87,3 +87,63 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("u").alias("id"), "rank")
+
+
+def co_occurrence_edges(
+    df: DataFrame, group_col: str, node_col: str
+) -> DataFrame:
+    """Undirected co-occurrence edge list: nodes sharing a group
+    (suppliers co-filling an order, users co-editing a doc, terms
+    co-occurring in a window) get one canonical ``src < dst`` edge.
+
+    Scale shape: distinct (group, node) first — membership dedup kills
+    the multiplicity blowup — then a within-group self-join whose
+    fan-out is bounded by group size squared. A power-law hub group
+    WOULD blow up here, so real deployments cap or sample mega-groups;
+    the fixture's groups (lineitems per order) are bounded by
+    construction. Final distinct collapses parallel edges."""
+    m = df.select(
+        F.col(group_col).alias("g"), F.col(node_col).alias("n")
+    ).distinct()
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.n") < F.col("b.n")))
+        .select(F.col("a.n").alias("src"), F.col("b.n").alias("dst"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over a canonical (src < dst) edge list —
+    the clustering-structure scalar every graph report leads with.
+
+    The classic two-join formulation: wedges a-b-c from edges (a,b),
+    (b,c), closed by probing (a,c). Canonical orientation (a < b < c
+    throughout) counts each triangle exactly once AND bounds the wedge
+    stream by out-degrees in the degree-ordered DAG — the standard
+    skew-defense for triangle counting at scale. Joins are plain
+    equi-joins; AQE picks broadcast vs shuffle per side."""
+    ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of an undirected canonical edge list:
+    (degree, n_nodes) rows. Two map-side-combined groupBys — endpoints
+    union to (node, 1) partials, then degrees roll up; shuffle traffic
+    is node- then degree-cardinality, never edge payloads."""
+    ends = edges.select(F.col("src").alias("n")).unionAll(
+        edges.select(F.col("dst").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count("*").cast("bigint").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
+    )

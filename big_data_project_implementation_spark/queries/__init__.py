@@ -113,18 +113,17 @@ _WINDOW_R5 = [
     "dedup_word_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "similarity_bruteforce_topk", "similarity_lsh_topk",
     "embedding_near_dup", "embedding_near_dup_lsh", "multimodal_metadata",
-    # the 12 round-4 additions — first driver row next window
+    # the 14 round-4 additions — first driver row next window
     "events_sessionize", "events_scd2", "events_point_in_interval",
     "text_chunk_overlap", "text_ngram_topk", "text_stopword_strip",
     "text_pack_bfd", "er_blocked_pairs", "embedding_quantize",
     "agg_histogram", "stream_point_in_interval",
-    "pipeline_curate_end_to_end",
-    # 4 rotated-back round-3-certified representatives so the heavy
-    # families keep a recent driver row (TPC-H / UDF / streaming /
-    # multimodal anchors); the rest of the R3 window re-certifies at
-    # round 6 when the cycle returns to _WINDOW_R3
-    "q1_pricing_summary", "udf_grouped_agg",
-    "stream_tumbling_window", "multimodal_features",
+    "pipeline_curate_end_to_end", "graph_triangle_count",
+    "graph_degree_hist",
+    # 2 rotated-back round-3-certified anchors; the rest of the R3
+    # window re-certifies at round 6 when the cycle returns to
+    # _WINDOW_R3
+    "q1_pricing_summary", "multimodal_features",
 ]
 
 

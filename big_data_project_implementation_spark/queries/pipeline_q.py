@@ -1441,3 +1441,60 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.n AS src, b.n AS dst
+      FROM m a JOIN m b ON a.g = b.g AND a.n < b.n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e ab
+    JOIN e bc ON ab.dst = bc.src
+    JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order; operators.graph.co_occurrence_edges + triangle_count —
+    the supplier variant is near-complete on this fixture, i.e.
+    degenerate): canonical a<b<c orientation counts each triangle once
+    and degree-bounds the wedge stream — the standard scale
+    formulation, pure equi-joins."""
+    from big_data_project_implementation_spark.operators import graph
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_count(edges)
+
+
+@query(
+    "graph_degree_hist",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.n AS src, b.n AS dst
+      FROM m a JOIN m b ON a.g = b.g AND a.n < b.n
+    ),
+    ends AS (
+      SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY n
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph
+    (operators.graph.degree_histogram): two map-side-combined rollups;
+    shuffle traffic is node- then degree-cardinality."""
+    from big_data_project_implementation_spark.operators import graph
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.degree_histogram(edges)

@@ -59,3 +59,41 @@ def test_partitioning_invariance(spark):
     assert set(a) == set(b)
     for k in a:
         assert a[k] == pytest.approx(b[k], rel=1e-9)
+
+
+def test_co_occurrence_edges_canonical_and_deduped(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (2, 20), (2, 10), (3, 30)],
+        "g long, n long",
+    )
+    edges = graph.co_occurrence_edges(df, "g", "n").collect()
+    # groups 1 and 2 both produce (10, 20); distinct collapses them;
+    # singleton group 3 produces nothing
+    assert [(r.src, r.dst) for r in edges] == [(10, 20)]
+
+
+def test_triangle_count_exact(spark):
+    # K4 minus one edge = 2 triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    assert graph.triangle_count(edges).collect()[0].n_triangles == 2
+    # K4 complete = 4 triangles
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    assert graph.triangle_count(k4).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_no_triangle(spark):
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert graph.triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_degree_histogram(spark):
+    # star: center degree 3, leaves degree 1
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    out = {r.degree: r.n_nodes for r in graph.degree_histogram(star).collect()}
+    assert out == {1: 3, 3: 1}
