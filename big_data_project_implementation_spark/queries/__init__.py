@@ -127,26 +127,114 @@ _WINDOW_R5 = [
 ]
 
 
-def _round_number() -> int:
+_WINDOW_SIZE = 50
+
+
+def _repo_root() -> str:
+    return _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+
+def _round_number(root: str | None = None) -> int:
     """Rounds completed so far = CORRECTNESS files the driver has
     written; the build round in progress is that + 1. Falls back to
     round 3 (this window's vintage) if the files are unreadable."""
-    root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
     try:
-        return len(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))) + 1
+        return len(
+            _glob.glob(_os.path.join(root or _repo_root(), "CORRECTNESS_r*.json"))
+        ) + 1
     except OSError:
         return 3
 
 
+def _driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
+    """name → (round of newest driver row, whether that row was green).
+
+    Green = rows+schema match, no error, and — when an oracle ran —
+    hash match too (``hash_match`` is absent/None on rows-only rows,
+    which still count as their by-design pass)."""
+    import json as _json
+    import re as _re
+
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(_glob.glob(_os.path.join(root or _repo_root(), "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # rows-only by design: green iff the Spark side ran
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    bool(row.get("rows_match"))
+                    and bool(row.get("schema_match"))
+                    and row.get("hash_match") is not False
+                    and not row.get("err")
+                )
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, ok)
+    return hist
+
+
+def _computed_window(
+    names: list[str],
+    history: dict[str, tuple[int, bool]],
+    size: int = _WINDOW_SIZE,
+) -> list[str]:
+    """The ``size`` registry entries most in need of a driver row.
+
+    Priority (pure function of the committed driver files, so every
+    environment — builder, driver, judge — computes the same window):
+      1. red latest driver row (a fixed fail must recertify first);
+      2. never certified (new operators get their row next round);
+      3. stalest green row (oldest round first), so nothing certified
+         goes more than ceil(len(registry)/size) rounds without a
+         fresh driver row;
+    ties broken by registration order (stable and deterministic).
+    The window keeps registration order among the chosen entries so
+    related families stay adjacent in CORRECTNESS_r{N}.json."""
+    order = {n: i for i, n in enumerate(names)}
+
+    def prio(n: str) -> tuple[int, int, int]:
+        last = history.get(n)
+        if last is not None and not last[1]:
+            return (0, last[0], order[n])  # red row: highest priority
+        if last is None:
+            return (1, 0, order[n])  # never certified
+        return (2, last[0], order[n])  # stalest green first
+
+    chosen = set(sorted(names, key=prio)[:size])
+    return [n for n in names if n in chosen]
+
+
 # Rounds 1-2 certified the first 50 alphabetical entries; round 3 the
-# R3 window. From round 3 on the three windows cycle (R3→R4→R5→R3→…)
-# so every family re-certifies at most 3 rounds after its last driver
-# row, indefinitely — no _WINDOW_R6+ edits needed.
+# pinned R3 window. From round 4 on the window is COMPUTED from the
+# driver's own CORRECTNESS_r*.json history (red rows, then
+# never-certified, then stalest green), so newly added queries take
+# slots automatically and no family goes stale — no hand-edited
+# _WINDOW_R6+ needed. The pinned R4/R5 lists remain as the fallback
+# should the driver files ever be unreadable.
 _round = _round_number()
 if _round <= 3:
     _CERTIFICATION_WINDOW = _WINDOW_R3
 else:
-    _CERTIFICATION_WINDOW = (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5)[(_round - 3) % 3]
+    try:
+        _CERTIFICATION_WINDOW = _computed_window(list(REGISTRY), _driver_history())
+    except Exception:  # never let rotation break imports
+        _CERTIFICATION_WINDOW = (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5)[(_round - 3) % 3]
 
 _window_set = set(_CERTIFICATION_WINDOW)
 _missing = _window_set - set(REGISTRY)
