@@ -748,6 +748,160 @@ def strip_top_df_terms(
     )
 
 
+def word_ngrams(toks_col: str, n: int) -> Column:
+    """Word ``n``-grams of a tokens-array column (empty array when the
+    doc is shorter than ``n``) — pure codegen expressions."""
+    gram_i = "concat(" + ", ' ', ".join(
+        f"element_at({toks_col}, i + {j})" for j in range(n)
+    ) + ")"
+    grams = F.expr(
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), i -> {gram_i})"
+    )
+    return F.when(F.size(toks_col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition signals: the duplicate
+    2-gram fraction (1 - distinct/total), the share of 2-gram
+    occurrences taken by the single most frequent 2-gram, and the
+    fraction of 3-gram occurrences belonging to 3-grams repeated
+    within the doc — the standard boilerplate/template filters for
+    pretraining corpora (Rae et al., Gopher §A1.1).
+
+    Scale shape: explode both gram sizes in one pass (union with an
+    ``n`` tag), hash grams to 8-byte keys, then TWO map-side-combined
+    groupBys — (doc, n, gram) counts, then (doc, n) stats — so the
+    shuffles carry longs and partial counts, never gram strings. Docs
+    too short for any gram are restored by a broadcastable left join
+    and report zero fractions."""
+    d = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    occ = None
+    for n in (2, 3):
+        o = d.select(
+            "id",
+            F.lit(n).alias("n"),
+            F.explode(word_ngrams("_toks", n)).alias("gram"),
+        )
+        occ = o if occ is None else occ.unionByName(o)
+    per_gram = occ.select(
+        "id", "n", F.xxhash64("gram").alias("h")
+    ).groupBy("id", "n", "h").agg(F.count("*").alias("cnt"))
+    per_n = per_gram.groupBy("id", "n").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup"),
+    )
+    stats = per_n.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col(c))).alias(f"{c}{n}")
+            for n in (2, 3)
+            for c in ("total", "n_distinct", "top", "dup")
+        ]
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+    t2, t3 = F.col("total2"), F.col("total3")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(t2, F.lit(0)).cast("bigint").alias("n2_total"),
+            frac(t2 - F.col("n_distinct2"), t2).alias("dup_2gram_frac"),
+            frac(F.col("top2"), t2).alias("top_2gram_frac"),
+            F.coalesce(t3, F.lit(0)).cast("bigint").alias("n3_total"),
+            frac(F.col("dup3"), t3).alias("dup_3gram_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's ``n``-gram
+    occurrences whose gram first appears (minimum doc id over the whole
+    corpus) in THIS doc — a cheap exact proxy for "how much of this
+    document is new text vs already-seen boilerplate" used to rank
+    crawl snapshots and dedup incremental dumps.
+
+    Scale shape: grams hash to 8-byte keys; (doc, gram) counts and the
+    corpus-wide min-doc table are both map-side-combined groupBys, and
+    the join back is on the gram hash — all shuffles carry longs.
+    First-occurrence attribution via min(doc_id) is exact and
+    associative, so it needs no ordered scan at any scale."""
+    d = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    occ = d.select("id", F.explode(word_ngrams("_toks", n)).alias("gram"))
+    per_gram = occ.select("id", F.xxhash64("gram").alias("h")).groupBy(
+        "id", "h"
+    ).agg(F.count("*").alias("cnt"))
+    first = per_gram.groupBy("h").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        per_gram.join(first, "h")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), F.col("cnt")).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("total", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.when(
+                    F.col("total") > 0,
+                    F.col("novel").cast("double") / F.col("total"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def group_topk_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+    seed: str = "",
+) -> DataFrame:
+    """Exactly-``k``-per-group deterministic sampling: keep the first
+    ``k`` rows of each group in md5-of-id order — the distributed,
+    reproducible equivalent of per-group reservoir sampling (uniform
+    over the group because md5 order is independent of the data), used
+    to draw fixed-size eval/inspection slices per language or source.
+
+    Scale shape: one hash exchange on the group key + a rank inside
+    each partition; with heavy groups the window never materializes
+    the group (running row_number only). ``seed`` salts the order for
+    a fresh draw without touching the data."""
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.select(group_col, id_col)
+        .withColumn("rank_in_group", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_group") <= k)
+        .orderBy(group_col, "rank_in_group")
+    )
+
+
 def pack_sequences_bfd(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -477,3 +477,66 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem")
     return relational.equi_width_histogram(li, "l_extendedprice", buckets=20)
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    md AS (
+      SELECT l_returnflag, l_quantity FROM (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, l_quantity ASC) AS rn
+        FROM c
+      ) WHERE rn = 1
+    ),
+    disc AS (
+      SELECT l_returnflag, min(l_quantity) AS q90 FROM (
+        SELECT l_returnflag, l_quantity,
+               cume_dist() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_quantity) AS cd
+        FROM lineitem
+      ) WHERE cd >= 0.9 GROUP BY 1
+    ),
+    med AS (
+      SELECT l_returnflag, median(l_quantity) AS m FROM lineitem GROUP BY 1
+    )
+    SELECT md.l_returnflag,
+           CAST(md.l_quantity AS BIGINT) AS mode_qty,
+           ROUND(med.m, 6) AS median_qty,
+           CAST(disc.q90 AS BIGINT) AS p90_disc_qty
+    FROM md JOIN med USING (l_returnflag) JOIN disc USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (max count, min value tie-break — neither
+    engine's built-in ``mode`` pins ties), exact median, and
+    percentile_disc(0.9) per return flag. The mode is two map-side-
+    combined groupBys + a max_by on the (count, -value) pair — no
+    window, no per-group materialization; the exact order statistics
+    use Spark's native median/percentile_disc, oracled via the
+    cume_dist formulation that IS their documented semantics
+    (reference CAT/expressions/aggregate/Percentile.scala)."""
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    mode = counts.groupBy("l_returnflag").agg(
+        F.max_by(
+            "l_quantity", F.struct(F.col("cnt"), (-F.col("l_quantity")).alias("nq"))
+        )
+        .cast("bigint")
+        .alias("mode_qty")
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+        .cast("bigint")
+        .alias("p90_disc_qty"),
+    )
+    return mode.join(stats, "l_returnflag").orderBy("l_returnflag")

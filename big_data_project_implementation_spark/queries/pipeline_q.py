@@ -1498,3 +1498,95 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
     return graph.degree_histogram(edges)
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1]) AS g2,
+             list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(g2) AS BIGINT) AS n2_total,
+           ROUND(CASE WHEN len(g2) > 0
+                 THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                 ELSE 0 END, 6) AS dup_2gram_frac,
+           ROUND(CASE WHEN len(g2) > 0
+                 THEN list_max(list_transform(list_distinct(g2),
+                      x -> len(list_filter(g2, y -> y = x)))) * 1.0 / len(g2)
+                 ELSE 0 END, 6) AS top_2gram_frac,
+           CAST(len(g3) AS BIGINT) AS n3_total,
+           ROUND(CASE WHEN len(g3) > 0
+                 THEN (len(g3) - len(list_filter(list_distinct(g3),
+                       x -> len(list_filter(g3, y -> y = x)) = 1))) * 1.0 / len(g3)
+                 ELSE 0 END, 6) AS dup_3gram_frac
+    FROM g ORDER BY doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-2gram fraction, top-2gram
+    share, dup-3gram occurrence mass) per document — exact, gram-hash
+    shuffles only (operators.text.repetition_signals)."""
+    return text.repetition_signals(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    pg AS (SELECT doc_id, gram, count(*) AS c FROM o GROUP BY 1, 2),
+    fst AS (SELECT gram, min(doc_id) AS first_id FROM pg GROUP BY 1),
+    pd AS (
+      SELECT pg.doc_id,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN fst.first_id = pg.doc_id THEN c ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM pg JOIN fst USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(total, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(novel, 0) AS BIGINT) AS n_novel,
+           ROUND(CASE WHEN total > 0 THEN novel * 1.0 / total ELSE 0 END, 6)
+               AS novelty_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence 3-gram novelty per document (share of gram
+    occurrences first seen in this doc) — exact via associative
+    min-doc attribution (operators.text.ngram_novelty)."""
+    return text.ngram_novelty(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample_group_topk",
+    oracle="""
+    SELECT lang, doc_id, rank_in_group FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rank_in_group
+      FROM documents
+    ) WHERE rank_in_group <= 10
+    ORDER BY lang, rank_in_group
+    """,
+)
+def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-group sampling (md5-order reservoir
+    equivalent; operators.text.group_topk_sample) — engine- and
+    partitioning-invariant, so the drawn sample itself is certifiable."""
+    return text.group_topk_sample(
+        t(spark, sf_dir, "documents"), group_col="lang", k=10
+    ).select("lang", "doc_id", "rank_in_group")

@@ -23,20 +23,29 @@ from big_data_project_implementation_spark.queries.registry import query, t
     "udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged
+           FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+               / 100 AS charged
     FROM lineitem
     WHERE l_orderkey % 200 = 0
     ORDER BY l_orderkey, l_linenumber
     """,
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar pandas_udf (Arrow-batched; reference Python-UDF parity)."""
+    """Scalar pandas_udf (Arrow-batched; reference Python-UDF parity).
+
+    Cents rounding is spelled out as floor(x*100 + 0.5)/100 on BOTH
+    sides: numpy's ``.round`` is half-EVEN while DuckDB's ROUND is
+    half-away, and a charge landing exactly on a half-cent flipped the
+    sf0.1 hash (38910.585 → .58 vs .59). The explicit form is
+    bit-identical for the positive domain on any engine."""
 
     @F.pandas_udf(DoubleType())
     def charge(
         price: pd.Series, discount: pd.Series, tax: pd.Series
     ) -> pd.Series:
-        return (price * (1.0 - discount) * (1.0 + tax)).round(2)
+        import numpy as np
+
+        return np.floor(price * (1.0 - discount) * (1.0 + tax) * 100.0 + 0.5) / 100.0
 
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
     return li.select(
@@ -50,8 +59,9 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg",
     oracle="""
     SELECT user_id,
-           ROUND(SUM(value) / COUNT(*), 4) AS mean_value,
-           ROUND(MAX(value) - MIN(value), 4) AS value_range
+           FLOOR(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) * 1.0
+                 / COUNT(*) / 1000000 * 10000 + 0.5) / 10000 AS mean_value,
+           FLOOR((MAX(value) - MIN(value)) * 10000 + 0.5) / 10000 AS value_range
     FROM events
     GROUP BY user_id
     ORDER BY user_id
@@ -60,22 +70,36 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas_udf — the PySpark UDAF surface (reference
     UserDefinedAggregateFunction, SQLC/expressions/udaf.scala:31;
-    SURVEY §7.3 decision: pandas_udf GROUPED_AGG is the supported form)."""
+    SURVEY §7.3 decision: pandas_udf GROUPED_AGG is the supported form).
+
+    The mean runs over micro-unit BIGINTs (value rounded to 6dp ×1e6)
+    so the per-group sum is EXACT integer arithmetic: double summation
+    is order-sensitive across partial-aggregation orders, and a group
+    mean on a rounding boundary flipped the sf0.1 hash (46.99625 →
+    .9963 vs .9962). Division back to double is bit-identical on both
+    engines given identical integer sums, and the 4dp rounding is the
+    explicit floor(x*1e4+0.5)/1e4 form — ROUND-on-double disagrees
+    between engines exactly on half boundaries (same trap as
+    udf_pandas_scalar's cents)."""
+    import math
 
     @F.pandas_udf(DoubleType())
     def mean_udaf(v: pd.Series) -> float:
-        return float(v.sum() / len(v))
+        mean = float(v.sum()) / len(v) / 1e6
+        return math.floor(mean * 10000.0 + 0.5) / 10000.0
 
     @F.pandas_udf(DoubleType())
     def range_udaf(v: pd.Series) -> float:
-        return float(v.max() - v.min())
+        return math.floor(float(v.max() - v.min()) * 10000.0 + 0.5) / 10000.0
 
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").withColumn(
+        "value_micro", F.round(F.col("value") * 1e6, 0).cast("bigint")
+    )
     return (
         e.groupBy("user_id")
         .agg(
-            F.round(mean_udaf("value"), 4).alias("mean_value"),
-            F.round(range_udaf("value"), 4).alias("value_range"),
+            mean_udaf("value_micro").alias("mean_value"),
+            range_udaf("value").alias("value_range"),
         )
         .orderBy("user_id")
     )

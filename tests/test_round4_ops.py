@@ -376,3 +376,88 @@ def test_bfd_deterministic_across_partitionings(spark):
         _bfd_input(spark, rows).repartition(7), budget=512
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ------------------------------------------------- repetition signals
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame([(1, "a b a b a"), (2, "x")], DOC_SCHEMA)
+    out = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    r1 = out[1]
+    # 2-grams: [a b, b a, a b, b a] — total 4, distinct 2, top 2
+    assert r1.n2_total == 4
+    assert r1.dup_2gram_frac == 0.5
+    assert r1.top_2gram_frac == 0.5
+    # 3-grams: [a b a, b a b, a b a] — "b a b" unique → dup mass 2/3
+    assert r1.n3_total == 3
+    assert r1.dup_3gram_frac == round(2 / 3, 6)
+    # single-token doc: no grams, zero fractions, still one row
+    r2 = out[2]
+    assert (r2.n2_total, r2.n3_total) == (0, 0)
+    assert (r2.dup_2gram_frac, r2.top_2gram_frac, r2.dup_3gram_frac) == (0, 0, 0)
+
+
+def test_repetition_signals_no_repeats(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], DOC_SCHEMA)
+    r = text.repetition_signals(df).collect()[0]
+    assert r.dup_2gram_frac == 0.0 and r.dup_3gram_frac == 0.0
+    assert r.top_2gram_frac == 0.25  # 4 distinct 2-grams, top share 1/4
+
+
+# ---------------------------------------------------- n-gram novelty
+
+
+def test_ngram_novelty_first_doc_owns_its_grams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "p q r s")], DOC_SCHEMA
+    )
+    out = {r.doc_id: r for r in text.ngram_novelty(df).collect()}
+    assert out[1].novelty_frac == 1.0  # doc 1 saw everything first
+    assert out[2].novelty_frac == 0.0  # exact copy of an earlier doc
+    assert out[3].novelty_frac == 1.0  # disjoint vocabulary
+    assert out[1].n_grams == 2 and out[1].n_novel == 2
+
+
+def test_ngram_novelty_partial_overlap_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c x y"), (3, "zz")], DOC_SCHEMA
+    )
+    out = {r.doc_id: r for r in text.ngram_novelty(df).collect()}
+    # doc 2 grams: [a b c, b c x, c x y] — only the first is old
+    assert out[2].n_grams == 3 and out[2].n_novel == 2
+    assert out[2].novelty_frac == round(2 / 3, 6)
+    # doc 3 too short for a 3-gram: zero row, frac 0
+    assert out[3].n_grams == 0 and out[3].novelty_frac == 0.0
+
+
+# ------------------------------------------------- group top-k sample
+
+
+def test_group_topk_sample_exact_k_and_partition_invariance(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = text.group_topk_sample(docs, group_col="lang", k=5).collect()
+    b = text.group_topk_sample(
+        docs.repartition(7, "doc_id"), group_col="lang", k=5
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    per_group: dict[str, int] = {}
+    for r in a:
+        per_group[r.lang] = per_group.get(r.lang, 0) + 1
+        assert 1 <= r.rank_in_group <= 5
+    n_langs = docs.select("lang").distinct().count()
+    assert len(per_group) == n_langs
+    assert all(v == 5 for v in per_group.values())  # fixture groups ≥ 5
+
+
+def test_group_topk_sample_seed_changes_draw(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r.doc_id for r in text.group_topk_sample(docs, k=5).collect()}
+    b = {
+        r.doc_id
+        for r in text.group_topk_sample(docs, k=5, seed="fresh").collect()
+    }
+    assert a != b  # md5 salting re-draws
