@@ -514,3 +514,63 @@ def scalar_quantize(
         )
         .orderBy("vec_id", "dim")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.85,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    k-means clustering bounds the quadratic pair search to within-cell
+    candidates, near-duplicate pairs (cosine ≥ ``threshold``) are
+    transitive-closed with the large-star/small-star CC operator, and
+    each cluster keeps its minimum-id member. Approximate ONLY in that
+    cross-cell near-dups are missed — the SemDeDup trade — so it is
+    registered rows-only; soundness invariants are pinned in pytest.
+
+    Scale shape: cell assignment is a broadcast argmax (centroids are
+    k rows); the pair search joins on ``cell``, so its cost is
+    sum(|cell|²) not N² — at 100 TB you raise ``n_cells`` so cells stay
+    executor-sized (the paper uses 50k clusters for LAION); the CC
+    rounds shuffle 8-byte edge endpoints only.
+    """
+    from big_data_project_implementation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cents = ivf_centroids(emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("id").orderBy(F.desc("_cos"), F.asc("cell"))
+    assigned = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine("vec", "centroid"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "vec", "cell")
+    )
+    a = assigned.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("va", "vb") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        assigned.join(comp, assigned["id"] == comp["id"], "left")
+        .select(
+            assigned["id"].alias(id_col),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.coalesce("component", assigned["id"]).cast("bigint").alias("component"),
+        )
+        .withColumn("kept", F.col(id_col) == F.col("component"))
+    )

@@ -1590,3 +1590,14 @@ def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.group_topk_sample(
         t(spark, sf_dir, "documents"), group_col="lang", k=10
     ).select("lang", "doc_id", "rank_in_group")
+
+
+@query("embedding_semdedup")  # cross-cell misses → rows-only; invariants in pytest
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table: deterministic
+    k-means cells bound the pair search, within-cell cosine ≥ 0.35
+    pairs (the fixture's near-dup band, matching embedding_near_dup)
+    transitive-close via star-contraction CC, min-id survivor per
+    cluster (operators.similarity.semdedup)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.semdedup(emb, threshold=0.35, n_cells=8).orderBy("vec_id")

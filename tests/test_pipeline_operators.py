@@ -639,3 +639,56 @@ def test_min_band_collisions_precision_knob(spark):
     }
     assert p2 <= p1
     assert (0, 1) in p2  # exact dup collides in all bands
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup soundness: kept = min-id per component; no two kept
+    vectors in the same cell are near-dups; every dropped vector has a
+    same-cell near-dup neighbor (the edge that pulled it into its
+    component); deterministic across partitionings."""
+    emb = _emb(spark).select("vec_id", "embedding")
+    out = similarity.semdedup(emb, threshold=0.35, n_cells=8)
+    rows = out.collect()
+    assert {r.vec_id for r in rows} == {
+        r.vec_id for r in emb.select("vec_id").collect()
+    }
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.vec_id for m in members)
+        kept = [m for m in members if m.kept]
+        assert len(kept) == 1 and kept[0].vec_id == comp
+        # a component never spans cells (pairs are within-cell only)
+        assert len({m.cell for m in members}) == 1
+
+    # within-cell exact pairs at the same threshold
+    assigned = out.select("vec_id", "cell").join(emb, "vec_id")
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+    )
+    pairs = {
+        (r.ia, r.ib)
+        for r in a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(similarity.cosine("va", "vb") >= 0.35)
+        .collect()
+    }
+    comp_of = {r.vec_id: r.component for r in rows}
+    kept_ids = {r.vec_id for r in rows if r.kept}
+    # no near-dup pair survives with both sides kept
+    assert not any(x in kept_ids and y in kept_ids for x, y in pairs)
+    # every near-dup pair landed in one component
+    assert all(comp_of[x] == comp_of[y] for x, y in pairs)
+    # dropped ⇒ touched by at least one near-dup edge
+    touched = {v for p in pairs for v in p}
+    dropped = {r.vec_id for r in rows if not r.kept}
+    assert dropped <= touched
+
+    again = similarity.semdedup(
+        emb.repartition(5, "vec_id"), threshold=0.35, n_cells=8
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
