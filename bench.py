@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "dedup_mass",
     "text_bm25_search",
     "pipeline_curate_end_to_end",
+    "text_repetition_signals",
+    "text_ngram_novelty",
+    "embedding_semdedup",
 ]
 
 

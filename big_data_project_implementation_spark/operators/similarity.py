@@ -538,33 +538,69 @@ def semdedup(
     executor-sized (the paper uses 50k clusters for LAION); the CC
     rounds shuffle 8-byte edge endpoints only.
     """
-    from big_data_project_implementation_spark.operators.dedup import (
-        connected_components,
-    )
-
     cents = ivf_centroids(emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("id").orderBy(F.desc("_cos"), F.asc("cell"))
+    # Pre-normalize once so every pair score is a plain dot product
+    # (cosine would recompute both norms per candidate pair), and
+    # localCheckpoint: the assignment feeds the pair search twice plus
+    # the output join — without it the whole k-means lineage re-executes
+    # for each consumer.
+    unit = F.transform(
+        F.col("vec"), lambda x: x.cast("double") / norm(F.col("vec"))
+    )
     assigned = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(cents))
         .withColumn("_cos", cosine("vec", "centroid"))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("id", "vec", "cell")
+        .select("id", unit.alias("uvec"), "cell")
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
-        F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("va")
+        F.col("cell"), F.col("id").alias("id_a"), F.col("uvec").alias("va")
     )
     b = assigned.select(
-        F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vb")
+        F.col("cell"), F.col("id").alias("id_b"), F.col("uvec").alias("vb")
     )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine("va", "vb") >= threshold)
-        .select("id_a", "id_b")
+        .filter(dot("va", "vb") >= threshold)
+        .select("cell", "id_a", "id_b")
     )
-    comp = connected_components(pairs)
+    # Components cannot span cells (pairs are within-cell by
+    # construction), so transitive closure runs as per-cell union-find
+    # in ONE applyInPandas pass — each group is bounded by the cell
+    # size the operator already guarantees, vs O(log n) iterative jobs
+    # for the generic large-star/small-star operator. Use
+    # dedup.connected_components instead when pair sources can link
+    # arbitrary nodes.
+    import pandas as pd
+
+    def _cc_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for xa, xb in zip(pdf["id_a"], pdf["id_b"]):
+            parent[find(int(xa))] = find(int(xb))
+        roots: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            roots[r] = min(roots.get(r, node), node)
+        return pd.DataFrame(
+            {
+                "id": list(parent),
+                "component": [roots[find(n)] for n in parent],
+            }
+        )
+
+    comp = pairs.groupBy("cell").applyInPandas(_cc_in_cell, "id long, component long")
     return (
         assigned.join(comp, assigned["id"] == comp["id"], "left")
         .select(

@@ -620,3 +620,31 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_max(a).cast("bigint").alias("mx"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+           upper(json_extract_string(props, '$.k')) IS NOT NULL AS has_k
+    FROM events
+    WHERE event_id % 20 = 0
+    ORDER BY event_id
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json into an
+    open-schema variant column, typed path extraction via variant_get —
+    the modern engine surface for JSON columns (shredded storage at
+    scale; beats per-row get_json_object string re-parsing). DuckDB
+    oracles the same paths through its JSON type."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
+    ).orderBy("event_id")

@@ -1600,4 +1600,32 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-close via star-contraction CC, min-id survivor per
     cluster (operators.similarity.semdedup)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return similarity.semdedup(emb, threshold=0.35, n_cells=8).orderBy("vec_id")
+    # scale knob: cells sized ~250 vectors keep the within-cell pair
+    # search bounded (SemDeDup's own trade — the paper's 50k clusters
+    # for LAION is this same ratio); 1-row scalar gates the choice
+    n_cells = max(8, emb.count() // 250)
+    return similarity.semdedup(emb, threshold=0.35, n_cells=n_cells).orderBy("vec_id")
+
+
+@query("sketch_count_min_topk")  # sketch overestimates by design → rows-only
+def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the exact top-50 2-grams
+    (operators.sketch): aggregation state bounded at depth×width cells
+    regardless of corpus size — the bounded-memory heavy-hitter path;
+    est ≥ true one-sided error pinned in pytest."""
+    from big_data_project_implementation_spark.operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    grams = d.withColumn("_toks", F.split("text", " ")).select(
+        F.explode(text.word_ngrams("_toks", 2)).alias("gram")
+    )
+    cm = sketch.count_min_build(grams, "gram", width=4096, depth=4)
+    top = text.ngram_heavy_hitters(d, n=2, k=50).select(
+        F.col("gram"), F.col("n_occurrences")
+    )
+    est = sketch.count_min_estimate(cm, top, "gram", width=4096, depth=4)
+    return (
+        top.join(est, top["gram"] == est["item"])
+        .select("gram", "n_occurrences", "est")
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+    )

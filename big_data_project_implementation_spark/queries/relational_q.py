@@ -354,3 +354,67 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events")
     return relational.key_skew_stats(e, "user_id")
+
+
+@query(
+    "relational_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS value FROM lineitem WHERE l_orderkey % 500 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey % 500 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey % 500 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      FROM lineitem WHERE l_orderkey % 500 = 0
+    )
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def relational_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (SQL UNPIVOT / melt): wide measure columns to
+    long (measure, value) rows — the modern inverse of pivot. A pure
+    per-row explode in the physical plan: zero shuffles, predicate
+    pushdown unaffected (the filter reaches the scan below the
+    Expand)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL surface: GROUP BY ALL / ORDER BY ALL (Spark ≥ 3.4 and
+    DuckDB both infer the grouping keys from the select list) through
+    the SQL front door — the same two-phase hash aggregate underneath."""
+    from big_data_project_implementation_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -692,3 +692,48 @@ def test_semdedup_invariants(spark):
         emb.repartition(5, "vec_id"), threshold=0.35, n_cells=8
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_count_min_never_underestimates(spark):
+    from big_data_project_implementation_spark.operators import sketch
+
+    docs = _docs(spark)
+    grams = docs.withColumn("_toks", F.split("text", " ")).select(
+        F.explode(text_ops.word_ngrams("_toks", 2)).alias("gram")
+    )
+    truth = {
+        r.gram: r.n for r in grams.groupBy("gram").agg(F.count("*").alias("n")).collect()
+    }
+    cm = sketch.count_min_build(grams, "gram", width=2048, depth=4)
+    # sketch size is bounded by depth x width whatever the corpus
+    assert cm.count() <= 4 * 2048
+    items = grams.select("gram").distinct()
+    est = {r.item: r.est for r in
+           sketch.count_min_estimate(cm, items, "gram", width=2048, depth=4).collect()}
+    assert set(est) == set(truth)
+    n_total = sum(truth.values())
+    for g, true_n in truth.items():
+        assert est[g] >= true_n  # one-sided error, always
+        # loose CM bound: overflow ≤ e*N/width w.h.p.; assert 4x slack
+        assert est[g] - true_n <= max(8, 4 * n_total // 2048)
+
+
+def test_count_min_merges_additively(spark):
+    from big_data_project_implementation_spark.operators import sketch
+
+    docs = _docs(spark)
+    grams = docs.withColumn("_toks", F.split("text", " ")).select(
+        F.explode(text_ops.word_ngrams("_toks", 2)).alias("gram")
+    )
+    half_a = grams.filter(F.crc32("gram") % 2 == 0)
+    half_b = grams.filter(F.crc32("gram") % 2 == 1)
+    merged = (
+        sketch.count_min_build(half_a, "gram", width=512, depth=3)
+        .unionByName(sketch.count_min_build(half_b, "gram", width=512, depth=3))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = sketch.count_min_build(grams, "gram", width=512, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
