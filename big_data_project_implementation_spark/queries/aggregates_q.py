@@ -540,3 +540,37 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_disc_qty"),
     )
     return mode.join(stats, "l_returnflag").orderBy("l_returnflag")
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, item
+    LIMIT 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (space-saving sketch, Spark 4): top-3 event types
+    with counts. The sketch tracks up to 10,000 items, far above this
+    domain's cardinality, where the algorithm is EXACT by construction
+    — so the query is oracle-certifiable while still exercising the
+    bounded-memory sketch path (the 100 TB story: frequency estimation
+    without a distinct-cardinality shuffle). Result rows re-sorted
+    (count DESC, item ASC) because intra-array tie order is
+    unspecified."""
+    from big_data_project_implementation_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT item, CAST(cnt AS BIGINT) AS cnt FROM (
+          SELECT inline(approx_top_k(event_type, 3))
+              AS (item, cnt)
+          FROM events
+        )
+        ORDER BY cnt DESC, item
+        """
+    )

@@ -418,3 +418,42 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_lateral_join",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.bal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    ORDER BY n.n_name, c.bal DESC, c.c_custkey
+    """,
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in FROM (top-2-per-outer-row) — the
+    modern SQL spelling of per-group top-k; Catalyst decorrelates it
+    into the same window/join plan the DataFrame API produces, so no
+    per-row re-execution survives in the physical plan."""
+    from big_data_project_implementation_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.bal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.bal DESC, c.c_custkey
+        """
+    )

@@ -241,3 +241,66 @@ def udf_classic_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", size_class("p_size").alias("size_class")).orderBy(
         "p_partkey"
     )
+
+
+@query(
+    "udf_arrow_python",
+    oracle="""
+    SELECT o_orderkey,
+           lower(string_split(o_orderpriority, '-')[2]) AS prio_word
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def udf_arrow_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized classic Python UDF (``useArrow=True``, Spark
+    3.5+): same row-function surface as udf_classic_python but the
+    exchange with the Python worker is Arrow-batched instead of
+    pickled rows — the migration path the reference's
+    BatchPythonEvaluation users take before rewriting to pandas_udf."""
+    word = F.udf(
+        lambda p: p.split("-")[1].lower() if p else None,
+        "string",
+        useArrow=True,
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey", word("o_orderpriority").alias("prio_word")
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_arrow
+    FROM documents
+    WHERE doc_id % 4 = 0
+    ORDER BY doc_id
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy batch surface below mapInPandas: the
+    function sees raw ``pyarrow.RecordBatch``es (no pandas conversion),
+    the right tool when the Python side is itself Arrow-native
+    (pyarrow.compute here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lengths(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                ],
+                ["doc_id", "n_chars_arrow"],
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return (
+        d.select("doc_id", "text")
+        .mapInArrow(lengths, "doc_id long, n_chars_arrow long")
+        .orderBy("doc_id")
+    )

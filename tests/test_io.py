@@ -179,3 +179,33 @@ def test_ctas_and_insert_into(spark):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS ctas_nation")
+
+
+def test_python_datasource_partitioned_read(spark):
+    """Spark 4 Python DataSource API: schema, options, and partitioned
+    generation (each input partition reads independently — the property
+    that scales to 1000 executors)."""
+    from big_data_project_implementation_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 60)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,shard:bigint,text:string>"
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 60
+    assert {r.doc_id for r in rows} == set(range(60))
+    for r in rows:
+        assert r.shard == r.doc_id % 5  # striping is deterministic
+        assert 3 <= len(r.text.split(" ")) <= 6
+    # re-read is bit-identical (pure function of options)
+    again = spark.read.format("synthetic_docs").option("rows", 60).option(
+        "partitions", 5
+    ).load().collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
