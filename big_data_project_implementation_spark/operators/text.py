@@ -958,3 +958,49 @@ def pack_sequences_bfd(
         .applyInPandas(bfd, out_schema)
         .orderBy(shard_col, "pack_id", id_col)
     )
+
+
+def hashed_linear_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FastText-style linear quality classifier at scan throughput:
+    score = sigmoid(mean of per-token hashed weights), where each
+    token's weight comes from a hash of the token itself — the exact
+    inference shape of a hashed-bag-of-words linear model (the standard
+    pretraining quality classifier), with the weight table replaced by
+    a deterministic hash so the query is engine-reproducible without
+    shipping a model artifact. Swap ``_w`` for ``element_at(weights,
+    hash)`` against a broadcast weight array to serve a real model —
+    the plan is unchanged.
+
+    Scale shape: pure per-row expressions (split, transform, aggregate,
+    sigmoid) — zero shuffles, zero Python; runs inside whole-stage
+    codegen at the scan's throughput. md5-derived weights (not
+    xxhash64) so DuckDB can oracle the identical arithmetic."""
+    toks = F.split(F.col(text_col), " ")
+    # token weight in integer MILLI-units [-500, 500): first 8 md5 hex
+    # chars as an int — integer summation is exact and order-free, so
+    # the margin is bit-identical on any engine; only the sigmoid's
+    # exp() is libm-dependent (score rounds at 4dp for that reason,
+    # margin at 6)
+    w = lambda tok: (  # noqa: E731
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint") % 1000
+    ) - 500
+    total = F.aggregate(
+        F.transform(toks, lambda tok: w(tok)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    margin = total.cast("double") / 1000.0 / F.greatest(F.size(toks), F.lit(1))
+    # explicit floor(x*10^d + 0.5)/10^d rounding: ROUND-on-double
+    # disagrees between engines exactly on half boundaries
+    r6 = F.floor(margin * 1e6 + 0.5) / 1e6
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        r6.alias("margin"),
+        (F.floor(score * 1e4 + 0.5) / 1e4).alias("score"),
+    ).orderBy(id_col)

@@ -1629,3 +1629,32 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram", "n_occurrences", "est")
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
     )
+
+
+@query(
+    "text_classifier_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, len(t) AS n,
+             CAST(list_sum(list_transform(t, tok ->
+               (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1000) - 500
+             )) AS BIGINT) AS total
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           FLOOR(CAST(total AS DOUBLE) / 1000.0 / GREATEST(n, 1) * 1e6 + 0.5)
+               / 1e6 AS margin,
+           FLOOR(1.0 / (1.0 + exp(-(CAST(total AS DOUBLE) / 1000.0
+                                    / GREATEST(n, 1)))) * 1e4 + 0.5) / 1e4
+               AS score
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed-bag-of-words linear classifier inference
+    at scan throughput (operators.text.hashed_linear_quality_score):
+    md5-hashed integer token weights sum exactly, sigmoid on top —
+    swap the hash for a broadcast weight table to serve a real quality
+    model with the identical zero-shuffle plan."""
+    return text.hashed_linear_quality_score(t(spark, sf_dir, "documents"))

@@ -106,3 +106,50 @@ def test_token_budget_sample_matches_python_recompute(spark, corpus, budgets):
         for r in text.token_budget_sample(df, budgets).collect()
     }
     assert got == _expected_mixture(corpus, budgets)
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_repetition_signals_match_python_recompute(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    assert set(rows) == {i for i, _ in corpus}
+    for doc_id, body in corpus:
+        toks = body.split(" ")
+        g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        g3 = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        r = rows[doc_id]
+        assert r.n2_total == len(g2) and r.n3_total == len(g3)
+        if g2:
+            assert r.dup_2gram_frac == round(1 - len(set(g2)) / len(g2), 6)
+            top = max(g2.count(x) for x in set(g2))
+            assert r.top_2gram_frac == round(top / len(g2), 6)
+        else:
+            assert r.dup_2gram_frac == 0.0 and r.top_2gram_frac == 0.0
+        if g3:
+            dup_mass = sum(c for c in (g3.count(x) for x in set(g3)) if c > 1)
+            assert r.dup_3gram_frac == round(dup_mass / len(g3), 6)
+        else:
+            assert r.dup_3gram_frac == 0.0
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_ngram_novelty_matches_python_recompute(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r.doc_id: r for r in text.ngram_novelty(df, n=3).collect()}
+    first_seen: dict[str, int] = {}
+    grams_by_doc: dict[int, list] = {}
+    for doc_id, body in sorted(corpus):
+        toks = body.split(" ")
+        g3 = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        grams_by_doc[doc_id] = g3
+        for g in g3:
+            first_seen.setdefault(g, doc_id)
+    for doc_id, _ in corpus:
+        g3 = grams_by_doc[doc_id]
+        novel = sum(1 for g in g3 if first_seen[g] == doc_id)
+        r = rows[doc_id]
+        assert (r.n_grams, r.n_novel) == (len(g3), novel)
+        expect = round(novel / len(g3), 6) if g3 else 0.0
+        assert r.novelty_frac == expect
