@@ -188,3 +188,48 @@ def test_pack_sequences_window_is_shard_partitioned(spark):
     df = REGISTRY["text_pack_sequences"].fn(spark, "/root/testdata/sf0.001")
     plan = plans.physical_plan(df)
     assert "hashpartitioning(lang" in plan, plan[:600]
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """AQE runtime row-level filtering: a selective dimension side
+    injects a bloom filter onto the fact scan of a SHUFFLE join
+    (might_contain on the application side, bloom_filter_agg on the
+    creation side) — at 100 TB this prunes fact rows before the
+    exchange. Broadcast joins don't need it (the dim itself filters),
+    which is why the test pins thresholds to force the shuffle path."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .filter(F.col("o_totalprice") > 200000)
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # and the filter sits on the fact (application) side scan
+        assert "l_orderkey" in next(
+            ln for ln in plan.split("\n") if "might_contain" in ln
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )

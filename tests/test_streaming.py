@@ -372,3 +372,54 @@ def test_dedup_stream_watermark_requires_delay(spark):
     sdf = events_stream(spark, SF_DIR)
     with pytest.raises(ValueError, match="delay"):
         streaming.dedup_stream(sdf, ["user_id"], watermark_col="ts")
+
+
+def test_socket_stream_source_ingests_lines(spark):
+    """Socket text source (reference STR/dstream/SocketInputDStream.scala:
+    the socketTextStream entry point) — a live TCP server feeds lines
+    into a streaming query; proves the push-based source path beyond
+    the file/rate sources the oracle queries use."""
+    import socket
+    import threading
+    import time
+
+    lines = [f"msg-{i}" for i in range(20)]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            for ln in lines:
+                conn.sendall((ln + "\n").encode())
+            time.sleep(5)  # keep the socket open while batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    sdf = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("socket_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = spark.sql("SELECT value FROM socket_sink").count()
+            if got >= len(lines):
+                break
+            time.sleep(0.5)
+        vals = {r.value for r in spark.sql("SELECT value FROM socket_sink").collect()}
+        assert set(lines) <= vals
+    finally:
+        q.stop()
+        server.close()
