@@ -257,3 +257,63 @@ def zorder_layout(
         .sortWithinPartitions("_z")
         .drop("_z", "_xmn", "_xmx", "_ymn", "_ymx")
     )
+
+
+def band_join(
+    df: DataFrame,
+    value_col: str,
+    eps: float,
+    key_cols: list[str] | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Self band-join: pairs of rows whose ``value_col`` differ by at
+    most ``eps`` (within optional exact-match ``key_cols``) — the
+    record-linkage / sensor-alignment primitive that is a quadratic
+    BroadcastNestedLoop as a raw theta join.
+
+    Scale shape: quantize values to eps-width buckets and emit each row
+    into its own bucket and the next one (explode ×2); candidates then
+    meet in an EQUI-join on (keys…, bucket) — a hash shuffle, no
+    nested loop. Any qualifying pair is ≤ eps apart so it lands in the
+    same or adjacent bucket: bucket-b rows meet bucket-b (both emit b)
+    and bucket-b+1 rows (which also emit b). The exact |Δ| ≤ eps filter
+    runs on candidates only; the canonical id_a < id_b orientation and
+    a distinct kill the dual-bucket double-count. Candidate volume is
+    sum over buckets of |b|·(|b|+|b+1|) — linear for spread data, and a
+    skewed bucket is an AQE skew-join split, not an algorithmic wall."""
+    keys = key_cols or []
+    bucket = F.floor(F.col(value_col) / eps).cast("bigint")
+    src = df.select(
+        *keys, F.col(id_col).alias("id"), F.col(value_col).alias("v"),
+        bucket.alias("b"),
+    )
+    emitted = src.select(
+        *keys, "id", "v", F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("bkt")
+    )
+    right = src.select(
+        *[F.col(k).alias(f"_r_{k}") for k in keys],
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("b").alias("bkt"),
+    )
+    cond = [emitted["bkt"] == right["bkt"]] + [
+        emitted[k] == right[f"_r_{k}"] for k in keys
+    ]
+    return (
+        emitted.join(right, cond)
+        # canonicalize with least/greatest, NOT id < id_b: the bucket
+        # emission is asymmetric (left probes up only), so a pair whose
+        # larger-id member sits in the LOWER bucket matches only with
+        # the larger id on the left — an id< filter would drop it
+        .filter(F.col("id") != F.col("id_b"))
+        .filter(F.abs(F.col("v") - F.col("v_b")) <= eps)
+        .select(
+            *keys,
+            F.least("id", "id_b").alias("id_a"),
+            F.greatest("id", "id_b").alias("id_b"),
+            # raw double: |x-y| is the same IEEE subtraction on any
+            # engine, so no rounding is needed (or wanted) for oracles
+            F.abs(F.col("v") - F.col("v_b")).alias("delta"),
+        )
+        .distinct()
+    )

@@ -457,3 +457,29 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, c.bal DESC, c.c_custkey
         """
     )
+
+
+@query(
+    "join_band_self",
+    oracle="""
+    SELECT a.event_type AS event_type, a.event_id AS id_a,
+           b.event_id AS id_b, abs(a.value - b.value) AS delta
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND abs(a.value - b.value) <= 0.001
+    ORDER BY a.event_type, id_a, id_b
+    """,
+)
+def join_band_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join (|Δvalue| ≤ ε within event_type;
+    operators.relational.band_join): eps-bucket quantization turns the
+    quadratic theta join into an EQUI-shuffle on (key, bucket) with an
+    exact residual filter — candidate volume is linear for spread
+    values, and the oracle is the raw theta join."""
+    from big_data_project_implementation_spark.operators import relational
+
+    e = t(spark, sf_dir, "events")
+    return relational.band_join(
+        e, "value", eps=0.001, key_cols=["event_type"], id_col="event_id"
+    ).orderBy("event_type", "id_a", "id_b")

@@ -461,3 +461,53 @@ def test_group_topk_sample_seed_changes_draw(spark):
         for r in text.group_topk_sample(docs, k=5, seed="fresh").collect()
     }
     assert a != b  # md5 salting re-draws
+
+
+# ----------------------------------------------------------- band join
+
+
+def test_band_join_finds_cross_bucket_pairs_and_no_nested_loop(spark):
+    rows = [
+        # bucket boundary at eps=1.0: 0.95 vs 1.05 are in buckets 0/1
+        (1, 0.95, "a"), (2, 1.05, "a"),
+        # same bucket
+        (3, 5.1, "a"), (4, 5.9, "a"),
+        # outside eps
+        (5, 7.0, "a"), (6, 8.5, "a"),
+        # qualifying values but different key
+        (7, 0.95, "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, value double, event_type string")
+    out = relational.band_join(
+        df, "value", eps=1.0, key_cols=["event_type"], id_col="event_id"
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(1, 2), (3, 4)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_join_matches_theta_join(spark):
+    from big_data_project_implementation_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_DIR, "events").select("event_id", "value", "event_type")
+    fast = {
+        (r.id_a, r.id_b)
+        for r in relational.band_join(
+            e, "value", eps=0.01, key_cols=["event_type"], id_col="event_id"
+        ).collect()
+    }
+    a, b = e.alias("a"), e.alias("b")
+    slow = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.value") - F.col("b.value")) <= 0.01),
+        )
+        .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"))
+        .collect()
+    }
+    assert fast == slow
