@@ -763,7 +763,10 @@ def word_ngrams(toks_col: str, n: int) -> Column:
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Gopher-style per-document repetition signals: the duplicate
     2-gram fraction (1 - distinct/total), the share of 2-gram
@@ -809,7 +812,7 @@ def repetition_signals(
         F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
     )
     t2, t3 = F.col("total2"), F.col("total3")
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(stats, "id", "left")
         .select(
@@ -820,12 +823,16 @@ def repetition_signals(
             F.coalesce(t3, F.lit(0)).cast("bigint").alias("n3_total"),
             frac(F.col("dup3"), t3).alias("dup_3gram_frac"),
         )
-        .orderBy(id_col)
     )
+    return out.orderBy(id_col) if ordered else out
 
 
 def ngram_novelty(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a doc's ``n``-gram
     occurrences whose gram first appears (minimum doc id over the whole
@@ -856,7 +863,7 @@ def ngram_novelty(
             ).alias("novel"),
         )
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(per_doc, "id", "left")
         .select(
@@ -871,8 +878,8 @@ def ngram_novelty(
                 6,
             ).alias("novelty_frac"),
         )
-        .orderBy(id_col)
     )
+    return out.orderBy(id_col) if ordered else out
 
 
 def group_topk_sample(
@@ -964,6 +971,7 @@ def hashed_linear_quality_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """FastText-style linear quality classifier at scan throughput:
     score = sigmoid(mean of per-token hashed weights), where each
@@ -998,9 +1006,10 @@ def hashed_linear_quality_score(
     # disagrees between engines exactly on half boundaries
     r6 = F.floor(margin * 1e6 + 0.5) / 1e6
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-    return df.select(
+    out = df.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         r6.alias("margin"),
         (F.floor(score * 1e4 + 0.5) / 1e4).alias("score"),
-    ).orderBy(id_col)
+    )
+    return out.orderBy(id_col) if ordered else out

@@ -1658,3 +1658,84 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the hash for a broadcast weight table to serve a real quality
     model with the identical zero-shuffle plan."""
     return text.hashed_linear_quality_score(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_curate_v2",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(g2) > 0
+                  THEN ROUND(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+                  ELSE 0 END AS dup2,
+             CASE WHEN len(g2) > 0
+                  THEN ROUND(list_max(list_transform(list_distinct(g2),
+                       x -> len(list_filter(g2, y -> y = x)))) * 1.0 / len(g2), 6)
+                  ELSE 0 END AS top2
+      FROM (SELECT doc_id,
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1]) AS g2
+            FROM toks)
+    ),
+    cls AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             FLOOR(1.0 / (1.0 + exp(-(CAST(list_sum(list_transform(t, tok ->
+               (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1000) - 500
+             )) AS DOUBLE) / 1000.0 / GREATEST(len(t), 1)))) * 1e4 + 0.5) / 1e4
+               AS score
+      FROM toks
+    ),
+    occ AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks
+    ),
+    pg AS (SELECT doc_id, gram, count(*) AS c FROM occ GROUP BY 1, 2),
+    fst AS (SELECT gram, min(doc_id) AS first_id FROM pg GROUP BY 1),
+    nov AS (
+      SELECT pg.doc_id,
+             ROUND(sum(CASE WHEN fst.first_id = pg.doc_id THEN c ELSE 0 END)
+                   * 1.0 / sum(c), 6) AS novelty_frac
+      FROM pg JOIN fst USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, cls.n_tokens, cls.score, nov.novelty_frac
+    FROM documents d
+    JOIN rep USING (doc_id)
+    JOIN cls USING (doc_id)
+    JOIN nov USING (doc_id)
+    WHERE rep.dup2 <= 0.1 AND rep.top2 <= 0.18
+      AND cls.score >= 0.5
+      AND nov.novelty_frac >= 0.5
+    ORDER BY d.doc_id
+    """,
+)
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation pipeline as ONE Catalyst plan: Gopher
+    repetition filters (dup-2gram ≤ 0.1, top-2gram share ≤ 0.18) →
+    hashed-linear classifier threshold (score ≥ 0.5) → corpus-novelty
+    floor (first-occurrence 3-gram share ≥ 0.5). Each stage is an
+    already-certified operator composed unordered (no sorts between
+    stages — the scan and gram explodes are shared/pipelined by
+    Catalyst; one orderBy at the very end only)."""
+    d = t(spark, sf_dir, "documents")
+    rep = text.repetition_signals(d, ordered=False).select(
+        "doc_id", "dup_2gram_frac", "top_2gram_frac"
+    )
+    cls = text.hashed_linear_quality_score(d, ordered=False).select(
+        "doc_id", "n_tokens", "score"
+    )
+    nov = text.ngram_novelty(d, ordered=False).select("doc_id", "novelty_frac")
+    return (
+        d.select("doc_id", "lang")
+        .join(rep, "doc_id")
+        .filter((F.col("dup_2gram_frac") <= 0.1) & (F.col("top_2gram_frac") <= 0.18))
+        .join(cls, "doc_id")
+        .filter(F.col("score") >= 0.5)
+        .join(nov, "doc_id")
+        .filter(F.col("novelty_frac") >= 0.5)
+        .select("doc_id", "lang", "n_tokens", "score", "novelty_frac")
+        .orderBy("doc_id")
+    )
