@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "text_repetition_signals",
     "text_ngram_novelty",
     "embedding_semdedup",
+    "text_classifier_score",
+    "join_band_self",
+    "pipeline_curate_v2",
 ]
 
 
