@@ -380,3 +380,134 @@ def stream_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = relational.interval_join(sdf, iv, "user_id")
     out = _run_stream_to_table(joined, spark, output_mode="append")
     return out.orderBy("event_id")
+
+
+def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events file stream plus TWO far-future sentinel files (negative
+    ids, filtered from results). Outer stream-stream joins emit their
+    null rows only when the watermark passes a row's join window, and
+    the watermark computed by batch N is applied at batch N+1's state
+    eviction — so a finite stream needs one batch to ADVANCE the
+    watermark past every real window (sentinel 1) and one more to
+    APPLY it (sentinel 2). maxFilesPerTrigger=1 keeps the files in
+    separate micro-batches; sentinel mtimes order them after the data."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "events_flush_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "aaa_events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_nanos = isinstance(raw.schema["ts"].dataType, LongType)
+    sent1 = os.path.join(stream_dir, "zz1_sentinel.parquet")
+    if not os.path.exists(sent1):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # single parquet FILES at the top level — the file stream
+        # source does not recurse into the directory a Spark write
+        # would produce, so those sentinels would silently never load
+        sch = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow
+        mx = raw.agg(F.max("ts")).collect()[0][0]
+        for i, path in enumerate(
+            [sent1, os.path.join(stream_dir, "zz2_sentinel.parquet")]
+        ):
+            days = 10 + i
+            ts = mx + (
+                int(days * 86400 * 1e9)
+                if is_nanos
+                else datetime.timedelta(days=days)
+            )
+            by_name = {
+                "event_id": [-1 - 10 * i, -2 - 10 * i],
+                "ts": [ts, ts],
+                "user_id": [-1, -2],
+                "event_type": ["click", "purchase"],
+                "value": [0.0, 0.0],
+                "props": ["{}", "{}"],
+            }
+            pq.write_table(
+                pa.table(
+                    {f.name: pa.array(by_name[f.name], type=f.type) for f in sch},
+                    schema=sch,
+                ),
+                path,
+            )
+    sdf = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    if is_nanos:
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 2 HOUR
+    WHERE c.event_type = 'click'
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the state-store path
+    inner joins never touch: unmatched left rows are held until the
+    watermark proves no future match can arrive, then emitted with
+    nulls. Certified against the batch LEFT JOIN oracle; the sentinel
+    mechanics that make a finite stream flush completely are in
+    _events_stream_with_flush."""
+    sdf = _events_stream_with_flush(spark, sf_dir)
+    clicks = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+            "left_outer",
+        )
+        # drop watermark sentinels — the OR with a RIGHT-side column
+        # makes this predicate non-pushable through the outer join: a
+        # plain user_id >= 0 filter would be pushed below the join onto
+        # the SHARED file scan, pruning the sentinel rows before the
+        # watermark node ever sees them (observed: watermark stuck,
+        # trailing null rows never flushed)
+        .filter((F.col("click_id") >= 0) | F.col("purchase_id").isNotNull())
+        .select("user_id", "click_id", "purchase_id")
+    )
+    return _run_stream_to_table(joined, spark, output_mode="append").orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
