@@ -511,3 +511,63 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(joined, spark, output_mode="append").orderBy(
         "user_id", "click_id", "purchase_id"
     )
+
+
+@query(
+    "stream_stream_full_join",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 2 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join: both sides hold
+    unmatched rows until the watermark closes their windows, then emit
+    with nulls — unmatched clicks AND unmatched purchases. Sentinel
+    drop predicates are null-TOLERANT per side (IS NULL OR ...) so the
+    optimizer cannot push them through the outer join onto the shared
+    scan (the stream_stream_left_join lesson)."""
+    sdf = _events_stream_with_flush(spark, sf_dir)
+    clicks = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+            "full_outer",
+        )
+        .filter(F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        .filter(F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        .select(
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+            "click_id",
+            "purchase_id",
+        )
+    )
+    return _run_stream_to_table(joined, spark, output_mode="append").orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
