@@ -88,6 +88,59 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    label (the near-misses a contrastive loss learns most from).
+
+    Same broadcast-queries × corpus-scan shape as brute_force_topk —
+    the label inequality is just one more pushed predicate on the
+    joined stream, so the plan stays a single corpus pass with a
+    per-query window rank. At 100 TB the queries side is the training
+    batch (small, broadcastable); swap the broadcast cross join for
+    ``lsh_bucketed_topk``'s bucket join when the query set itself is
+    large. Ties broken (cos DESC, neighbor_id ASC) — deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_label").cast("bigint").alias("neg_label"),
+            cosine("q_vec", "c_vec").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state —
     reproducible across driver runs)."""

@@ -74,3 +74,53 @@ def count_min_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+def bitmap_distinct_rollup(
+    df: DataFrame, key_cols: list[str], part_col: str, id_col: str
+) -> DataFrame:
+    """EXACT distinct-``id_col`` per key, computed as a two-level
+    roaring-style bitmap rollup: per-(key, ``part_col``) partial
+    bitmaps first, then a bitwise-OR merge across partitions.
+
+    This is THE reaggregation pattern for 100 TB distinct counts: the
+    raw event stream is touched once to build small per-day (or
+    per-file, per-hour) bitmap partials; every later rollup — weekly,
+    monthly, all-time — merges 4 KB bitmap cells instead of
+    re-shuffling user ids. Unlike HLL the answer stays exact, which is
+    why Spark grew ``bitmap_construct_agg``/``bitmap_or_agg`` for its
+    materialized-view stack. Shuffle volume: level 1 moves one
+    (key, part, bucket) row per 32768-id range actually present;
+    level 2 moves the merged cells only. Ids must be non-negative
+    integers (ours are synthetic bigints ≥ 0)."""
+    lvl1 = df.groupBy(
+        *key_cols,
+        F.col(part_col).alias("_part"),
+        F.bitmap_bucket_number(F.col(id_col)).alias("_bkt"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col(id_col))).alias("_bm"))
+    merged = lvl1.groupBy(*key_cols, "_bkt").agg(
+        F.bitmap_or_agg("_bm").alias("_bm")
+    )
+    return merged.groupBy(*key_cols).agg(
+        F.sum(F.bitmap_count("_bm")).cast("bigint").alias("distinct_ids")
+    )
+
+
+def hll_distinct_rollup(
+    df: DataFrame, key_cols: list[str], part_col: str, id_col: str
+) -> DataFrame:
+    """Approximate twin of ``bitmap_distinct_rollup``: per-partition
+    Datasketches HLL partials (``hll_sketch_agg``) merged with
+    ``hll_union_agg``. Fixed ~KB state per (key, part) regardless of
+    cardinality — the cheaper trade when ids are high-cardinality or
+    adversarially sparse (a bitmap bucket per 32k-id range degrades to
+    one cell per id; HLL never does). Estimate error ~1.6% at the
+    default lgConfigK=12, pinned in pytest against the exact count."""
+    lvl1 = df.groupBy(*key_cols, F.col(part_col).alias("_part")).agg(
+        F.hll_sketch_agg(F.col(id_col)).alias("_sk")
+    )
+    return lvl1.groupBy(*key_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+        .cast("bigint")
+        .alias("approx_distinct_ids")
+    )

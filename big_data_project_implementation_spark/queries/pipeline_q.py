@@ -398,6 +398,45 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS q_label, emb AS qv
+          FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(c.label AS BIGINT) AS neg_label,
+             list_dot_product(q.qv, c.emb)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+      FROM q, v c
+      WHERE c.label <> q.q_label
+    )
+    SELECT query_id, neighbor_id, neg_label, ROUND(cos, 6) AS cos, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators.similarity
+    .hard_negatives): per query vector, the k nearest neighbors of a
+    DIFFERENT label — exact cosine, label predicate pushed into the
+    single corpus pass."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.hard_negatives(queries_df, emb, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 @query("similarity_lsh_topk")  # approximate → rows-only; recall tested in pytest
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (operators.similarity
@@ -1629,6 +1668,45 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram", "n_occurrences", "est")
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
     )
+
+
+@query(
+    "sketch_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_ids
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via two-level bitmap
+    rollup (operators.sketch.bitmap_distinct_rollup): daily
+    bitmap_construct_agg partials OR-merged with bitmap_or_agg, then
+    popcounted — the reaggregatable exact-distinct pattern (daily
+    partials answer weekly/monthly/all-time rollups without touching
+    raw events again). Oracle is the direct COUNT(DISTINCT): the
+    bitmap path must agree bit-for-bit."""
+    from big_data_project_implementation_spark.operators import sketch
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return sketch.bitmap_distinct_rollup(
+        ev, ["event_type"], "day", "user_id"
+    ).orderBy("event_type")
+
+
+@query("sketch_hll_rollup")  # sketch estimate → rows-only; ±2% in pytest
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate twin of sketch_bitmap_distinct: daily Datasketches
+    HLL partials (hll_sketch_agg) merged via hll_union_agg — fixed ~KB
+    state per (key, day) whatever the id cardinality
+    (operators.sketch.hll_distinct_rollup). Estimate-vs-exact
+    tolerance pinned in tests/test_round4_ops.py."""
+    from big_data_project_implementation_spark.operators import sketch
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return sketch.hll_distinct_rollup(
+        ev, ["event_type"], "day", "user_id"
+    ).orderBy("event_type")
 
 
 @query(

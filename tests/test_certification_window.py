@@ -156,10 +156,15 @@ def test_window_r3_composition():
     window = set(_WINDOW_R3)
     tpch = {n for n in REGISTRY if n.startswith("q") and n[1].isdigit()}
     windows = {n for n in REGISTRY if n.startswith("window_")}
-    udf = {n for n in REGISTRY if n.startswith("udf_")}
+    # the six R3-vintage UDF queries (udf_arrow_python/udf_map_in_arrow
+    # arrived in round 4 and certify via the computed window instead)
+    udf_r3 = {
+        "udf_pandas_scalar", "udf_grouped_agg", "udf_apply_in_pandas",
+        "udf_map_in_pandas", "udf_cogroup", "udf_classic_python",
+    }
     assert tpch <= window and len(tpch) == 22
     assert windows <= window and len(windows) == 7
-    assert udf <= window and len(udf) == 6
+    assert udf_r3 <= window and udf_r3 <= set(REGISTRY)
     assert [n for n in _WINDOW_R3 if REGISTRY[n].oracle is None] == []
 
 

@@ -511,3 +511,87 @@ def test_band_join_matches_theta_join(spark):
         .collect()
     }
     assert fast == slow
+
+
+# ------------------------------------------------------- sketch rollups
+
+
+def test_bitmap_rollup_is_exact(spark):
+    from big_data_project_implementation_spark.operators import sketch
+
+    ev_df = load_table(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    got = {
+        r.event_type: r.distinct_ids
+        for r in sketch.bitmap_distinct_rollup(
+            ev_df, ["event_type"], "day", "user_id"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev_df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_bitmap_rollup_merge_invariance(spark):
+    """Partial bitmaps OR-merged across ANY partitioning give the same
+    answer — reaggregability is the whole point of the pattern."""
+    from big_data_project_implementation_spark.operators import sketch
+
+    ev_df = load_table(spark, SF_DIR, "events").limit(2000)
+    by_day = sketch.bitmap_distinct_rollup(
+        ev_df.withColumn("p", F.to_date("ts")), ["event_type"], "p", "user_id"
+    )
+    by_mod = sketch.bitmap_distinct_rollup(
+        ev_df.withColumn("p", F.col("event_id") % 13), ["event_type"], "p", "user_id"
+    )
+    assert sorted(map(tuple, by_day.collect())) == sorted(map(tuple, by_mod.collect()))
+
+
+def test_hll_rollup_within_tolerance(spark):
+    from big_data_project_implementation_spark.operators import sketch
+
+    ev_df = load_table(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    est = {
+        r.event_type: r.approx_distinct_ids
+        for r in sketch.hll_distinct_rollup(
+            ev_df, ["event_type"], "day", "user_id"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev_df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(5, 0.05 * v), (k, est[k], v)
+
+
+# -------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_exclude_query_label(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.hard_negatives(q, emb, k=4).collect()
+    q_labels = {r.vec_id: r.label for r in q.collect()}
+    assert len(out) == 3 * 4
+    for r in out:
+        assert r.neg_label != q_labels[r.query_id]
+
+
+def test_hard_negatives_are_nearest_among_other_labels(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    got = [r.neighbor_id for r in similarity.hard_negatives(q, emb, k=3)
+           .orderBy("rank").collect()]
+    # brute-force reference: rank ALL vectors, drop same-label, take 3
+    all_ranked = similarity.brute_force_topk(q, emb, k=emb.count()).collect()
+    label0 = q.collect()[0].label
+    lbl = {r.vec_id: r.label for r in emb.collect()}
+    want = [r.neighbor_id for r in sorted(all_ranked, key=lambda r: r.rank)
+            if lbl[r.neighbor_id] != label0][:3]
+    assert got == want
