@@ -317,3 +317,45 @@ def band_join(
         )
         .distinct()
     )
+
+
+def zip_with_index(
+    df: DataFrame, order_cols: list[str], index_col: str = "idx"
+) -> DataFrame:
+    """Dense 0-based global index in a deterministic ``order_cols``
+    order — RDD ``zipWithIndex`` (reference CORE/rdd/RDD.scala
+    zipWithIndex / ZippedWithIndexRDD) re-expressed scale-correct.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` funnels the whole
+    relation through ONE task (WindowExec with no partition). This uses
+    zipWithIndex's own two-pass trick, kept in DataFrames: range-
+    repartition on the order keys (so partition p holds a contiguous
+    key range and everything in p sorts before p+1), count rows per
+    partition, prefix-sum those counts driver-side (tiny — one row per
+    partition), and add the broadcast offset to each partition-local
+    row_number. Every corpus-sized step is partition-parallel; the only
+    global object is the #partitions-row offset table."""
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ordered = df.repartitionByRange(n_parts, *order_cols)
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    # one row per partition — bounded by n_parts, safe to window
+    # without a partition clause
+    from pyspark.sql import Window
+
+    counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    offsets = counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+    local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn("_local", F.row_number().over(local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(index_col, (F.col("_offset") + F.col("_local") - 1).cast("bigint"))
+        .drop("_pid", "_local", "_offset")
+    )

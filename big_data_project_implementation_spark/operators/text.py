@@ -1013,3 +1013,111 @@ def hashed_linear_quality_score(
         (F.floor(score * 1e4 + 0.5) / 1e4).alias("score"),
     )
     return out.orderBy(id_col) if ordered else out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    target_tokens: int,
+    alpha_sqrt: bool = True,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    rebalancing rule of mBERT/XLM-R and pretraining mixtures): source
+    s with t_s tokens gets target share ∝ t_s^α, here α = 0.5 via
+    ``sqrt`` — IEEE-correctly-rounded on every engine, so the computed
+    keep-rates are bit-reproducible cross-engine (pow() is not).
+    Up-weights the tail, down-weights the head, never upsamples past a
+    source's own mass (rate capped at 1).
+
+    Membership is deterministic: per-source keep-rate quantized to
+    1/256 and applied through the 256-way md5 id bucket
+    (``hash_sample_bucket``) — same auditability contract as
+    ``stratified_hash_sample``, but with the rates DERIVED from corpus
+    statistics instead of hand-set. Plan shape: one map-side-combined
+    per-source token agg (rows = #sources, broadcast back), then a
+    pure codegen filter over the corpus — no corpus-keyed shuffle at
+    all."""
+    ntok = (
+        F.when(F.col(text_col).isNotNull(), token_count(F.col(text_col)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    d = df.withColumn("_ntok", ntok)
+    stats = d.groupBy(F.col(source_col).alias("_src")).agg(
+        F.sum("_ntok").cast("double").alias("_t")
+    )
+    tot = stats.agg(F.sum(F.sqrt("_t")).alias("_z"))
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "_src",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_tokens)) * F.sqrt("_t") / F.col("_z") / F.col("_t"),
+        ).alias("_rate"),
+    )
+    keep = d.join(
+        F.broadcast(rates), d[source_col] == rates["_src"]
+    ).filter(
+        hash_sample_bucket(id_col, seed=seed)
+        < F.floor(F.col("_rate") * 256).cast("bigint")
+    )
+    return keep.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("_ntok").alias("n_tokens"),
+        F.floor(F.col("_rate") * 256).cast("bigint").alias("rate_256"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-``vocab_size``
+    token vocabulary by document frequency (ties broken token-ASC so
+    the vocab is deterministic), then measure per-source OOV — total
+    token occurrences, occurrences covered by the vocab, and the OOV
+    rate. The pre-tokenizer sanity check a multilingual corpus needs
+    before committing to a vocab.
+
+    Plan shape: vocab selection is orderBy+limit → TakeOrderedAndProject
+    (per-partition top-V then one V-row merge, never a global sort);
+    the vocab then BROADCASTS into the occurrence stream, so the
+    corpus-sized pass has no shuffle beyond the final per-source agg
+    (rows = #sources)."""
+    toks = df.select(
+        F.col(source_col).alias("src"),
+        F.col("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    doc_freq = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    vocab = (
+        doc_freq.orderBy(F.desc("df"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(F.col("src").alias(source_col))
+        .agg(
+            F.count("*").cast("bigint").alias("total_tokens"),
+            F.sum(F.coalesce("_in_vocab", F.lit(0))).cast("bigint").alias("in_vocab"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.floor(
+                (F.lit(1.0) - F.col("in_vocab") / F.col("total_tokens")) * 1e6
+                + 0.5
+            )
+            / 1e6,
+        )
+    )

@@ -648,3 +648,106 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
     ).orderBy("event_id")
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(CASE WHEN l_quantity = 25 THEN NULL
+                      ELSE l_extendedprice / (l_quantity - 25) END
+                 * 1e4 + 0.5) / 1e4 AS safe_div,
+           TRY_CAST(l_returnflag AS INT) AS flag_int,
+           CAST(l_linenumber AS INT) AS line_int,
+           CASE WHEN l_orderkey = 0 THEN 9223372036854775807
+                ELSE CAST(NULL AS BIGINT) END AS over_add,
+           l_linestatus AS elem2,
+           CAST(NULL AS VARCHAR) AS elem5
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* surface (Spark 3.3+/4): try_divide (null on /0
+    instead of error/Inf-adjacent behavior), try_cast (null on
+    malformed input), try_add (null on BIGINT overflow —
+    MAX_BIGINT + l_orderkey overflows for every key except 0, which
+    the oracle pins row-wise WITHOUT doing arithmetic DuckDB would
+    refuse to evaluate), try_element_at (null out of bounds). The error-tolerant arithmetic a curation pipeline
+    needs under ANSI mode, where plain operators would kill the job on
+    one bad row."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    arr = F.array(F.col("l_returnflag"), F.col("l_linestatus"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+                * 1e4
+                + 0.5
+            )
+            / 1e4
+        ).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("flag_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("line_int"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("bigint"), F.col("l_orderkey")
+        ).alias("over_add"),
+        F.try_element_at(arr, F.lit(2)).alias("elem2"),
+        F.try_element_at(arr, F.lit(5)).alias("elem5"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH words AS (
+      SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w
+      FROM part
+    ),
+    cased AS (
+      SELECT CASE p_partkey % 3 WHEN 0 THEN upper(w)
+                                WHEN 1 THEN concat(upper(substr(w, 1, 1)),
+                                                   substr(w, 2))
+                                ELSE w END AS w2
+      FROM words
+    )
+    SELECT lower(w2) AS word, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT w2) AS BIGINT) AS n_case_forms
+    FROM cased
+    GROUP BY lower(w2)
+    ORDER BY word
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): part-name words
+    deterministically re-cased 3 ways, then grouped under UTF8_LCASE —
+    the engine's comparator does the case folding (no lower() rewrite
+    in the plan); the oracle IS the lower() rewrite, so both must
+    agree. n_case_forms counts the distinct raw casings folded into
+    each group (binary-collated count inside an LCASE group)."""
+    w = (
+        t(spark, sf_dir, "part")
+        .select("p_partkey", F.explode(F.split("p_name", " ")).alias("w"))
+        .select(
+            "p_partkey",
+            F.when(F.col("p_partkey") % 3 == 0, F.upper("w"))
+            .when(F.col("p_partkey") % 3 == 1, F.initcap("w"))
+            .otherwise(F.col("w"))
+            .alias("w2"),
+        )
+    )
+    return (
+        w.groupBy(F.collate(F.col("w2"), "UTF8_LCASE").alias("_k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_distinct(F.collate(F.col("w2"), "UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_case_forms"),
+            F.min(F.lower(F.collate(F.col("w2"), "UTF8_BINARY"))).alias("word"),
+        )
+        .select("word", "n", "n_case_forms")
+        .orderBy("word")
+    )

@@ -1817,3 +1817,68 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "score", "novelty_frac")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "data_temperature_mixture",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+                 AS ntok
+      FROM documents
+    ),
+    s AS (SELECT source, CAST(SUM(ntok) AS DOUBLE) AS t FROM d GROUP BY source),
+    z AS (SELECT SUM(sqrt(t)) AS z FROM s),
+    r AS (SELECT source,
+                 CAST(FLOOR(LEAST(1.0, 30000.0 * sqrt(t) / z / t) * 256)
+                      AS BIGINT) AS rate_256
+          FROM s, z)
+    SELECT d.doc_id, d.source, d.ntok AS n_tokens, r.rate_256
+    FROM d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)) AS BIGINT)
+          < r.rate_256
+    ORDER BY d.doc_id
+    """,
+)
+def data_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (operators.text
+    .temperature_mixture): per-source keep-rates ∝ t_s^0.5 derived
+    from corpus token mass (sqrt is IEEE-exact cross-engine, unlike
+    pow), quantized to 1/256 and applied via the deterministic md5 id
+    bucket — no corpus shuffle, just a tiny stats agg broadcast into a
+    codegen filter."""
+    d = t(spark, sf_dir, "documents")
+    return text.temperature_mixture(d, target_tokens=30000).orderBy("doc_id")
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS src, doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (SELECT * FROM toks WHERE tok <> ''),
+    dfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    vocab AS (SELECT tok FROM dfreq ORDER BY df DESC, tok LIMIT 200)
+    SELECT src AS source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_vocab,
+           FLOOR((1.0 - SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                        * 1.0 / COUNT(*)) * 1e6 + 0.5) / 1e6 AS oov_rate
+    FROM tf LEFT JOIN vocab v USING (tok)
+    GROUP BY src
+    ORDER BY source
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit (operators.text.vocab_coverage):
+    top-200-by-document-frequency vocab (TakeOrdered, deterministic
+    tie-break) broadcast into the token stream → per-source OOV rate.
+    The pre-tokenizer corpus check before committing to a vocab."""
+    d = t(spark, sf_dir, "documents")
+    return text.vocab_coverage(d, vocab_size=200).orderBy("source")

@@ -483,3 +483,30 @@ def join_band_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.band_join(
         e, "value", eps=0.001, key_cols=["event_type"], id_col="event_id"
     ).orderBy("event_type", "id_a", "id_b")
+
+
+@query(
+    "relational_zip_with_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+               AS idx
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def relational_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDD zipWithIndex parity (reference CORE/rdd/RDD.scala:1325,
+    ZippedWithIndexRDD) without the single-task global window: range
+    repartition on the order keys + per-partition counts prefix-summed
+    into broadcast offsets + partition-local row_number
+    (operators.relational.zip_with_index). Order keys (source, doc_id)
+    are unique per row, so the index is deterministic."""
+    from big_data_project_implementation_spark.operators import relational
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        relational.zip_with_index(d, ["source", "doc_id"])
+        .select("doc_id", "idx")
+        .orderBy("doc_id")
+    )

@@ -595,3 +595,69 @@ def test_hard_negatives_are_nearest_among_other_labels(spark):
     want = [r.neighbor_id for r in sorted(all_ranked, key=lambda r: r.rank)
             if lbl[r.neighbor_id] != label0][:3]
     assert got == want
+
+
+# ---------------------------------------- mixture / vocab / zip index
+
+
+def test_temperature_mixture_partition_invariant(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    a = {r.doc_id for r in text.temperature_mixture(d, 5000).collect()}
+    b = {
+        r.doc_id
+        for r in text.temperature_mixture(d.repartition(17), 5000).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_temperature_mixture_upweights_tail(spark):
+    """Keep-rate must be monotonically non-increasing in source size —
+    the whole point of temperature scaling."""
+    d = load_table(spark, SF_DIR, "documents")
+    out = text.temperature_mixture(d, 5000)
+    sizes = {
+        r.source: r.t
+        for r in d.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", r"\s+"))).alias("t"))
+        .collect()
+    }
+    rates = {r.source: r.rate_256 for r in out.select("source", "rate_256").distinct().collect()}
+    pairs = sorted((sizes[s], rates.get(s, 0)) for s in rates)
+    for (sz1, r1), (sz2, r2) in zip(pairs, pairs[1:]):
+        if sz1 < sz2:
+            assert r1 >= r2, (sz1, r1, sz2, r2)
+
+
+def test_vocab_coverage_rates_bounded_and_exact_on_micro(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a a x", "s1"), (3, "y z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in text.vocab_coverage(df, vocab_size=2).collect()}
+    # vocab by doc-freq: 'a' (df=2) then tie b/c/x/y/z (df=1) → 'b'
+    assert out["s1"].total_tokens == 6 and out["s1"].in_vocab == 4
+    assert out["s2"].in_vocab == 0
+    for r in out.values():
+        assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_zip_with_index_is_dense_permutation(spark):
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    out = relational.zip_with_index(d, ["source", "doc_id"]).collect()
+    idx = sorted(r.idx for r in out)
+    assert idx == list(range(len(out)))
+    # index order agrees with the declared sort order
+    by_idx = sorted(out, key=lambda r: r.idx)
+    assert [(r.source, r.doc_id) for r in by_idx] == sorted(
+        (r.source, r.doc_id) for r in out
+    )
+
+
+def test_zip_with_index_no_global_single_partition_window(spark):
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    out = relational.zip_with_index(d, ["source", "doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan must be partitioned (no empty partition spec)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line or "partitionBy" in line, line
