@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "text_classifier_score",
     "join_band_self",
     "pipeline_curate_v2",
+    "sketch_bitmap_distinct",
+    "text_vocab_coverage",
+    "data_temperature_mixture",
+    "relational_zip_with_index",
 ]
 
 
