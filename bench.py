@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "text_vocab_coverage",
     "data_temperature_mixture",
     "relational_zip_with_index",
+    "data_dsir_weights",
+    "sql_recursive_cte",
 ]
 
 

@@ -1121,3 +1121,81 @@ def vocab_coverage(
             / 1e6,
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Scores every document by how much its token distribution resembles
+    a *target* slice of the corpus (``target`` is a boolean Column over
+    ``df``, e.g. ``F.col("lang") == "en"``): tokens hash into
+    ``buckets`` feature buckets; each bucket gets a smoothed
+    target-vs-raw frequency ratio; a document's weight is the mean
+    bucket ratio of its tokens. Documents are then kept by importance
+    resampling downstream (``token_budget_sample`` /
+    ``stratified_hash_sample`` take the score as input).
+
+    DSIR uses the log-ratio; the ratio itself is the same ordering and
+    — held in integer micro-units — makes the score exact integer
+    arithmetic, bit-identical on any engine and partial-agg order
+    (registry float convention). md5-derived bucket ids (not xxhash64)
+    so DuckDB can oracle the identical arithmetic.
+
+    Scale shape (100 TB): the token stream never carries text — only
+    (id, bucket) pairs. Bucket stats are a ``buckets``-row aggregate
+    (map-side combined) broadcast back onto the stream; the only
+    corpus-sized shuffle is the final per-document sum, map-side
+    combined on the natural document key. Reference parity: feature
+    hashing ≈ mllib HashingTF (mllib/src/main/scala/org/apache/spark/
+    mllib/feature/HashingTF.scala:1), re-expressed as relational ops.
+    """
+    toks = df.select(
+        F.col(id_col),
+        # when/otherwise (not a bare cast): a NULL target predicate must
+        # count as non-target, matching the oracle's CASE WHEN
+        F.when(target, 1).otherwise(0).alias("_is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucketed = toks.select(
+        id_col,
+        "_is_target",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % buckets
+        ).alias("_bkt"),
+    )
+    # buckets-row stats table: +1 add-one smoothing on both counts so
+    # empty buckets get weight ~= scale * T/R, never a divide-by-zero
+    stats = bucketed.groupBy("_bkt").agg(
+        F.count("*").alias("_r_cnt"),
+        F.sum("_is_target").alias("_t_cnt"),
+    )
+    weights = stats.select(
+        "_bkt",
+        F.expr(f"CAST((_t_cnt + 1) * {scale} DIV (_r_cnt + 1) AS BIGINT)").alias(
+            "_w"
+        ),
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "_bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("_w").cast("bigint").alias("weight_sum"),
+        )
+        .withColumn(
+            "score",
+            F.floor(
+                F.col("weight_sum") / F.col("n_tokens") / scale * 1e6 + 0.5
+            )
+            / 1e6,
+        )
+    )

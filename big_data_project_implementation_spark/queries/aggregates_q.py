@@ -574,3 +574,35 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cnt DESC, item
         """
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark ≥ 4.0; ANSI string aggregation
+    == DuckDB string_agg): deterministic in-group ORDER BY makes the
+    concatenated cell hash-stable. Scale note: listagg materializes
+    the whole group in one cell — keep it to dimension-sized groups
+    (collect_list + array_join is the same plan); corpus-scale
+    concatenation belongs in pack_sequences."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return (
+        r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+        )
+        .orderBy("r_name")
+    )

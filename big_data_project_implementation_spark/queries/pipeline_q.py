@@ -1882,3 +1882,45 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pre-tokenizer corpus check before committing to a vocab."""
     d = t(spark, sf_dir, "documents")
     return text.vocab_coverage(d, vocab_size=200).orderBy("source")
+
+
+@query(
+    "data_dsir_weights",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bkt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      WHERE tok <> ''
+    ),
+    w AS (
+      SELECT bkt,
+             CAST((SUM(is_t) + 1) * 1000000 // (COUNT(*) + 1) AS BIGINT) AS w
+      FROM b GROUP BY bkt
+    ),
+    doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.w) AS BIGINT) AS weight_sum
+      FROM b JOIN w USING (bkt) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, weight_sum,
+           FLOOR(CAST(weight_sum AS DOUBLE) / n_tokens / 1000000 * 1e6 + 0.5)
+               / 1e6 AS score
+    FROM doc ORDER BY doc_id
+    """,
+)
+def data_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-unigram importance weights
+    (operators.text.dsir_importance): English-slice target
+    distribution vs the raw corpus, 1024 hashed feature buckets,
+    integer micro-unit ratios — the data-selection score used to
+    importance-resample a web crawl toward a target domain. Exact
+    integer arithmetic end-to-end (registry float convention), so the
+    oracle is bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    return text.dsir_importance(
+        d, target=F.col("lang") == "en", buckets=1024
+    ).orderBy("doc_id")

@@ -510,3 +510,45 @@ def relational_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "idx")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(k, depth) AS (
+      SELECT p_partkey, 0 FROM part WHERE p_partkey % 97 = 0 AND p_partkey > 0
+      UNION ALL
+      SELECT k // 2, depth + 1 FROM walk WHERE k > 1
+    )
+    SELECT CAST(depth AS BIGINT)    AS depth,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT)   AS key_sum
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark ≥ 4.0): binary-tree
+    ancestor walk from seeded part keys — the BOM-explosion /
+    org-chart reachability pattern, grouped into per-depth rollups.
+    Spark executes the recursion as an iterated UnionLoop (one join +
+    filter per level, O(log K) levels here); unbounded graph closure
+    at 100 TB belongs to the dedicated star-contraction operator
+    (operators.dedup.connected_components), which this complements as
+    the SQL-surface spelling."""
+    from big_data_project_implementation_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(k, depth) AS (
+          SELECT p_partkey, 0 FROM part
+          WHERE p_partkey % 97 = 0 AND p_partkey > 0
+          UNION ALL
+          SELECT k DIV 2, depth + 1 FROM walk WHERE k > 1
+        )
+        SELECT CAST(depth AS BIGINT)    AS depth,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT)   AS key_sum
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )

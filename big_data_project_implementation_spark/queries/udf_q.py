@@ -304,3 +304,47 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInArrow(lengths, "doc_id long, n_chars_arrow long")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "udtf_lateral_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL
+    )
+    SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, toks[t.i] AS word
+    FROM s, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_lateral_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark ≥ 3.5) through the SQL front door: a
+    table-valued tokenizer applied per input row via LATERAL — the
+    modern spelling of the reference's UserDefinedGenerator /
+    pythonUDF-explode path (CAT/expressions/generators.scala:93).
+    The UDTF runs row-at-a-time in Python, so the corpus-scale
+    tokenizer stays split+posexplode (text_stats); this query is the
+    API-surface parity check, filtered to a 1-in-50 doc slice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, word: string")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    from big_data_project_implementation_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, pos, word
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0) d,
+        LATERAL split_tokens(text)
+        ORDER BY doc_id, pos
+        """
+    )

@@ -1,0 +1,183 @@
+"""Unit semantics for the round-4 late additions: DSIR importance
+weights, recursive CTE, UDTF, listagg, and the observe/named-parameter
+API surfaces. End-to-end oracle parity runs per-query in
+test_queries_oracle.py; these pin operator semantics and the session
+API contracts the registry can't express.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from big_data_project_implementation_spark import plans
+from big_data_project_implementation_spark.operators import text
+
+DOCS = "doc_id long, text string, lang string"
+
+
+# ------------------------------------------------------------------- DSIR
+
+
+def test_dsir_target_docs_score_higher(spark):
+    # target docs share vocabulary; off-target docs use disjoint words
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(8)] + [
+        (10 + i, "uno dos tres cuatro", "es") for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    out = text.dsir_importance(df, target=F.col("lang") == "en").toPandas()
+    scores = dict(zip(out.doc_id, out.score))
+    en_mean = sum(scores[i] for i in range(8)) / 8
+    es_mean = sum(scores[10 + i] for i in range(8)) / 8
+    assert en_mean > es_mean
+    # ratio weights are bounded: (t+1)/(r+1) <= 1 since t <= r
+    assert out.score.max() <= 1.0
+    assert out.score.min() > 0.0
+
+
+def test_dsir_null_target_counts_as_raw(spark):
+    # NULL lang must behave exactly like a non-target doc (oracle CASE)
+    df = spark.createDataFrame(
+        [(1, "x y z", "en"), (2, "x y z", None), (3, "x y z", "de")], DOCS
+    )
+    out = text.dsir_importance(df, target=F.col("lang") == "en").toPandas()
+    s = dict(zip(out.doc_id, out.weight_sum))
+    assert s[2] == s[3]  # identical text, both non-target → same weight
+
+
+def test_dsir_score_is_exact_integer_ratio(spark):
+    # single bucket occupancy is deterministic: one doc, one token
+    df = spark.createDataFrame([(1, "tok", "en")], DOCS)
+    out = text.dsir_importance(df, target=F.col("lang") == "en").toPandas()
+    # t=1, r=1 → weight (1+1)*1e6 // (1+1) = 1e6 → score 1.0
+    assert out.weight_sum[0] == 1_000_000
+    assert out.score[0] == 1.0
+
+
+def test_dsir_single_corpus_shuffle(spark):
+    df = spark.createDataFrame([(i, "a b c", "en") for i in range(10)], DOCS)
+    out = text.dsir_importance(df, target=F.col("lang") == "en")
+    # stats agg + doc agg + broadcast-back: the token stream is only
+    # shuffled on the doc key; weights join must be broadcast
+    plan = plans.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------------------- observe() metrics
+
+
+def test_observe_collects_pipeline_metrics(spark):
+    from pyspark.sql import Observation
+
+    obs = Observation("curation")
+    df = (
+        spark.range(1000)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((F.col("id") % 10 == 0).cast("long")).alias("keepable"),
+        )
+        .filter(F.col("id") % 10 == 0)
+    )
+    df.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"rows_in": 1000, "keepable": 100}
+
+
+# --------------------------------------------- SQL named parameter markers
+
+
+def test_sql_named_parameters(spark):
+    out = spark.sql(
+        "SELECT :lo + id AS v FROM range(:n) ORDER BY v",
+        args={"lo": 100, "n": 3},
+    ).collect()
+    assert [r.v for r in out] == [100, 101, 102]
+
+
+def test_sql_positional_parameters(spark):
+    out = spark.sql("SELECT ? * 2 AS v", args=[21]).collect()
+    assert out[0].v == 42
+
+
+# ----------------------------------------------------------- recursive CTE
+
+
+def test_recursive_cte_depth_limit_is_respected(spark):
+    # recursion terminates by predicate, not by hitting the level cap
+    out = spark.sql(
+        """
+        WITH RECURSIVE t(n) AS (
+          SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10
+        ) SELECT count(*) AS c, max(n) AS m FROM t
+        """
+    ).collect()
+    assert (out[0].c, out[0].m) == (10, 10)
+
+
+def test_recursive_cte_join_in_step(spark):
+    # each recursive step may join a base relation (graph-walk shape)
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+    ).createOrReplaceTempView("edges")
+    out = spark.sql(
+        """
+        WITH RECURSIVE reach(node, hops) AS (
+          SELECT 1, 0
+          UNION ALL
+          SELECT e.dst, r.hops + 1 FROM reach r JOIN edges e ON e.src = r.node
+        ) SELECT node, hops FROM reach ORDER BY node
+        """
+    ).collect()
+    assert [(r.node, r.hops) for r in out] == [(1, 0), (2, 1), (3, 2), (4, 3)]
+
+
+# ----------------------------------------------------------------- listagg
+
+
+def test_listagg_distinct_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "b"), (2, "z")], "g int, s string"
+    )
+    out = (
+        df.groupBy("g")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT s, '|') WITHIN GROUP (ORDER BY s)"
+            ).alias("l")
+        )
+        .orderBy("g")
+        .collect()
+    )
+    assert [r.l for r in out] == ["a|b", "z"]
+
+
+# -------------------------------------------------------------------- UDTF
+
+
+def test_udtf_table_argument_terminate_emits_summary_rows(spark):
+    # polymorphic table-function form (TABLE(...) argument) with the
+    # eval/terminate lifecycle: per-partition flush emits totals.
+    # (terminate() in a LATERAL correlation has no input row to join —
+    # the TABLE form is the supported surface for summary rows.)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="kind: string, n: bigint")
+    class CountUp:
+        def __init__(self):
+            self.seen = 0
+
+        def eval(self, row):
+            self.seen += 1
+            yield "row", row["id"]
+
+        def terminate(self):
+            yield "total", self.seen
+
+    spark.udtf.register("count_up", CountUp)
+    out = spark.sql(
+        "SELECT kind, n FROM count_up(TABLE(SELECT id FROM range(3))"
+        " WITH SINGLE PARTITION)"
+    ).toPandas()
+    assert (out.kind == "total").sum() >= 1
+    assert int(out[out.kind == "total"].n.sum()) == 3
+    assert sorted(out[out.kind == "row"].n) == [0, 1, 2]

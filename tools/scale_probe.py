@@ -59,6 +59,7 @@ PIPELINE_QUERIES = [
     "events_funnel",
     "events_retention",
     "events_rolling_active",
+    "data_dsir_weights",
 ]
 
 SCALED = ("lineitem", "orders", "events", "customer", "documents", "embeddings")
