@@ -1199,3 +1199,93 @@ def dsir_importance(
             / 1e6,
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    steps: int = 5,
+) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016): the
+    first ``steps`` merge rules, each step = count adjacent symbol
+    pairs over the word-frequency table → argmax (freq desc, pair asc
+    tie-break) → apply the merge. Returns (rank, pair, merged, freq).
+
+    The Spark shape that makes BPE tractable at 100 TB: the corpus is
+    touched ONCE (word groupBy — the only corpus-sized shuffle); every
+    merge iteration then runs on the distinct-word table (vocab-sized,
+    millions of rows at worst), localCheckpoint-ed per step so lineage
+    stays flat. The argmax pair is never collected to the driver — it
+    is a 1-row DataFrame broadcast into a column-argument ``replace``,
+    so the whole training loop is declarative.
+
+    Merge application is one left-to-right non-overlapping replace
+    scan of the space-separated symbol string (boundary-padded, so a
+    pair can never match across symbol boundaries). On runs of the
+    merged pair (aaa...) this differs from subword-nmt's re-scan by at
+    most the run tail; counts are recomputed from the applied corpus
+    each step, so rule ranks stay self-consistent. Reference parity:
+    the iterate-small-state-table shape is mllib Word2Vec's vocab
+    construction (mllib/src/main/scala/org/apache/spark/mllib/feature/
+    Word2Vec.scala:1), re-expressed relationally."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+            ).alias("seq"),
+            "n",
+        )
+        # the corpus pass ends here; everything below is vocab-sized
+        .localCheckpoint(eager=True)
+    )
+    merges: list[DataFrame] = []
+    cur = words
+    for step in range(1, steps + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        pairs = (
+            cur.select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        syms,
+                        F.slice(syms, 2, F.size(syms)),
+                        lambda l, r: F.when(r.isNull(), F.lit(None)).otherwise(
+                            F.concat(l, F.lit(" "), r)
+                        ),
+                    )
+                ).alias("pair"),
+            ).filter(F.col("pair").isNotNull())
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .withColumn("merged", F.replace(F.col("pair"), F.lit(" "), F.lit("")))
+        )
+        merges.append(
+            top.select(
+                F.lit(step).cast("bigint").alias("rank"), "pair", "merged", "freq"
+            )
+        )
+        if step < steps:
+            cur = (
+                cur.join(F.broadcast(top))
+                .select(
+                    F.replace(
+                        F.col("seq"),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+                    ).alias("seq"),
+                    "n",
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("rank")

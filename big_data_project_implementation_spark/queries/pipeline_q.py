@@ -1924,3 +1924,55 @@ def data_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dsir_importance(
         d, target=F.col("lang") == "en", buckets=1024
     ).orderBy("doc_id")
+
+
+def _bpe_oracle(steps: int = 5) -> str:
+    """Unrolled DuckDB oracle for text_bpe_merges: one (pair-count,
+    argmax, apply) CTE block per merge step."""
+    pair_block = """
+    p{i} AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS freq FROM (
+        SELECT n, unnest(list_transform(list_zip(syms, syms[2:]),
+                 z -> CASE WHEN z[2] IS NULL THEN NULL
+                           ELSE z[1] || ' ' || z[2] END)) AS pair
+        FROM (SELECT n, string_split(trim(seq), ' ') AS syms FROM w{prev})
+      ) WHERE pair IS NOT NULL GROUP BY pair
+    ),
+    t{i} AS (SELECT pair, freq, replace(pair, ' ', '') AS merged
+             FROM p{i} ORDER BY freq DESC, pair LIMIT 1)"""
+    apply_block = """,
+    w{i} AS (SELECT replace(seq, ' '||t{i}.pair||' ', ' '||t{i}.merged||' ')
+                 AS seq, n
+             FROM w{prev}, t{i})"""
+    parts = [
+        """
+    WITH w0 AS (
+      SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+      WHERE w <> '' GROUP BY 1
+    ),"""
+    ]
+    for i in range(1, steps + 1):
+        parts.append(pair_block.format(i=i, prev=i - 1))
+        if i < steps:
+            parts.append(apply_block.format(i=i, prev=i - 1))
+        parts.append("," if i < steps else "")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, pair, merged, freq FROM t{i}"
+        for i in range(1, steps + 1)
+    )
+    return "".join(parts) + f"\n    SELECT * FROM ({selects}) ORDER BY rank"
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle(5))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (operators.text.bpe_merges):
+    the first 5 merge rules trained over the corpus word-frequency
+    table — one corpus shuffle total, then vocab-sized argmax/apply
+    iterations with the winning pair broadcast into a column-argument
+    replace (never collected). The tokenizer-training counterpart of
+    text_vocab_coverage."""
+    d = t(spark, sf_dir, "documents")
+    return text.bpe_merges(d, steps=5)

@@ -181,3 +181,36 @@ def test_udtf_table_argument_terminate_emits_summary_rows(spark):
     assert (out.kind == "total").sum() >= 1
     assert int(out[out.kind == "total"].n.sum()) == 3
     assert sorted(out[out.kind == "row"].n) == [0, 1, 2]
+
+
+# -------------------------------------------------------------- BPE merges
+
+
+def test_bpe_learns_textbook_merges(spark):
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer low")],
+        "doc_id long, text string",
+    )
+    out = text.bpe_merges(df, steps=2).collect()
+    # 'l o' dominates (5 occurrences), then the merged 'lo' pairs with 'w'
+    assert [(r.rank, r.pair, r.merged, r.freq) for r in out] == [
+        (1, "l o", "lo", 5),
+        (2, "lo w", "low", 5),
+    ]
+
+
+def test_bpe_tiebreak_is_pair_ascending(spark):
+    df = spark.createDataFrame([(1, "ab cd ab cd")], "doc_id long, text string")
+    out = text.bpe_merges(df, steps=1).collect()
+    # 'a b' and 'c d' both occur twice; tie-break picks 'a b'
+    assert (out[0].pair, out[0].freq) == ("a b", 2)
+
+
+def test_bpe_single_corpus_pass(spark):
+    # the corpus-sized stage is exactly one groupBy; merge iterations
+    # run on the checkpointed word table (vocab-sized)
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(20)], "doc_id long, text string"
+    )
+    out = text.bpe_merges(df, steps=3)
+    assert len(out.collect()) == 3
