@@ -239,3 +239,45 @@ def window_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, rn
         """
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           lead(v, 1 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_obs
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+          FROM events WHERE user_id % 20 = 0)
+    ORDER BY event_id
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window frames (last_value / lead) — the
+    last-observation-carried-forward gap-fill every sensor/metrics
+    time series needs, plus next-observed lookahead. Pure window
+    exchange on the entity key; nulls are injected deterministically
+    so the oracle sees the identical gap pattern."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "ts", v.alias("v"))
+        .select(
+            "event_id",
+            "user_id",
+            F.last("v", ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("filled"),
+            # python lead() has no ignoreNulls param — SQL expression form
+            F.expr(
+                "lead(v, 1) IGNORE NULLS OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id)"
+            ).alias("next_obs"),
+        )
+        .orderBy("event_id")
+    )

@@ -233,3 +233,23 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter"
             ".applicationSideScanSizeThreshold"
         )
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """SHUFFLE_HASH / MERGE hints pick the physical join strategy — the
+    skew/memory escape hatch when the planner's default (SMJ for big
+    sides) isn't what a hot query needs. Build-side hash beats sort
+    when one side is modest but above the broadcast threshold."""
+    from big_data_project_implementation_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
