@@ -281,3 +281,42 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS events_last_hour,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE), 2)
+               AS value_last_hour
+    FROM events
+    WHERE user_id % 25 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (RANGE BETWEEN INTERVAL ... PRECEDING
+    over a timestamp ORDER BY) — the sliding-lookback shape behind
+    rate limiting, rolling spend caps, and anomaly baselines. Frame
+    bounds are event-time, so ties and uneven sampling are handled by
+    the frame itself (no resample/explode needed). DECIMAL-summed per
+    the registry float convention: the frame's add/remove order is
+    engine-specific."""
+    t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0).createOrReplaceTempView(
+        "events_tr"
+    )
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS events_last_hour,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE), 2)
+                   AS value_last_hour
+        FROM events_tr
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )

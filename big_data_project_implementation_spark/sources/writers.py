@@ -56,3 +56,66 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving every other partition's files untouched
+    — the idempotent daily-reprocess / backfill primitive (INSERT
+    OVERWRITE ... PARTITION semantics; reference
+    sql/core/.../execution/datasources/InsertIntoHadoopFsRelation.scala
+    rewrote the whole root). STATIC mode (the default) would truncate
+    the entire table root; the conf is scoped to this write and
+    restored after.
+
+    At 100 TB this is the difference between rewriting one day
+    (~1/365th) and rewriting the table; downstream partition pruning
+    is unaffected because the directory layout is unchanged."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def upsert_partitioned(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str],
+) -> None:
+    """Keyed upsert into a partitioned parquet table WITHOUT a
+    table-format dependency (Delta/Iceberg MERGE INTO equivalent for
+    plain parquet): rewrite only the partitions the update batch
+    touches, replacing rows whose ``keys`` match and keeping the rest.
+
+    Scale shape: the existing-table read is partition-PRUNED to the
+    touched partitions (semi-join on the partition values, which are a
+    tiny distinct list), so cost is O(touched partitions + batch), not
+    O(table). The anti-join inside each partition is key-hashed; with
+    date-ish partition columns the touched set is typically 1-2
+    partitions regardless of table size."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        # first write: plain partitioned save
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        return
+    touched = df.select(*partition_by).distinct()
+    keep = (
+        existing.join(F.broadcast(touched), partition_by, "left_semi")
+        .join(df.select(*keys), keys, "left_anti")
+    )
+    merged = keep.unionByName(df).repartition(*partition_by)
+    # the merged batch reads the same path it overwrites: materialize
+    # (localCheckpoint truncates lineage, so the writer's self-overwrite
+    # check passes) — sized by the TOUCHED partitions only. A cluster
+    # deployment with object storage would stage to a temp prefix and
+    # swap instead; semantics identical.
+    merged = merged.localCheckpoint(eager=True)
+    overwrite_partitions(merged, path, partition_by)

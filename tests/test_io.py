@@ -209,3 +209,74 @@ def test_python_datasource_partitioned_read(spark):
         "partitions", 5
     ).load().collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """overwrite_partitions replaces listed partitions' files and leaves
+    every other partition byte-identical (the daily-backfill contract)."""
+    import os
+
+    from big_data_project_implementation_spark.sources import writers
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, day string, v long",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    def files(day):
+        d = f"{path}/day={day}"
+        return sorted(
+            (f, os.path.getmtime(f"{d}/{f}"), os.path.getsize(f"{d}/{f}"))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_a, before_b = files("a"), files("b")
+    patch = spark.createDataFrame([(9, "a", 99)], "id long, day string, v long")
+    writers.overwrite_partitions(patch, path, ["day"])
+    # day=a fully replaced by the patch; day=b/c untouched on disk
+    assert files("b") == before_b
+    assert files("a") != before_a
+    got = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(9, "a", 99), (3, "b", 30), (4, "c", 40)}
+
+
+def test_upsert_partitioned_updates_inserts_and_preserves(spark, tmp_path):
+    """Keyed MERGE-equivalent on plain parquet: matched keys replaced,
+    new keys inserted, untouched partitions' files byte-identical."""
+    import os
+
+    from big_data_project_implementation_spark.sources import writers
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, day string, v long",
+    )
+    base.write.partitionBy("day").parquet(path)
+    b_dir = f"{path}/day=b"
+    before_b = sorted(
+        (f, os.path.getmtime(f"{b_dir}/{f}")) for f in os.listdir(b_dir)
+    )
+
+    batch = spark.createDataFrame(
+        [(2, "a", 21), (5, "a", 50)], "id long, day string, v long"
+    )
+    writers.upsert_partitioned(batch, path, keys=["id"], partition_by=["day"])
+    got = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", 10), (2, "a", 21), (5, "a", 50), (3, "b", 30)}
+    after_b = sorted(
+        (f, os.path.getmtime(f"{b_dir}/{f}")) for f in os.listdir(b_dir)
+    )
+    assert after_b == before_b
+
+
+def test_upsert_partitioned_first_write_bootstraps(spark, tmp_path):
+    from big_data_project_implementation_spark.sources import writers
+
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, "a", 1)], "id long, day string, v long")
+    writers.upsert_partitioned(batch, path, keys=["id"], partition_by=["day"])
+    assert spark.read.parquet(path).count() == 1
