@@ -253,3 +253,31 @@ def test_join_strategy_hints_are_honored(spark):
         assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_analyze_table_feeds_cbo_stats(spark):
+    """ANALYZE TABLE COMPUTE STATISTICS feeds the cost-based optimizer:
+    row counts and per-column NDV/min/max become available to join
+    reordering and broadcast decisions (reference had only
+    sizeInBytes-based heuristics)."""
+    old = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.range(1000).selectExpr("id", "id % 7 AS k").write.mode(
+            "overwrite"
+        ).saveAsTable("t_cbo_stats")
+        spark.sql("ANALYZE TABLE t_cbo_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+        cols = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESCRIBE EXTENDED t_cbo_stats k").collect()
+        }
+        assert cols["distinct_count"] == "7"
+        assert (cols["min"], cols["max"]) == ("0", "6")
+        stats = (
+            spark.table("t_cbo_stats")._jdf.queryExecution().optimizedPlan().stats()
+        )
+        assert stats.rowCount().isDefined()
+        assert int(str(stats.rowCount().get())) == 1000
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS t_cbo_stats")
