@@ -281,3 +281,21 @@ def test_analyze_table_feeds_cbo_stats(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql("DROP TABLE IF EXISTS t_cbo_stats")
+
+
+def test_repartition_sort_within_partitions_has_no_global_sort(spark):
+    """repartitionAndSortWithinPartitions parity (reference
+    OrderedRDDFunctions.scala:74): hash exchange on the key + a
+    partition-LOCAL sort — the writer-layout / secondary-sort pattern.
+    The plan must show a non-global Sort (no range exchange)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    df = li.repartition(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey", "l_linenumber"
+    )
+    plan = plans.physical_plan(df)
+    assert "Sort [l_orderkey" in plan and "false, 0" in plan, plan[:800]
+    assert "rangepartitioning" not in plan.lower(), plan[:800]
+    # exactly the one hash exchange
+    assert plan.count("Exchange") == 1, plan[:800]
