@@ -147,3 +147,61 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts in its own community; each round a
+    node adopts the most frequent label among its neighbors (ties →
+    smallest label, making the whole run deterministic — the classic
+    LPA tie-coin is the one thing that doesn't belong on a cluster).
+    Returns (node, label) — topical grouping of a near-dup/co-click
+    graph where connected components are too coarse (CC glues
+    everything that touches; LPA splits loosely-bridged regions).
+
+    100 TB design: per round, one join (labels × symmetrized edges on
+    the source key) + one two-level groupBy (neighbor-label counts →
+    per-node argmax via max_by) — all hash-partitioned on node id,
+    map-side combined, no neighborhood materialization; hubs cost
+    their degree in count rows, never a collect_list. Label state is
+    localCheckpoint-ed per round (same lineage discipline as
+    ``pagerank``). Fixed ``iterations`` keeps the job graph static;
+    LPA converges in a handful of sweeps on social/similarity graphs.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                # argmax by (count, -label): most frequent neighbor
+                # label, smallest label on ties
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")

@@ -1976,3 +1976,55 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_vocab_coverage."""
     d = t(spark, sf_dir, "documents")
     return text.bpe_merges(d, steps=5)
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled DuckDB oracle for graph_label_propagation: synchronous
+    LPA with (count desc, label asc) argmax, one CTE pair per round."""
+    head = """
+    WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.n AS src, b.n AS dst
+      FROM m a JOIN m b ON a.g = b.g AND a.n < b.n
+    ),
+    sym AS (SELECT src AS u, dst AS v FROM e
+            UNION ALL SELECT dst AS u, src AS v FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    step = """,
+    c{i} AS (
+      SELECT s.u AS node, l.label, count(*) AS c
+      FROM sym s JOIN l{prev} l ON l.node = s.v GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c{i}) WHERE rn = 1
+    )"""
+    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, rounds + 1))
+    return (
+        head
+        + body
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l{rounds} ORDER BY node"""
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(4))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph
+    (operators.graph.label_propagation, 4 synchronous rounds):
+    deterministic LPA — most-frequent neighbor label, smallest label
+    on ties — the topical-grouping layer between exact connected
+    components (too coarse) and embedding clustering (needs vectors).
+    Integer-exact, so the unrolled oracle checks it round-for-round."""
+    from big_data_project_implementation_spark.operators import graph
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.label_propagation(edges, iterations=4).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    )

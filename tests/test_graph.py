@@ -97,3 +97,43 @@ def test_degree_histogram(spark):
     )
     out = {r.degree: r.n_nodes for r in graph.degree_histogram(star).collect()}
     assert out == {1: 3, 3: 1}
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge must end as two
+    communities labeled by their smallest member (CC would glue them)."""
+    from big_data_project_implementation_spark.operators import graph
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    out = {r.node: r.label for r in graph.label_propagation(edges, 5).collect()}
+    assert all(out[n] == 0 for n in range(4))
+    assert all(out[n] == 10 for n in range(10, 14))
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    from big_data_project_implementation_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    a = sorted(map(tuple, graph.label_propagation(edges, 4).collect()))
+    b = sorted(
+        map(tuple, graph.label_propagation(edges.repartition(13), 4).collect())
+    )
+    assert a == b
+
+
+def test_lpa_every_node_labeled_once(spark):
+    from big_data_project_implementation_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    out = graph.label_propagation(edges, 3).collect()
+    assert len(out) == 5
+    assert len({r.node for r in out}) == 5
