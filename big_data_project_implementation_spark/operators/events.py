@@ -289,3 +289,44 @@ def scd2_intervals(
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "valid_from")
     )
+
+
+def anomalies_mad(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier detection per key: flag rows whose modified
+    z-score |x - median| / (1.4826 * MAD) exceeds ``threshold``
+    (Iglewicz-Hoaglin). Median/MAD instead of mean/stddev so the
+    baseline itself is immune to the outliers it hunts — the standard
+    data-quality gate before a corpus lands in training.
+
+    Two grouped exact-percentile passes (median, then MAD = median of
+    absolute deviations) — each one shuffle on the key, then the tiny
+    per-key baseline table broadcasts back into a codegen filter over
+    the full stream. Exact percentile sorts within groups; at extreme
+    per-key cardinalities swap both for approx_percentile(0.5) — the
+    plan shape is unchanged."""
+    # baselines round at 6dp: percentile interpolation is the one
+    # libm-ish input here; pinning it makes every downstream double op
+    # bit-identical across engines (registry float convention)
+    med = events.groupBy(key_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("_med")
+    )
+    mad = (
+        events.join(F.broadcast(med), key_col)
+        .select(key_col, F.abs(F.col(value_col) - F.col("_med")).alias("_dev"))
+        .groupBy(key_col)
+        .agg(F.round(F.expr("percentile(_dev, 0.5)"), 6).alias("_mad"))
+    )
+    base = med.join(mad, key_col)
+    score = F.abs(F.col(value_col) - F.col("_med")) / (
+        F.lit(1.4826) * F.greatest(F.col("_mad"), F.lit(1e-12))
+    )
+    return (
+        events.join(F.broadcast(base), key_col)
+        .withColumn("mz", F.floor(score * 1e4 + 0.5) / 1e4)
+        .filter(F.col("mz") > threshold)
+    )

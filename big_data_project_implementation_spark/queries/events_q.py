@@ -10,6 +10,7 @@ float edge at all.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from big_data_project_implementation_spark.operators import events as ev
 from big_data_project_implementation_spark.queries.registry import query, t
@@ -225,3 +226,46 @@ def events_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     facts = e.select("event_id", "user_id", "ts")
     return relational.interval_join(facts, iv, "user_id").orderBy("event_id")
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+           FLOOR(abs(e.value - m.med)
+                 / (1.4826 * GREATEST(a.mad, 1e-12)) * 1e4 + 0.5) / 1e4 AS mz
+    FROM events e JOIN med m USING (event_type) JOIN mad a USING (event_type)
+    WHERE FLOOR(abs(e.value - m.med)
+                / (1.4826 * GREATEST(a.mad, 1e-12)) * 1e4 + 0.5) / 1e4 > 3.5
+    ORDER BY e.event_id
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier gate (operators.events.anomalies_mad):
+    modified z-score over median/MAD baselines — the data-quality
+    filter whose baseline can't be dragged by the outliers it hunts.
+    Two key-shuffled exact-percentile aggs, then a broadcast of the
+    per-type baseline into a codegen filter."""
+    e = t(spark, sf_dir, "events")
+    return (
+        ev.anomalies_mad(e)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            "mz",
+        )
+        .orderBy("event_id")
+    )

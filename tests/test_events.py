@@ -122,3 +122,29 @@ def test_funnel_single_exchange(spark):
     three = ev.funnel_times(df, ["view", "click", "purchase"])
     five = ev.funnel_times(df, ["view", "click", "purchase", "view", "click"])
     assert plans.count_shuffles(three) == plans.count_shuffles(five)
+
+
+# --------------------------------------------------------- MAD anomalies
+
+
+def test_mad_flags_injected_outlier_only(spark):
+    from big_data_project_implementation_spark.operators import events as ev
+
+    rows = [(i, "click", 10.0 + (i % 5) * 0.1) for i in range(40)]
+    rows.append((99, "click", 500.0))  # the outlier
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = ev.anomalies_mad(df).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].mz > 3.5
+
+
+def test_mad_baseline_not_dragged_by_outliers(spark):
+    """Even with 20% wild values, the median/MAD baseline holds and
+    every wild value is flagged (mean/stddev would mask them)."""
+    from big_data_project_implementation_spark.operators import events as ev
+
+    rows = [(i, "x", 100.0 + (i % 7)) for i in range(40)]
+    rows += [(100 + i, "x", 10000.0 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    flagged = {r.event_id for r in ev.anomalies_mad(df).collect()}
+    assert flagged == {100 + i for i in range(10)}
