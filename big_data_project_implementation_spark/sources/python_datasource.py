@@ -11,7 +11,12 @@ that matters at 1000 executors), and batch write via
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -65,5 +70,54 @@ class SyntheticDocsReader(DataSourceReader):
             yield (doc_id, partition.value, " ".join(words))
 
 
+class SyntheticDocsStreamDataSource(DataSource):
+    """Streaming form of the Python DataSource API (Spark 4
+    SimpleDataSourceStreamReader): a bounded deterministic micro-batch
+    source — offsets are dict checkpoints, so restart/replay semantics
+    are the engine's, not the source's. ``option("limit", N)`` rows
+    total, ``option("batch", B)`` rows per micro-batch. The custom-
+    connector shape for queue/api-poll ingestion where no built-in
+    source exists; exactly-once comes from readBetweenOffsets replay."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> StructType:
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticDocsStreamReader(self.options)
+
+
+def _doc_row(doc_id: int) -> tuple:
+    words = [
+        _WORDS[(doc_id * (j + 1)) % len(_WORDS)] for j in range(3 + doc_id % 4)
+    ]
+    return (doc_id, doc_id % 4, " ".join(words))
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.limit = int(options.get("limit", 40))
+        self.batch = int(options.get("batch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        if pos >= self.limit:
+            return iter([]), {"pos": pos}
+        nxt = min(pos + self.batch, self.limit)
+        # a concrete list: the returned iterator is pickled to the JVM
+        return iter([_doc_row(i) for i in range(pos, nxt)]), {"pos": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after restart: offsets fully determine the rows
+        return iter([_doc_row(i) for i in range(start["pos"], end["pos"])])
+
+
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(SyntheticDocsStreamDataSource)

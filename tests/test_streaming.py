@@ -423,3 +423,31 @@ def test_socket_stream_source_ingests_lines(spark):
     finally:
         q.stop()
         server.close()
+
+
+def test_python_datasource_stream_exactly_once(spark, tmp_path):
+    """Streaming Python DataSource (SimpleDataSourceStreamReader): the
+    bounded synthetic stream delivers every row exactly once through
+    micro-batches, and offsets checkpoint as plain dicts."""
+    from big_data_project_implementation_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    q = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("limit", 25)
+        .option("batch", 7)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT doc_id) AS d, max(doc_id) AS m "
+        "FROM pyds_stream"
+    ).collect()[0]
+    assert (got.n, got.d, got.m) == (25, 25, 24)
