@@ -392,9 +392,13 @@ def unigram_logprob(
         scored.groupBy("id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round((F.sum("lp") / F.count("*")).cast("double"), 6).alias(
-                "mean_logprob"
-            ),
+            # floor-rounded like bigram_logprob: ROUND-on-double is
+            # half-even in DuckDB vs half-up in Spark at exact …805
+            # boundaries
+            (
+                F.floor((F.sum("lp") / F.count("*")).cast("double") * 1e6 + 0.5)
+                / 1e6
+            ).alias("mean_logprob"),
         )
         .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
     )
@@ -1289,3 +1293,101 @@ def bpe_merges(
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("rank")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    train: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean bigram log-probability with stupid backoff
+    (Brants et al. 2007) under a model trained on the ``train`` slice
+    of the corpus (e.g. ``F.col("lang") == "en"`` — the CCNet shape:
+    a target-domain LM scores the whole crawl; off-model documents
+    surface as low scores):
+
+        lp(w1 w2) = ln(c2(w1,w2) / c1(w1))          if the bigram is
+                                                     in the model
+                  = ln(backoff * (c1(w2)+1)/(T+V))   otherwise
+
+    One corpus pass builds the bigram stream (zip_with over the token
+    array — no positional self-join); model tables are train-slice
+    aggregates joined back in (AQE elects broadcast when the model is
+    Zipf-small). Per-term decimal sums per the registry float
+    convention; backoff unigram is add-one smoothed so OOV words are
+    defined."""
+    arr = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"), F.when(train, 1).otherwise(0).alias("_tr"),
+        arr.alias("a"),
+    )
+    pairs = (
+        base.select(
+            "id",
+            "_tr",
+            F.explode(
+                F.zip_with(
+                    F.col("a"),
+                    F.slice(F.col("a"), 2, F.size("a")),
+                    lambda l, r: F.when(r.isNull(), F.lit(None)).otherwise(
+                        F.struct(l.alias("w1"), r.alias("w2"))
+                    ),
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p").isNotNull())
+        .select("id", "_tr", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        base.filter(F.col("_tr") == 1)
+        .select(F.explode("a").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").alias("total"), F.count("*").alias("v"))
+    bc = (
+        pairs.filter(F.col("_tr") == 1)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    scored = (
+        pairs.join(bc, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("cu2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            F.when(
+                F.col("c2").isNotNull(), F.log(F.col("c2") / F.col("c1"))
+            )
+            .otherwise(
+                F.log(
+                    F.lit(backoff)
+                    * (F.coalesce(F.col("cu2"), F.lit(0)) + 1)
+                    / (F.col("total") + F.col("v"))
+                )
+            )
+            .cast("decimal(28,10)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            # explicit floor(x*1e6+0.5) rounding: ROUND-on-double is
+            # half-even in DuckDB, half-up in Spark — exact boundary
+            # sums (…805) flip between them
+            (
+                F.floor((F.sum("lp") / F.count("*")).cast("double") * 1e6 + 0.5)
+                / 1e6
+            ).alias("mean_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "mean_logprob")
+    )

@@ -856,8 +856,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals AS (SELECT SUM(c) AS total, COUNT(*) AS v_size FROM vocab)
     SELECT t.id AS doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(CAST(ln((v.c + 1) / (tt.total + tt.v_size))
-                              AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE), 6)
+           FLOOR(CAST(SUM(CAST(ln((v.c + 1) / (tt.total + tt.v_size))
+                              AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6
              AS mean_logprob
     FROM toks t JOIN vocab v USING (word) CROSS JOIN totals tt
     GROUP BY t.id
@@ -2028,3 +2029,61 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("label"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tr,
+             string_split(lower(text), ' ') AS a
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT doc_id, tr,
+             split_part(big, chr(31), 1) AS w1,
+             split_part(big, chr(31), 2) AS w2
+      FROM (
+        SELECT doc_id, tr,
+               unnest(list_transform(list_zip(a, a[2:]),
+                 z -> CASE WHEN z[2] IS NULL THEN NULL
+                           ELSE z[1] || chr(31) || z[2] END)) AS big
+        FROM base
+      ) WHERE big IS NOT NULL
+    ),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(a) AS w FROM base WHERE tr = 1) GROUP BY w
+    ),
+    tot AS (SELECT SUM(c1) AS total, COUNT(*) AS v FROM uni),
+    bc AS (
+      SELECT w1, w2, count(*) AS c2 FROM pairs WHERE tr = 1 GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(CASE WHEN bc.c2 IS NOT NULL
+                  THEN ln(CAST(bc.c2 AS DOUBLE) / u1.c1)
+                  ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 1)
+                          / (CAST(t.total AS DOUBLE) + t.v))
+             END AS DECIMAL(28,10)) AS lp
+      FROM pairs p
+      LEFT JOIN bc ON bc.w1 = p.w1 AND bc.w2 = p.w2
+      LEFT JOIN uni u1 ON u1.w = p.w1
+      LEFT JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(lp) / count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS mean_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (operators.text.bigram_logprob)
+    trained on the English slice, scoring every document — the bigram
+    upgrade of text_unigram_logprob and the distributed stand-in for
+    CCNet's KenLM perplexity filter. Off-model (non-English) documents
+    fall through to backed-off unigram mass and score low."""
+    d = t(spark, sf_dir, "documents")
+    return text.bigram_logprob(d, train=F.col("lang") == "en").orderBy("doc_id")

@@ -214,3 +214,26 @@ def test_bpe_single_corpus_pass(spark):
     )
     out = text.bpe_merges(df, steps=3)
     assert len(out.collect()) == 3
+
+
+# ----------------------------------------------------------- bigram LM
+
+
+def test_bigram_backoff_scores_off_model_docs_lower(spark):
+    # model trained on 'en' rows; the es doc's bigrams are unseen and
+    # back off to near-OOV unigram mass → much lower score
+    rows = [(i, "the cat sat on the mat", "en") for i in range(6)]
+    rows.append((50, "el gato come pescado fresco", "es"))
+    df = spark.createDataFrame(rows, DOCS)
+    out = text.bigram_logprob(df, train=F.col("lang") == "en").toPandas()
+    s = dict(zip(out.doc_id, out.mean_logprob))
+    assert s[50] < s[0] - 1.0
+
+
+def test_bigram_in_model_doc_gets_conditional_probs(spark):
+    # a single training doc: every bigram has c2 == c1(w1) (each word
+    # once) → lp = ln(1) = 0 for every position
+    df = spark.createDataFrame([(1, "a b c d", "en")], DOCS)
+    out = text.bigram_logprob(df, train=F.col("lang") == "en").collect()
+    assert out[0].n_bigrams == 3
+    assert out[0].mean_logprob == 0.0
