@@ -359,3 +359,37 @@ def zip_with_index(
         .withColumn(index_col, (F.col("_offset") + F.col("_local") - 1).cast("bigint"))
         .drop("_pid", "_local", "_offset")
     )
+
+
+def table_fingerprint(df, cols=None):
+    """Order-free content fingerprint of a table: row count + additive
+    md5-derived row hash (mod 2^62 so the sum is overflow-free integer
+    arithmetic on any engine). Two tables hold the same multiset of
+    rows iff (n, fp) match — the cheap end-to-end integrity check for
+    migrations, replications, and engine swaps (this repo's own
+    oracle-vs-Spark contract, turned into an operator users can run
+    on their 100 TB copy: one scan, one 1-row aggregate, no sort).
+
+    Addition is commutative, so the result is independent of
+    partitioning, ordering, and merge order; a single flipped cell
+    changes the row's md5 and therefore the sum.
+    """
+    from pyspark.sql import functions as F
+
+    use = cols or df.columns
+    # explicit null sentinel: concat_ws SKIPS nulls, which would make
+    # (a, NULL) and (a) collide
+    row_str = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in use],
+    )
+    row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    # DECIMAL(38,0) accumulator: 2^60-bounded terms overflow BIGINT
+    # past ~10^4 billion rows; decimal addition stays exact
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("fingerprint"),
+    )

@@ -552,3 +552,33 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY depth ORDER BY depth
         """
     )
+
+
+@query(
+    "audit_table_fingerprint",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(
+                 COALESCE(CAST(l_orderkey AS VARCHAR), chr(0) || 'null')
+                 || chr(31) ||
+                 COALESCE(CAST(l_linenumber AS VARCHAR), chr(0) || 'null')
+                 || chr(31) ||
+                 COALESCE(CAST(l_quantity AS VARCHAR), chr(0) || 'null')
+               ), 1, 15)) AS BIGINT) AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+    FROM lineitem
+    """,
+)
+def audit_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free additive content fingerprint
+    (operators.relational.table_fingerprint over three lineitem
+    columns): the one-scan multiset-equality check for verifying a
+    migrated / replicated / engine-swapped copy of a 100 TB table —
+    partitioning- and order-invariant by construction (commutative
+    decimal addition of md5-derived row hashes)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    li = t(spark, sf_dir, "lineitem")
+    return relational.table_fingerprint(
+        li, ["l_orderkey", "l_linenumber", "l_quantity"]
+    )

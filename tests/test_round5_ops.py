@@ -237,3 +237,41 @@ def test_bigram_in_model_doc_gets_conditional_probs(spark):
     out = text.bigram_logprob(df, train=F.col("lang") == "en").collect()
     assert out[0].n_bigrams == 3
     assert out[0].mean_logprob == 0.0
+
+
+# ----------------------------------------------------- table fingerprint
+
+
+def test_fingerprint_is_order_and_partition_invariant(spark):
+    from big_data_project_implementation_spark.operators import relational
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, s string")
+    a = relational.table_fingerprint(df).collect()[0]
+    b = relational.table_fingerprint(df.repartition(17).orderBy(F.desc("id"))).collect()[0]
+    assert (a.n_rows, a.fingerprint) == (b.n_rows, b.fingerprint)
+
+
+def test_fingerprint_detects_single_cell_change(spark):
+    from big_data_project_implementation_spark.operators import relational
+
+    rows = [(i, f"v{i}") for i in range(50)]
+    a = relational.table_fingerprint(
+        spark.createDataFrame(rows, "id long, s string")
+    ).collect()[0]
+    rows[25] = (25, "v25x")
+    b = relational.table_fingerprint(
+        spark.createDataFrame(rows, "id long, s string")
+    ).collect()[0]
+    assert a.n_rows == b.n_rows and a.fingerprint != b.fingerprint
+
+
+def test_fingerprint_distinguishes_null_from_empty(spark):
+    from big_data_project_implementation_spark.operators import relational
+
+    a = relational.table_fingerprint(
+        spark.createDataFrame([(1, None)], "id long, s string")
+    ).collect()[0]
+    b = relational.table_fingerprint(
+        spark.createDataFrame([(1, "")], "id long, s string")
+    ).collect()[0]
+    assert a.fingerprint != b.fingerprint
