@@ -663,3 +663,120 @@ def semdedup(
         )
         .withColumn("kept", F.col(id_col) == F.col("component"))
     )
+
+
+def _l2sq(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance between two float arrays (codegen-only)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011): split each
+    vector into ``m`` contiguous subvectors and train ``k`` centroids
+    per subspace (deterministic Lloyd iterations, init = lowest-id
+    subvectors — same discipline as ``ivf_centroids``). Returns
+    (sub, code, centroid) with m*k rows: the compression table that
+    turns a 4*dim-byte float vector into m one-byte codes — the memory
+    layer under IVF-PQ indexes at billion-vector scale.
+
+    Scale shape: training is per-subspace but runs as ONE plan over
+    the exploded (id, sub, subvec) stream — each iteration broadcasts
+    the m*k codebook, assigns by argmin L2 (window over m*k candidate
+    rows pre-filtered by sub equality), then re-averages via a
+    (sub, code, pos) groupBy. Train on a sample at 100 TB; encoding
+    (below) is the corpus-sized pass."""
+    sub_len = (F.size("_vec") / m).cast("int")
+    subs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("_vec"),
+    ).select(
+        "_id",
+        "sub",
+        F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len).alias("sv"),
+    )
+    w0 = Window.partitionBy("sub").orderBy("_id")
+    books = (
+        subs.withColumn("_rn", F.row_number().over(w0))
+        .filter(F.col("_rn") <= k)
+        .select("sub", (F.col("_rn") - 1).alias("code"), F.col("sv").alias("centroid"))
+    )
+    for _ in range(iters):
+        w = Window.partitionBy("_id", "sub").orderBy(F.asc("_d"), F.asc("code"))
+        assigned = (
+            subs.join(F.broadcast(books), "sub")
+            .withColumn("_d", _l2sq("sv", "centroid"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("sub", "code", "sv")
+        )
+        books = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"].cast("float"),
+                ).alias("centroid")
+            )
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m nearest sub-centroids: (id, codes
+    array<int>, sq_err double). One broadcast of the m*k codebook into
+    the exploded subvector stream, argmin per (id, sub), then a
+    groupBy(id) to assemble codes — corpus rows shuffle once, on the
+    natural id key. ``sq_err`` is the per-vector reconstruction
+    distortion, the quality dial (raise m/k until acceptable)."""
+    sub_len = (F.size("_vec") / m).cast("int")
+    subs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("_vec"),
+    ).select(
+        "_id",
+        "sub",
+        F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len).alias("sv"),
+    )
+    w = Window.partitionBy("_id", "sub").orderBy(F.asc("_d"), F.asc("code"))
+    best = (
+        subs.join(F.broadcast(books), "sub")
+        .withColumn("_d", _l2sq("sv", "centroid"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_id", "sub", "code", "_d")
+    )
+    return (
+        best.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes"),
+            F.round(F.sum("_d"), 6).alias("sq_err"),
+        )
+        .select(F.col("_id").alias(id_col), "codes", "sq_err")
+    )

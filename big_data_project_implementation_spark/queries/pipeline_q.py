@@ -2087,3 +2087,27 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall through to backed-off unigram mass and score low."""
     d = t(spark, sf_dir, "documents")
     return text.bigram_logprob(d, train=F.col("lang") == "en").orderBy("doc_id")
+
+
+@query("embedding_pq_codes")  # float k-means -> rows-only; invariants in pytest
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embeddings table
+    (operators.similarity.pq_codebooks + pq_encode, m=4 subspaces x
+    k=16 codes): each vector compressed to 4 codes + its
+    reconstruction distortion — the memory layer of an IVF-PQ index.
+    Approximate by nature (float Lloyd iterations), so rows-only at
+    the driver; bounds/exactness/determinism pinned in
+    tests/test_round5_ops.py."""
+    from big_data_project_implementation_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks(emb, m=4, k=16, iters=2)
+    return (
+        similarity.pq_encode(emb, books, m=4)
+        .select(
+            "vec_id",
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+            "sq_err",
+        )
+        .orderBy("vec_id")
+    )

@@ -275,3 +275,63 @@ def test_fingerprint_distinguishes_null_from_empty(spark):
         spark.createDataFrame([(1, "")], "id long, s string")
     ).collect()[0]
     assert a.fingerprint != b.fingerprint
+
+
+# -------------------------------------------------- product quantization
+
+
+def _toy_vectors(spark, n=40, dim=8):
+    rows = [
+        (i, [float((i * (j + 3)) % 7) / 7.0 for j in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_codes_bounded_and_complete(spark):
+    from big_data_project_implementation_spark.operators import similarity
+
+    df = _toy_vectors(spark)
+    books = similarity.pq_codebooks(df, m=4, k=8, iters=2)
+    enc = similarity.pq_encode(df, books, m=4).collect()
+    assert len(enc) == 40
+    for r in enc:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+        assert r.sq_err >= 0.0
+
+
+def test_pq_exact_when_codebook_covers_corpus(spark):
+    # <= k distinct subvectors -> zero distortion after 1 iteration
+    from big_data_project_implementation_spark.operators import similarity
+
+    rows = [(i, [float(i % 3), float(i % 3), 1.0, 2.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.pq_codebooks(df, m=2, k=8, iters=2)
+    enc = similarity.pq_encode(df, books, m=2).collect()
+    assert all(r.sq_err == 0.0 for r in enc)
+
+
+def test_pq_more_centroids_never_worse(spark):
+    from big_data_project_implementation_spark.operators import similarity
+
+    df = _toy_vectors(spark)
+    def distortion(k):
+        books = similarity.pq_codebooks(df, m=4, k=k, iters=2)
+        out = similarity.pq_encode(df, books, m=4).agg(
+            F.sum("sq_err").alias("s")
+        ).collect()[0]
+        return out.s
+    assert distortion(8) <= distortion(1) + 1e-9
+
+
+def test_pq_deterministic_across_partitionings(spark):
+    from big_data_project_implementation_spark.operators import similarity
+
+    df = _toy_vectors(spark)
+    books = similarity.pq_codebooks(df, m=2, k=4, iters=2)
+    a = sorted((r.vec_id, tuple(r.codes)) for r in similarity.pq_encode(df, books, m=2).collect())
+    b = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in similarity.pq_encode(df.repartition(11), books, m=2).collect()
+    )
+    assert a == b
