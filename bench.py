@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "relational_zip_with_index",
     "data_dsir_weights",
     "sql_recursive_cte",
+    "text_bpe_merges",
+    "text_bigram_logprob",
+    "graph_label_propagation",
+    "events_anomaly_mad",
+    "audit_table_fingerprint",
+    "window_time_range_frame",
 ]
 
 

@@ -155,7 +155,14 @@ def test_window_r3_composition():
     (historical fact — the r03 driver files were produced under it)."""
     window = set(_WINDOW_R3)
     tpch = {n for n in REGISTRY if n.startswith("q") and n[1].isdigit()}
-    windows = {n for n in REGISTRY if n.startswith("window_")}
+    # the SEVEN R3-vintage window queries — pinned, not derived: later
+    # rounds add more window_* entries (ignore-nulls, time-range) that
+    # certify via the computed window
+    windows = {
+        "window_ranking", "window_lag_lead", "window_running_agg",
+        "window_range_frame", "window_topn_per_group",
+        "window_share_of_total", "window_named_sql",
+    }
     # the six R3-vintage UDF queries (udf_arrow_python/udf_map_in_arrow
     # arrived in round 4 and certify via the computed window instead)
     udf_r3 = {

@@ -451,3 +451,27 @@ def test_python_datasource_stream_exactly_once(spark, tmp_path):
         "FROM pyds_stream"
     ).collect()[0]
     assert (got.n, got.d, got.m) == (25, 25, 24)
+
+
+def test_foreach_batch_upsert_sink_is_idempotent(spark, tmp_path):
+    """foreachBatch + upsert_partitioned = an exactly-once keyed parquet
+    sink: replaying the same micro-batch (the at-least-once retry case)
+    must leave the table unchanged — dedup by key, not by append."""
+    from big_data_project_implementation_spark.sources import writers
+
+    path = str(tmp_path / "t")
+    batch1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "id long, day string, v long"
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "a", 21), (3, "b", 30)], "id long, day string, v long"
+    )
+
+    def sink(df, _epoch):
+        writers.upsert_partitioned(df, path, keys=["id"], partition_by=["day"])
+
+    sink(batch1, 0)
+    sink(batch2, 1)
+    sink(batch2, 1)  # retry replay of the same epoch
+    got = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", 10), (2, "a", 21), (3, "b", 30)}
