@@ -715,13 +715,19 @@ def pq_codebooks(
         .select("sub", (F.col("_rn") - 1).alias("code"), F.col("sv").alias("centroid"))
     )
     for _ in range(iters):
-        w = Window.partitionBy("_id", "sub").orderBy(F.asc("_d"), F.asc("code"))
+        # argmin via min_by (map-side combined), not a sort window: the
+        # k candidate rows per (id, sub) collapse before the exchange
         assigned = (
             subs.join(F.broadcast(books), "sub")
             .withColumn("_d", _l2sq("sv", "centroid"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("sub", "code", "sv")
+            .groupBy("_id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("code"), F.col("sv")),
+                    F.struct(F.col("_d"), F.col("code")),
+                ).alias("_best")
+            )
+            .select("sub", F.col("_best.code").alias("code"), F.col("_best.sv").alias("sv"))
         )
         books = (
             assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
@@ -761,13 +767,17 @@ def pq_encode(
         "sub",
         F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len).alias("sv"),
     )
-    w = Window.partitionBy("_id", "sub").orderBy(F.asc("_d"), F.asc("code"))
     best = (
         subs.join(F.broadcast(books), "sub")
         .withColumn("_d", _l2sq("sv", "centroid"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("_id", "sub", "code", "_d")
+        .groupBy("_id", "sub")
+        .agg(
+            F.min_by(
+                F.struct(F.col("code"), F.col("_d")),
+                F.struct(F.col("_d"), F.col("code")),
+            ).alias("_best")
+        )
+        .select("_id", "sub", F.col("_best.code").alias("code"), F.col("_best._d").alias("_d"))
     )
     return (
         best.groupBy("_id")
