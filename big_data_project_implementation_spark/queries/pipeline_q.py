@@ -9,7 +9,7 @@ in tests/test_pipeline.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_project_implementation_spark.operators import (
@@ -2110,4 +2110,139 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq_err",
         )
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "pipeline_curate_v3",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bkt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      WHERE tok <> ''
+    ),
+    w AS (
+      SELECT bkt,
+             CAST((SUM(is_t) + 1) * 1000000 // (COUNT(*) + 1) AS BIGINT) AS w
+      FROM b GROUP BY bkt
+    ),
+    dsir AS (
+      SELECT doc_id,
+             FLOOR(CAST(CAST(SUM(w.w) AS BIGINT) AS DOUBLE)
+                   / COUNT(*) / 1000000 * 1e6 + 0.5) / 1e6 AS dsir_score
+      FROM b JOIN w USING (bkt) GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tr,
+             string_split(lower(text), ' ') AS a
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT doc_id, tr,
+             split_part(big, chr(31), 1) AS w1,
+             split_part(big, chr(31), 2) AS w2
+      FROM (
+        SELECT doc_id, tr,
+               unnest(list_transform(list_zip(a, a[2:]),
+                 z -> CASE WHEN z[2] IS NULL THEN NULL
+                           ELSE z[1] || chr(31) || z[2] END)) AS big
+        FROM base
+      ) WHERE big IS NOT NULL
+    ),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(a) AS w FROM base WHERE tr = 1) GROUP BY w
+    ),
+    tot AS (SELECT SUM(c1) AS total, COUNT(*) AS v FROM uni),
+    bc AS (
+      SELECT w1, w2, count(*) AS c2 FROM pairs WHERE tr = 1 GROUP BY w1, w2
+    ),
+    lm AS (
+      SELECT doc_id,
+             FLOOR(CAST(SUM(lp) / count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                 AS lm_score
+      FROM (
+        SELECT p.doc_id,
+               CAST(CASE WHEN bc.c2 IS NOT NULL
+                    THEN ln(CAST(bc.c2 AS DOUBLE) / u1.c1)
+                    ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 1)
+                            / (CAST(t.total AS DOUBLE) + t.v))
+               END AS DECIMAL(28,10)) AS lp
+        FROM pairs p
+        LEFT JOIN bc ON bc.w1 = p.w1 AND bc.w2 = p.w2
+        LEFT JOIN uni u1 ON u1.w = p.w1
+        LEFT JOIN uni u2 ON u2.w = p.w2
+        CROSS JOIN tot t
+      ) GROUP BY doc_id
+    ),
+    surv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE doc_id = keeper
+    ),
+    thr AS (
+      SELECT ROUND(quantile_cont(dsir_score, 0.5), 6) AS dsir_med
+      FROM dsir
+    ),
+    thr2 AS (
+      SELECT ROUND(quantile_cont(lm_score, 0.25), 6) AS lm_p25 FROM lm
+    )
+    SELECT d.doc_id, d.lang, dsir.dsir_score, lm.lm_score
+    FROM documents d
+    JOIN surv USING (doc_id)
+    JOIN dsir USING (doc_id)
+    JOIN lm USING (doc_id)
+    CROSS JOIN thr CROSS JOIN thr2
+    WHERE dsir.dsir_score >= thr.dsir_med AND lm.lm_score >= thr2.lm_p25
+    ORDER BY d.doc_id
+    """,
+)
+def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 late curation pipeline as ONE Catalyst plan, composing
+    this round's signals: exact-dup survivorship (min-id per content
+    hash) → DSIR importance floor (≥ corpus median, self-calibrating)
+    → bigram-LM fluency floor (≥ corpus p25, self-calibrating).
+    The three signal subplans share the documents scan; Catalyst
+    pipelines the joins with no intermediate materialization — the
+    v2 lesson applied to the importance-resampling stack."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dsir = text.dsir_importance(d, target=F.col("lang") == "en").select(
+        "doc_id", F.col("score").alias("dsir_score")
+    )
+    lm = text.bigram_logprob(d, train=F.col("lang") == "en").select(
+        "doc_id", F.col("mean_logprob").alias("lm_score")
+    )
+    wmin = Window.partitionBy(F.md5("text"))
+    surv = (
+        d.select("doc_id", F.min("doc_id").over(wmin).alias("keeper"), "text")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id")
+    )
+    # self-calibrating floors (corpus median / p25, 1-row broadcast):
+    # absolute thresholds don't transfer across scales — the target-
+    # slice fraction and smoothing mass shift the whole distribution
+    thr = dsir.agg(
+        F.round(F.expr("percentile(dsir_score, 0.5)"), 6).alias("dsir_med")
+    )
+    thr2 = lm.agg(
+        F.round(F.expr("percentile(lm_score, 0.25)"), 6).alias("lm_p25")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(surv, "doc_id")
+        .join(dsir, "doc_id")
+        .join(lm, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(thr2))
+        .filter(
+            (F.col("dsir_score") >= F.col("dsir_med"))
+            & (F.col("lm_score") >= F.col("lm_p25"))
+        )
+        .select("doc_id", "lang", "dsir_score", "lm_score")
+        .orderBy("doc_id")
     )
