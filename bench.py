@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_anomaly_mad",
     "audit_table_fingerprint",
     "window_time_range_frame",
+    "pipeline_curate_v3",
 ]
 
 
