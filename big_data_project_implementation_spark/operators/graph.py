@@ -181,7 +181,11 @@ def label_propagation(
         .distinct()
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint(eager=True)
+    # hash-partition the edge table on the join key BEFORE the
+    # checkpoint: the materialized blocks keep that partitioning, so
+    # every round's labels-join shuffles only the node-sized label
+    # table, never the edge table again
+    sym = sym.repartition("v").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

@@ -361,7 +361,7 @@ def zip_with_index(
     )
 
 
-def table_fingerprint(df, cols=None):
+def table_fingerprint(df, cols=None, algo: str = "md5"):
     """Order-free content fingerprint of a table: row count + additive
     md5-derived row hash (mod 2^62 so the sum is overflow-free integer
     arithmetic on any engine). Two tables hold the same multiset of
@@ -383,7 +383,14 @@ def table_fingerprint(df, cols=None):
         "\x1f",
         *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in use],
     )
-    row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    if algo == "xxhash64":
+        # production fast path (~5x cheaper than md5, JVM-vectorized);
+        # md5 is the cross-engine-oracle form — pick per comparison pair
+        row_hash = F.abs(F.xxhash64(row_str)).cast("bigint")
+    else:
+        row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast(
+            "bigint"
+        )
     # DECIMAL(38,0) accumulator: 2^60-bounded terms overflow BIGINT
     # past ~10^4 billion rows; decimal addition stays exact
     return df.agg(
