@@ -299,3 +299,18 @@ def test_repartition_sort_within_partitions_has_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower(), plan[:800]
     # exactly the one hash exchange
     assert plan.count("Exchange") == 1, plan[:800]
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must collapse the configured 32 shuffle partitions to a
+    handful when the shuffled data is tiny — the runtime re-plan that
+    keeps small aggregations from scheduling 32 near-empty tasks (and
+    at 100 TB keeps reducer counts tracking actual bytes, not conf)."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .groupBy("n_regionkey")
+        .count()
+    )
+    df.collect()  # adaptive plan finalizes only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan, plan[:800]
