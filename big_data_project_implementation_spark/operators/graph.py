@@ -181,11 +181,12 @@ def label_propagation(
         .distinct()
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # hash-partition the edge table on the join key BEFORE the
-    # checkpoint: the materialized blocks keep that partitioning, so
-    # every round's labels-join shuffles only the node-sized label
-    # table, never the edge table again
-    sym = sym.repartition("v").localCheckpoint(eager=True)
+    # NB: a repartition("v") before this checkpoint measures ~2x SLOWER
+    # end-to-end — localCheckpoint scans report unknown partitioning to
+    # Catalyst, so the join re-shuffles anyway and the upfront exchange
+    # is pure overhead. On a real cluster, bucketed edge storage is the
+    # way to make the per-round edge shuffle disappear.
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
