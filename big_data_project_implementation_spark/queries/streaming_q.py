@@ -571,3 +571,28 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(joined, spark, output_mode="append").orderBy(
         "user_id", "click_id", "purchase_id"
     )
+
+
+@query("stream_windowed_distinct")  # HLL values engine-specific -> rows-only
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed distinct-user counts via HLL
+    (approx_count_distinct inside an event-time window): COUNT(DISTINCT)
+    is unsupported in streaming aggregations by design — unbounded
+    per-window key sets — so the sketch IS the production form; its
+    fixed-size state merges incrementally in the state store. Sketch
+    values are engine-specific (rows-only at the driver); equality with
+    the batch sketch on the same data is pinned in
+    tests/test_streaming.py::test_stream_hll_matches_batch_hll."""
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    out = _run_stream_to_table(sdf, spark)
+    return out.select(
+        F.col("window.start").alias("window_start"), "approx_users", "n_events"
+    ).orderBy("window_start")

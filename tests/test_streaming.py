@@ -475,3 +475,38 @@ def test_foreach_batch_upsert_sink_is_idempotent(spark, tmp_path):
     sink(batch2, 1)  # retry replay of the same epoch
     got = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a", 10), (2, "a", 21), (3, "b", 30)}
+
+
+def test_stream_hll_matches_batch_hll(spark):
+    """The streaming windowed HLL (state-store merged across
+    micro-batches) must equal the batch HLL over the same data — sketch
+    merge is associative, so incremental == one-shot."""
+    from big_data_project_implementation_spark.queries import REGISTRY
+    from big_data_project_implementation_spark.queries.registry import events_stream
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.window_start, r.approx_users, r.n_events)
+        for r in REGISTRY["stream_windowed_distinct"].fn(spark, sf).collect()
+    }
+    from big_data_project_implementation_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F
+
+    batch = {
+        (r.window_start, r.approx_users, r.n_events)
+        for r in (
+            load_table(spark, sf, "events")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.approx_count_distinct("user_id").alias("approx_users"),
+                F.count("*").cast("bigint").alias("n_events"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "approx_users",
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch
