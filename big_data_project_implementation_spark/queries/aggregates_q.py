@@ -606,3 +606,69 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(epoch(ts)) - 1704067200 AS DECIMAL(11,0)))
+                  AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(FLOOR(epoch(ts)) - 1704067200 AS DECIMAL(11,0))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(FLOOR(epoch(ts)) - 1704067200 AS DECIMAL(11,0))
+                      * CAST(FLOOR(epoch(ts)) - 1704067200 AS DECIMAL(11,0)))
+                  AS DOUBLE) AS sx2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e12 + 0.5) / 1e12
+               AS slope,
+           FLOOR((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n
+                 * 1e6 + 0.5) / 1e6 AS intercept
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares trend (value vs event time) from EXACT
+    decimal running sums — the distributive five-sum formulation of
+    regr_slope/regr_intercept, made hash-certifiable: the builtin
+    regr_* aggregates accumulate in doubles, so their low bits depend
+    on partial-aggregation order (verified: ~1e-8 relative drift
+    between engines); summing in DECIMAL and applying the closed form
+    once at the end is order-free on both sides. The builtins
+    themselves are pinned against this form (±1e-6 relative) in
+    tests/test_round5_ops.py::test_builtin_regr_matches_closed_form."""
+    e = t(spark, sf_dir, "events")
+    # narrow operands so every decimal PRODUCT fits precision 38
+    # exactly — wider operands trigger engine-specific scale reduction
+    # (allowPrecisionLoss) that rounds each product differently
+    xd = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("decimal(11,0)")
+    yd = F.col("value").cast("decimal(18,6)")
+    st = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return (
+        st.select(
+            "event_type",
+            "n",
+            (F.floor(slope * 1e12 + 0.5) / 1e12).alias("slope"),
+            (
+                F.floor(
+                    (F.col("sy") - slope * F.col("sx")) / F.col("n") * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )

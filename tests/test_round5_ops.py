@@ -335,3 +335,39 @@ def test_pq_deterministic_across_partitionings(spark):
         for r in similarity.pq_encode(df.repartition(11), books, m=2).collect()
     )
     assert a == b
+
+
+# ------------------------------------------------- regression aggregates
+
+
+def test_builtin_regr_matches_closed_form(spark):
+    """The builtin regr_slope/regr_intercept (double accumulation,
+    order-sensitive low bits) must agree with the exact decimal-sum
+    closed form within float tolerance — and the builtins ARE the
+    100 TB surface; the closed form is the certifiable twin."""
+    from big_data_project_implementation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.event_type: (r.slope, r.intercept)
+        for r in REGISTRY["agg_regression"].fn(spark, sf).collect()
+    }
+    from big_data_project_implementation_spark.sources.catalog import load_table
+
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("double")
+    built = {
+        r.event_type: (r.s, r.i)
+        for r in (
+            load_table(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(
+                F.regr_slope(F.col("value"), x).alias("s"),
+                F.regr_intercept(F.col("value"), x).alias("i"),
+            )
+            .collect()
+        )
+    }
+    for et, (s_exact, i_exact) in exact.items():
+        s_b, i_b = built[et]
+        assert abs(s_b - s_exact) <= max(1e-6 * abs(s_exact), 1e-12)
+        assert abs(i_b - i_exact) <= max(1e-6 * abs(i_exact), 1e-6)
