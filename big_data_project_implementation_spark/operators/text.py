@@ -1391,3 +1391,36 @@ def bigram_logprob(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "mean_logprob")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    2006): each row draws u ~ U(0,1) deterministically from md5 of its
+    id and keeps key = ln(u)/w; the k largest keys are a weighted
+    sample without replacement — the one-pass, coordination-free way
+    to sample k documents proportional to quality/importance weights
+    (e.g. a DSIR score or token count) across any number of executors.
+
+    Scale shape: a pure projection (md5 + ln, codegen) followed by a
+    global top-k = TakeOrderedAndProject — per-partition heaps of k,
+    only k rows per partition reach the driver-side merge; no sort, no
+    shuffle of the corpus. md5-derived u (not rand()) keeps the draw
+    reproducible and engine-portable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1) / F.lit(float(2**32 + 1))
+    key = F.log(u) / weight
+    return (
+        df.withColumn("es_key", F.floor(key * 1e12 + 0.5) / 1e12)
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2246,3 +2246,30 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "dsir_score", "lm_score")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_weighted_es",
+    oracle="""
+    SELECT doc_id, source, n_chars, es_key
+    FROM (
+      SELECT doc_id, source, n_chars,
+             FLOOR(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) + 1) / 4294967297.0)
+                   / n_chars * 1e12 + 0.5) / 1e12 AS es_key
+      FROM documents
+    )
+    ORDER BY es_key DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, 50 docs ∝ n_chars
+    (operators.text.weighted_sample, Efraimidis-Spirakis exponential
+    keys from md5 randomness): longer documents are proportionally
+    likelier, the draw is reproducible on any engine/partitioning, and
+    the plan is a codegen projection + TakeOrderedAndProject — no
+    shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return text.weighted_sample(
+        d.select("doc_id", "source", "n_chars"), weight=F.col("n_chars"), k=50
+    )

@@ -371,3 +371,37 @@ def test_builtin_regr_matches_closed_form(spark):
         s_b, i_b = built[et]
         assert abs(s_b - s_exact) <= max(1e-6 * abs(s_exact), 1e-12)
         assert abs(i_b - i_exact) <= max(1e-6 * abs(i_exact), 1e-6)
+
+
+# ------------------------------------------------- E-S weighted sampling
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # weight 1000 vs 1: heavy rows should dominate a k=20-of-200 draw
+    rows = [(i, 1000 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = text.weighted_sample(df, weight=F.col("w"), k=20).collect()
+    heavy = sum(1 for r in out if r.w == 1000)
+    assert heavy >= 17  # overwhelmingly from the heavy class
+
+
+def test_weighted_sample_is_partition_invariant(spark):
+    rows = [(i, (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [r.doc_id for r in text.weighted_sample(df, F.col("w"), k=25).collect()]
+    b = [
+        r.doc_id
+        for r in text.weighted_sample(df.repartition(13), F.col("w"), k=25).collect()
+    ]
+    assert a == b
+
+
+def test_weighted_sample_seed_changes_draw(spark):
+    rows = [(i, 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = {r.doc_id for r in text.weighted_sample(df, F.col("w"), k=25).collect()}
+    b = {
+        r.doc_id
+        for r in text.weighted_sample(df, F.col("w"), k=25, seed="s2").collect()
+    }
+    assert a != b
