@@ -790,3 +790,72 @@ def pq_encode(
         )
         .select(F.col("_id").alias(id_col), "codes", "sq_err")
     )
+
+
+def embedding_covariance(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact covariance matrix of the embedding dimensions — the input
+    to PCA whitening / dimensionality audits over a vector corpus.
+    Returns upper-triangle rows (i, j, cov) with cov = E[xy] - E[x]E[y]
+    (population form), computed on components quantized to 1e-6
+    (explicit floor(x*1e6+0.5) — engine-identical, unlike float→decimal
+    casts whose half-rounding differs between engines).
+
+    Scale shape: each row expands to its d(d+1)/2 upper-triangle
+    products INSIDE codegen (nested transform + flatten — no self-join,
+    no d× row blowup before the combine), then one groupBy(i, j) whose
+    map-side combine reduces every partition to d(d+1)/2 partial sums.
+    Sums are integer/decimal-exact, so the matrix is bit-identical on
+    any partitioning; the only doubles are the final divisions."""
+    d = F.size(vec_col)
+
+    def q(idx):  # component quantized to integer micro-units
+        return F.floor(
+            F.element_at(F.col(vec_col), idx + 1).cast("double") * 1e6 + 0.5
+        ).cast("bigint")
+
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (q(i) * q(j)).alias("xy"),
+                    q(i).alias("x"),
+                    q(j).alias("y"),
+                ),
+            ),
+        )
+    )
+    return (
+        corpus.select(F.explode(tri).alias("t"))
+        .select("t.i", "t.j", "t.xy", "t.x", "t.y")
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("xy").cast("decimal(38,0)")).cast("double").alias("sxy"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+        )
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            (
+                F.floor(
+                    (
+                        F.col("sxy") / F.col("n")
+                        - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+                    )
+                    / 1e12
+                    * 1e10
+                    + 0.5
+                )
+                / 1e10
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

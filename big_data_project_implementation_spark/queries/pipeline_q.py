@@ -2273,3 +2273,35 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.weighted_sample(
         d.select("doc_id", "source", "n_chars"), weight=F.col("n_chars"), k=50
     )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH tri AS (
+      SELECT ii.i AS i, jj.j AS j,
+             CAST(FLOOR(CAST(e[ii.i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(e[jj.j + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y
+      FROM (SELECT embedding AS e FROM embeddings) v,
+      LATERAL (SELECT unnest(generate_series(0, len(e) - 1)) AS i) ii,
+      LATERAL (SELECT unnest(generate_series(ii.i, len(e) - 1)) AS j) jj
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           FLOOR((CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+                  - (CAST(SUM(x) AS DOUBLE) / count(*))
+                    * (CAST(SUM(y) AS DOUBLE) / count(*))) / 1e12 * 1e10 + 0.5)
+               / 1e10 AS cov
+    FROM tri GROUP BY i, j ORDER BY i, j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dimension-covariance matrix of the embedding corpus
+    (operators.similarity.embedding_covariance) — the PCA-whitening /
+    anisotropy-audit input. Upper-triangle outer products expand in
+    codegen per row (no self-join); one map-side-combined groupBy over
+    d(d+1)/2 keys; decimal-exact sums make the matrix engine- and
+    partitioning-invariant."""
+    from big_data_project_implementation_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(emb)

@@ -280,3 +280,21 @@ def test_upsert_partitioned_first_write_bootstraps(spark, tmp_path):
     batch = spark.createDataFrame([(1, "a", 1)], "id long, day string, v long")
     writers.upsert_partitioned(batch, path, keys=["id"], partition_by=["day"])
     assert spark.read.parquet(path).count() == 1
+
+
+def test_parquet_schema_merge_reads_evolved_table(spark, tmp_path):
+    """Schema evolution: files written before a column existed must
+    read as NULL under mergeSchema — the append-only table contract
+    (reference ParquetRelation schema merging,
+    EXE/datasources/parquet/ParquetRelation.scala)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        path + "/p1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.parquet(path + "/p2")
+    df = spark.read.option("mergeSchema", "true").parquet(path + "/p1", path + "/p2")
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5

@@ -405,3 +405,35 @@ def test_weighted_sample_seed_changes_draw(spark):
         for r in text.weighted_sample(df, F.col("w"), k=25, seed="s2").collect()
     }
     assert a != b
+
+
+# ------------------------------------------------- embedding covariance
+
+
+def test_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from big_data_project_implementation_spark.operators import similarity
+
+    rng = [[float((i * 3 + j * 7) % 5) / 5 for j in range(4)] for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+    )
+    out = {(r.i, r.j): r.cov for r in similarity.embedding_covariance(df).collect()}
+    m = np.floor(np.array(rng) * 1e6 + 0.5) / 1e6  # the op's quantization
+    ref = np.cov(m, rowvar=False, bias=True)
+    for (i, j), c in out.items():
+        assert abs(c - ref[i][j]) < 2e-10, (i, j, c, ref[i][j])
+    assert len(out) == 10  # upper triangle of d=4
+
+
+def test_covariance_partition_invariant(spark):
+    from big_data_project_implementation_spark.operators import similarity
+
+    rows = [(i, [float(i % 3), float(i % 7)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, similarity.embedding_covariance(df).collect()))
+    b = sorted(
+        map(tuple, similarity.embedding_covariance(df.repartition(9)).collect())
+    )
+    assert a == b
