@@ -269,3 +269,70 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    SELECT event_id AS purchase_id, user_id, last_view_id,
+           CAST(FLOOR(epoch(ts)) - FLOOR(epoch(last_view_ts)) AS BIGINT)
+               AS seconds_since_view
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS) OVER w AS last_view_id,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS) OVER w AS last_view_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+      AND last_view_ts IS NOT NULL
+      AND last_view_ts >= ts - INTERVAL 7 DAY
+    ORDER BY purchase_id
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent preceding view within a 7-day window — one user-keyed
+    window pass over the mixed event stream (IGNORE NULLS last_value
+    over an exclusive-of-current frame), no self-join, no per-type
+    sub-streams. The marketing-attribution / conversion-lag primitive;
+    swap last_value for first_value for first-touch."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(view_id, ignorenulls=True).over(w).alias("last_view_id"),
+            F.last(view_ts, ignorenulls=True).over(w).alias("last_view_ts"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_ts").isNotNull()
+            & (F.col("last_view_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "last_view_id",
+            F.floor(
+                F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts")
+            )
+            .cast("bigint")
+            .alias("seconds_since_view"),
+        )
+        .orderBy("purchase_id")
+    )
