@@ -314,3 +314,52 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema)
+
+
+ENTROPY_SCHEMA = (
+    "media_id long, mime string, n_bytes long, "
+    "byte_entropy double, top_byte_frac double"
+)
+
+
+def payload_entropy(media: DataFrame) -> DataFrame:
+    """Byte-level Shannon entropy + modal-byte share per payload — the
+    corruption/placeholder detector for media corpora: truncated or
+    zero-filled blobs collapse toward 0 bits/byte, healthy compressed
+    media sits near 8, and a high modal-byte share flags padding even
+    at moderate entropy.
+
+    Arrow-batched mapInPandas (the documented exception for byte-level
+    work): one numpy bincount per payload, no JVM→Python row loop.
+    Entropy is floor-rounded at 6dp so the value is reproducible
+    across numpy builds."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ent, top = [], []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                if len(b) == 0:
+                    ent.append(0.0)
+                    top.append(1.0)
+                    continue
+                counts = np.bincount(b, minlength=256)
+                p = counts[counts > 0] / len(b)
+                h = float(-(p * np.log2(p)).sum())
+                ent.append(float(np.floor(h * 1e6 + 0.5) / 1e6))
+                top.append(float(np.floor(counts.max() / len(b) * 1e6 + 0.5) / 1e6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "byte_entropy": ent,
+                    "top_byte_frac": top,
+                }
+            )
+
+    return media.select("media_id", "mime", "n_bytes", "payload").mapInPandas(
+        run, ENTROPY_SCHEMA
+    )

@@ -2305,3 +2305,18 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return similarity.embedding_covariance(emb)
+
+
+@query("multimodal_entropy")  # zlib-dependent bytes -> rows-only; pytest pins
+def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-entropy corruption audit over synthesized media payloads
+    (operators.multimodal.payload_entropy): zero-filled PCM WAVs sit
+    near 0 bits/byte, compressed PNG scanlines strictly higher — the
+    cheap pre-decode health gate for a media lake. Entropy depends on
+    the synthesized zlib stream, so no closed-form oracle; known-value
+    and wav<png separation pinned in tests/test_round5_ops.py."""
+    from big_data_project_implementation_spark.operators import multimodal as mm
+
+    base = t(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synthesize_media(base, "doc_id")
+    return mm.payload_entropy(media).orderBy("media_id")

@@ -437,3 +437,39 @@ def test_covariance_partition_invariant(spark):
         map(tuple, similarity.embedding_covariance(df.repartition(9)).collect())
     )
     assert a == b
+
+
+# ------------------------------------------------------ payload entropy
+
+
+def test_payload_entropy_known_values(spark):
+    from big_data_project_implementation_spark.operators import multimodal as mm
+
+    rows = [
+        (1, b"\x00" * 1000, "application/octet-stream"),      # constant → 0
+        (2, bytes(range(256)) * 4, "application/octet-stream"),  # uniform → 8
+        (3, b"\x00\x01" * 500, "application/octet-stream"),   # two-symbol → 1
+    ]
+    df = spark.createDataFrame(
+        [(i, p, m, len(p), "{}") for i, p, m in rows],
+        "media_id long, payload binary, mime string, n_bytes long, meta_json string",
+    )
+    out = {r.media_id: r for r in mm.payload_entropy(df).collect()}
+    assert out[1].byte_entropy == 0.0 and out[1].top_byte_frac == 1.0
+    assert out[2].byte_entropy == 8.0
+    assert abs(out[2].top_byte_frac - 1 / 256) < 1e-6
+    assert out[3].byte_entropy == 1.0 and out[3].top_byte_frac == 0.5
+
+
+def test_payload_entropy_flags_padding_in_real_media(spark):
+    from big_data_project_implementation_spark.operators import multimodal as mm
+
+    base = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = mm.synthesize_media(base, "doc_id")
+    out = mm.payload_entropy(media).collect()
+    assert len(out) == 40
+    # synthesized WAVs are zero-filled PCM → near-zero entropy; PNGs
+    # carry zlib-compressed scanlines → strictly higher
+    wavs = [r.byte_entropy for r in out if r.mime == "audio/wav"]
+    pngs = [r.byte_entropy for r in out if r.mime == "image/png"]
+    assert max(wavs) < min(pngs)
