@@ -1011,3 +1011,56 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ordered near-SUBSET pairs by n-gram containment
+    C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ ``threshold`` —
+    the asymmetric complement of Jaccard: a short document quoted
+    wholesale inside a long one scores low Jaccard (union is large)
+    but containment ≈ 1. The boilerplate/quotation/sub-document
+    detector that pairs with ``duplicated_spans``.
+
+    Scale shape: distinct (doc, gram-hash) postings (8-byte keys, the
+    corpus shuffle) self-join per gram — bounded by per-gram document
+    frequency like every postings join here; intersection counts
+    group by ordered pair; |grams(a)| joins back from the per-doc
+    distinct-gram count (vocabulary-sized table). Zipf-head grams
+    should be df-capped upstream at extreme corpora (same defense the
+    jaccard/overlap operators document)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    posts = (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+        .distinct()
+    )
+    sizes = posts.groupBy("doc").agg(F.count("*").alias("n_grams"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("n_grams").cast("bigint").alias("n_grams_a"),
+            (F.floor(F.col("inter") / F.col("n_grams") * 1e6 + 0.5) / 1e6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -336,3 +336,55 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "events_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS lo,
+             ROUND(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                               AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+               AS winsorized_mean,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 6) AS raw_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type means: values clamped to the [p05, p95]
+    exact-percentile band before averaging — the tail-robust KPI that
+    pairs with events_anomaly_mad (detect there, bound influence
+    here). Percentile baselines are a tiny broadcast; the clamp is
+    codegen; sums are decimal-exact per the registry convention."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(clamped.cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -2320,3 +2320,42 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "documents").select("doc_id")
     media = mm.synthesize_media(base, "doc_id")
     return mm.payload_entropy(media).orderBy("media_id")
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH posts AS (
+      SELECT DISTINCT doc_id AS doc, gram FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gs
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents WHERE text IS NOT NULL)
+      ), unnest(gs) AS u(gram)
+    ),
+    sizes AS (SELECT doc, count(*) AS n_grams FROM posts GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM posts a JOIN posts b ON a.gram = b.gram AND a.doc <> b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(n_grams AS BIGINT) AS n_grams_a,
+           FLOOR(inter * 1.0 / n_grams * 1e6 + 0.5) / 1e6 AS containment
+    FROM inter JOIN sizes ON sizes.doc = inter.doc_a
+    WHERE FLOOR(inter * 1.0 / n_grams * 1e6 + 0.5) / 1e6 >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-gram containment pairs ≥ 0.8
+    (operators.dedup.containment_pairs): near-SUBSET detection —
+    quotation/boilerplate inclusion that Jaccard under-scores because
+    the union is dominated by the longer document. Hash-agnostic
+    result (grams only ever join against themselves), so the Spark
+    side uses 8-byte xxhash64 postings while the oracle joins raw
+    gram strings."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, n=3, threshold=0.8)

@@ -473,3 +473,31 @@ def test_payload_entropy_flags_padding_in_real_media(spark):
     wavs = [r.byte_entropy for r in out if r.mime == "audio/wav"]
     pngs = [r.byte_entropy for r in out if r.mime == "image/png"]
     assert max(wavs) < min(pngs)
+
+
+# ------------------------------------------------------------ containment
+
+
+def test_containment_detects_subset_where_jaccard_fails(spark):
+    from big_data_project_implementation_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    out = {(r.doc_a, r.doc_b): r.containment for r in
+           dedup.containment_pairs(df, n=3, threshold=0.8).collect()}
+    # every 3-gram of doc 1 appears in doc 2 → containment 1.0 that way
+    assert out.get((1, 2)) == 1.0
+    # the reverse direction is far below threshold (long doc mostly novel)
+    assert (2, 1) not in out
+
+
+def test_containment_no_pairs_for_disjoint_docs(spark):
+    from big_data_project_implementation_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "v w x y z")], "doc_id long, text string"
+    )
+    assert dedup.containment_pairs(df).count() == 0
