@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "audit_table_fingerprint",
     "window_time_range_frame",
     "pipeline_curate_v3",
+    "dedup_containment",
+    "events_attribution",
+    "embedding_covariance",
+    "sample_weighted_es",
 ]
 
 
