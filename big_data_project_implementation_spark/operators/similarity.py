@@ -803,12 +803,13 @@ def embedding_covariance(
     (explicit floor(x*1e6+0.5) — engine-identical, unlike float→decimal
     casts whose half-rounding differs between engines).
 
-    Scale shape: each row expands to its d(d+1)/2 upper-triangle
-    products INSIDE codegen (nested transform + flatten — no self-join,
-    no d× row blowup before the combine), then one groupBy(i, j) whose
-    map-side combine reduces every partition to d(d+1)/2 partial sums.
-    Sums are integer/decimal-exact, so the matrix is bit-identical on
-    any partitioning; the only doubles are the final divisions."""
+    Scale shape: the d(d+1)/2 upper-triangle PRODUCTS expand per row
+    inside codegen (no self-join) and carry only (i, j, xy) through
+    the map-side-combined groupBy — the d first-moment sums and the
+    row count come from a separate d-key pass and broadcast back, so
+    the big stream is one bigint per pair, not three. Integer-exact
+    sums make the matrix bit-identical on any partitioning; the only
+    doubles are the final divisions."""
     d = F.size(vec_col)
 
     def q(idx):  # component quantized to integer micro-units
@@ -822,25 +823,38 @@ def embedding_covariance(
             lambda i: F.transform(
                 F.sequence(i, d - 1),
                 lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (q(i) * q(j)).alias("xy"),
-                    q(i).alias("x"),
-                    q(j).alias("y"),
+                    i.alias("i"), j.alias("j"), (q(i) * q(j)).alias("xy")
                 ),
             ),
         )
     )
-    return (
-        corpus.select(F.explode(tri).alias("t"))
-        .select("t.i", "t.j", "t.xy", "t.x", "t.y")
-        .groupBy("i", "j")
+    moments = (
+        corpus.select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), d - 1), lambda i: q(i)
+                )
+            ).alias("pos", "x")
+        )
+        .groupBy("pos")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum(F.col("xy").cast("decimal(38,0)")).cast("double").alias("sxy"),
-            F.sum("x").cast("double").alias("sx"),
-            F.sum("y").cast("double").alias("sy"),
+            F.sum("x").cast("double").alias("s"),
         )
+    )
+    pair_sums = (
+        corpus.select(F.explode(tri).alias("t"))
+        .select("t.i", "t.j", "t.xy")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xy").cast("decimal(38,0)")).cast("double").alias("sxy"))
+    )
+    mi = moments.select(
+        F.col("pos").alias("i"), F.col("s").alias("sx"), F.col("n").alias("n")
+    )
+    mj = moments.select(F.col("pos").alias("j"), F.col("s").alias("sy"))
+    return (
+        pair_sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
         .select(
             F.col("i").cast("bigint").alias("i"),
             F.col("j").cast("bigint").alias("j"),

@@ -2325,7 +2325,7 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_containment",
     oracle="""
-    WITH posts AS (
+    WITH posts0 AS (
       SELECT DISTINCT doc_id AS doc, gram FROM (
         SELECT doc_id,
                list_transform(generate_series(1, len(t) - 2),
@@ -2334,6 +2334,10 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents WHERE text IS NOT NULL)
       ), unnest(gs) AS u(gram)
     ),
+    rare AS (
+      SELECT gram FROM posts0 GROUP BY gram HAVING count(*) <= 64
+    ),
+    posts AS (SELECT doc, gram FROM posts0 JOIN rare USING (gram)),
     sizes AS (SELECT doc, count(*) AS n_grams FROM posts GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter

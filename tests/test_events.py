@@ -148,3 +148,54 @@ def test_mad_baseline_not_dragged_by_outliers(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     flagged = {r.event_id for r in ev.anomalies_mad(df).collect()}
     assert flagged == {100 + i for i in range(10)}
+
+
+# ------------------------------------------------------------ attribution
+
+
+def test_attribution_credits_most_recent_view_within_window(spark):
+    from datetime import datetime, timedelta
+
+    from big_data_project_implementation_spark.queries import REGISTRY  # noqa: F401
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    t0 = datetime(2024, 3, 1, 12, 0)
+    rows = [
+        # u1: view(1) ... view(2) ... purchase(3) → credits view 2
+        (1, t0, 1, "view", 0.0),
+        (1, t0 + timedelta(hours=1), 2, "view", 0.0),
+        (1, t0 + timedelta(hours=2), 3, "purchase", 9.0),
+        # u2: view 8 days before purchase → outside the 7d window
+        (2, t0 - timedelta(days=8), 4, "view", 0.0),
+        (2, t0, 5, "purchase", 5.0),
+        # u3: purchase with no view at all
+        (3, t0, 6, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    out = (
+        df.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(view_id, ignorenulls=True).over(w).alias("last_view_id"),
+            F.last(view_ts, ignorenulls=True).over(w).alias("last_view_ts"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_ts").isNotNull()
+            & (F.col("last_view_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .collect()
+    )
+    assert [(r.event_id, r.last_view_id) for r in out] == [(3, 2)]
