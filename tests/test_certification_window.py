@@ -66,23 +66,91 @@ def test_live_window_priorities():
 
 
 def test_driver_history_parses_real_files():
-    """Spot-check the parser against the committed round-1..3 facts."""
+    """Invariants of the parser against the live driver files — never
+    pin a (round, ok) snapshot here: the driver rewrites history every
+    round and snapshots go stale (VERDICT r3 #2 and r4 #1).  Exact
+    value checks live in test_driver_history_exact_on_fixtures."""
     hist = _driver_history()
-    if not glob.glob("/root/repo/CORRECTNESS_r03.json"):
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not files:
         return
-    # q12 was round 3's only red row (oracle-side HUGEINT bug)
-    assert hist["q12_priority_shipping"] == (3, False)
-    # a green oracled row and a green rows-only row
-    assert hist["q1_pricing_summary"] == (3, True)
-    last, ok = hist["agg_approx_count_distinct"]
-    assert ok  # err='no_oracle' rows are the by-design pass, not red
-    # never-certified entries are absent entirely
-    raw = {
-        k
-        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
-        for k in json.load(open(p))
-    }
-    assert set(hist) == raw & set(hist)
+    newest = max(int(p.rsplit("r", 1)[1].split(".")[0]) for p in files)
+    raw = {k for p in files for k in json.load(open(p))}
+    # history covers exactly the names the driver ever wrote
+    assert set(hist) == raw
+    for name, (rnd, ok) in hist.items():
+        assert 1 <= rnd <= newest
+        assert isinstance(ok, bool)
+    # independently recompute "newest round per name" and compare
+    per_name_newest: dict[str, int] = {}
+    for p in files:
+        rnd = int(p.rsplit("r", 1)[1].split(".")[0])
+        for k in json.load(open(p)):
+            per_name_newest[k] = max(per_name_newest.get(k, 0), rnd)
+    assert {n: r for n, (r, _) in hist.items()} == per_name_newest
+
+
+def test_driver_history_exact_on_fixtures(tmp_path):
+    """Exact-value checks on synthetic driver files (green, red,
+    rows-only, malformed, superseded) — immune to live-repo drift."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "green_then_red": {"rows_match": True, "schema_match": True,
+                           "hash_match": True, "spark_rows": 5,
+                           "oracle_rows": 5, "err": None},
+        "stays_green": {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "spark_rows": 1,
+                        "oracle_rows": 1, "err": None},
+        "malformed_row": "not-a-dict",
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "green_then_red": {"rows_match": True, "schema_match": False,
+                           "hash_match": False, "spark_rows": 5,
+                           "oracle_rows": 4, "err": None},
+        "rows_only_ok": {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "spark_rows": 7,
+                         "oracle_rows": None, "err": "no_oracle"},
+        "rows_only_crashed": {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": None,
+                              "oracle_rows": None, "err": "no_oracle"},
+        "errored": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "spark_rows": 3,
+                    "oracle_rows": 3, "err": "boom"},
+    }))
+    hist = _driver_history(root=str(tmp_path))
+    assert hist["green_then_red"] == (2, False)  # newest round wins
+    assert hist["stays_green"] == (1, True)
+    assert hist["rows_only_ok"] == (2, True)  # no_oracle = by-design pass
+    assert hist["rows_only_crashed"] == (2, False)
+    assert hist["errored"] == (2, False)
+    assert "malformed_row" not in hist
+    assert _round_number(root=str(tmp_path)) == 3
+
+
+def test_suite_survives_future_driver_write(tmp_path):
+    """Dropping a synthetic next-round driver file must not break the
+    rotation: simulate CORRECTNESS_r{next} (all window entries green)
+    and re-check every live invariant against the merged history."""
+    import shutil
+
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path)
+    nxt = _round_number()
+    window_now = _computed_window(list(REGISTRY), _driver_history())
+    fake = {n: {"rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": 1, "oracle_rows": 1,
+                "err": None} for n in window_now}
+    (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(json.dumps(fake))
+    hist2 = _driver_history(root=str(tmp_path))
+    for n in window_now:
+        assert hist2[n] == (nxt, True)
+    # the next window computes cleanly and re-prioritizes reds/nevers
+    w2 = _computed_window(list(REGISTRY), hist2)
+    assert len(w2) == _WINDOW_SIZE
+    red = [n for n in REGISTRY if n in hist2 and not hist2[n][1]]
+    never = [n for n in REGISTRY if n not in hist2]
+    need = red + never
+    if len(need) <= _WINDOW_SIZE:
+        assert set(need) <= set(w2)
 
 
 def test_computed_window_priorities_synthetic():
