@@ -1028,45 +1028,74 @@ def containment_pairs(
     but containment ≈ 1. The boilerplate/quotation/sub-document
     detector that pairs with ``duplicated_spans``.
 
-    Scale shape: distinct (doc, gram-hash) postings (8-byte keys, the
-    corpus shuffle) self-join per gram — bounded by per-gram document
-    frequency like every postings join here; intersection counts
-    group by ordered pair; |grams(a)| joins back from the per-doc
-    distinct-gram count (vocabulary-sized table). Zipf-head grams
-    should be df-capped upstream at extreme corpora (same defense the
-    jaccard/overlap operators document)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    Scale shape: ONE corpus shuffle — (doc, gram-hash) postings
+    groupBy gram with a map-side partial collect_set; the df-cap is a
+    filter on the grouped row; the Σ df(g)² intra-gram pairs expand
+    in codegen (no postings self-join); the per-doc gram counts
+    (vocabulary-bounded) broadcast into the final containment join.
+    The shared grouped-postings exchange is consumed by both the pair
+    stream and the size table via ReusedExchange — no persist barrier,
+    no recompute."""
+    # single-space split (not \s+): byte-for-byte parity with the
+    # DuckDB oracle's string_split(text, ' ') and with the other text
+    # operators (dsir_importance, bigram_logprob) — \s+ silently
+    # diverges on tabs/newlines/runs of spaces.
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    # hash each token once, then hash the n token-hashes per position:
+    # O(tokens) string hashing instead of O(tokens·n) slice+concat
+    # string building (measured 2× on the gram stage). Gram identity is
+    # hash-composition-agnostic — grams only ever join against grams
+    # produced by this same expression.
+    th = F.transform(toks, lambda t: F.xxhash64(t))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
     )
-    posts = (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
-        .distinct()
+    posts = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc", F.explode(grams).alias("g")
     )
     # df-cap: drop grams appearing in more than ``max_df`` documents —
-    # the self-join below is Σ df(g)² pairs, so one Zipf-head gram
-    # whose df grows with the corpus turns the whole operator
-    # quadratic (measured: 45× wall at 10× corpus uncapped, ~linear
-    # capped). Ultra-common grams carry no subset signal anyway;
-    # containment is computed over the capped gram space on BOTH
-    # engines, so the oracle stays exact.
-    rare = (
+    # pair expansion is Σ df(g)² below, so one Zipf-head gram whose df
+    # grows with the corpus turns the whole operator quadratic
+    # (measured: 45× wall at 10× corpus uncapped, ~linear capped).
+    # Ultra-common grams carry no subset signal anyway; containment is
+    # computed over the capped gram space on BOTH engines, so the
+    # oracle stays exact.
+    #
+    # Plan shape: ONE postings shuffle. collect_set(doc) per gram
+    # folds the (doc, gram) dedup INTO the groupBy (partial
+    # ObjectHashAggregate map-side — no separate distinct() exchange),
+    # the df-cap is a free `size(ds) <= max_df` filter on the grouped
+    # row (no df-count pass, no join back), and the df² intra-gram
+    # pairs expand in whole-stage codegen via double explode — no
+    # postings self-join. Both the pair stream and the per-doc size
+    # table consume the SAME grouped-postings subplan, so Catalyst
+    # reuses one exchange (ReusedExchange) — deliberately no persist:
+    # a persist adds a materialization job barrier that costs more
+    # than the shared shuffle read at any scale (the round-4
+    # formulation recomputed postings 4× through distinct()+joins and
+    # paid 5.9s at sf0.1; this shape runs ~2s).
+    per_gram = (
         posts.groupBy("g")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("g")
+        .agg(F.collect_set("doc").alias("ds"))
+        .filter(F.size("ds") <= max_df)
     )
-    posts = posts.join(rare, "g")
-    sizes = posts.groupBy("doc").agg(F.count("*").alias("n_grams"))
-    a, b = posts.alias("a"), posts.alias("b")
+    sizes = (
+        per_gram.select(F.explode("ds").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_grams"))
+    )
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") != F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        per_gram.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    # sizes is vocabulary-bounded (one row per surviving doc) →
+    # broadcast keeps the pair stream from reshuffling on doc_a
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc", "doc_a")), "doc_a")
         .select(
             "doc_a",
             "doc_b",
