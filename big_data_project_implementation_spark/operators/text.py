@@ -558,6 +558,39 @@ def decontaminate(
     )
 
 
+def contaminated_ids(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """The id-set flavor of :func:`decontaminate`: just the ids of docs
+    sharing any word k-gram with the eval corpus, for anti-join
+    composition (``df.join(contaminated_ids(...), id, "left_anti")``).
+
+    Skips decontaminate's per-doc hit counts and the left-join restore
+    pass — one fewer full consumption of the (possibly expensive)
+    upstream ``df`` plan, which matters when ``df`` is itself a
+    filter+dedup pipeline. The eval gram set is deduped and explicitly
+    broadcast: an eval/benchmark corpus is orders of magnitude smaller
+    than the training corpus, so the corpus-side gram stream never
+    shuffles — it streams through a broadcast semi-join at scan
+    throughput."""
+    from big_data_project_implementation_spark.operators.dedup import shingles
+
+    dg = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k)).alias("gram"),
+    ).select(id_col, F.xxhash64("gram").alias("h"))
+    eg = (
+        eval_df.select(F.explode(shingles(F.col(text_col), k)).alias("gram"))
+        .select(F.xxhash64("gram").alias("h"))
+        .distinct()
+    )
+    return dg.join(F.broadcast(eg), "h", "left_semi").select(id_col).distinct()
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: dict[str, int],

@@ -1451,10 +1451,20 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is an already-certified operator; composing them in one
     DataFrame lets Catalyst pipeline the projections and share the
     scan — no materialization between stages, which IS the 100 TB
-    deployment shape."""
+    deployment shape. Composition discipline (r4 verdict #3: the first
+    cut paid 3× its parts): decontamination is the id-set anti-join
+    form (text.contaminated_ids — eval grams broadcast, no per-doc
+    count pass), computed over the RAW scan rather than the survivors —
+    flagging a superset of ids is anti-join-equivalent and stops the
+    quality+dedup chain from being re-planned inside the contamination
+    branch (one cheap gram pass beats recomputing the whole upstream);
+    and the scan is spread to full parallelism before the stats-heavy
+    projections so a single small parquet file doesn't serialize the
+    codegen chain."""
     from big_data_project_implementation_spark.operators import dedup
+    from big_data_project_implementation_spark.operators.dedup import _spread
 
-    d = t(spark, sf_dir, "documents")
+    d = _spread(t(spark, sf_dir, "documents"))
     kept = (
         text.quality_filter(d)
         .filter("keep")
@@ -1467,12 +1477,9 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("prefix", pref), text_col="prefix", id_col="doc_id"
     ).drop("prefix")
     eval_df = d.filter(F.col("doc_id") % 97 == 0)
-    flags = text.decontaminate(surv, eval_df, k=5).select(
-        "doc_id", "contaminated"
-    )
+    bad = text.contaminated_ids(d, eval_df, k=5)
     return (
-        surv.join(flags, "doc_id")
-        .filter(~F.col("contaminated"))
+        surv.join(bad, "doc_id", "left_anti")
         .select(
             "doc_id",
             "lang",
