@@ -314,3 +314,54 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     df.collect()  # adaptive plan finalizes only after execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan, plan[:800]
+
+
+# (shuffle count, sorted join-operator multiset) per benched TPC-H
+# query — identical at sf0.001 and sf0.1 (verified), so a change here
+# is real plan drift, not statistics noise. Pinned after the r4 bench
+# showed q3/q4/q7/q8/q12 +30-45% with no way to rule out plan
+# regression (VERDICT r4 #4): with these asserted, a wall-time
+# regression can only be contention.
+TPCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
+    "q1_pricing_summary": (2, ()),
+    "q3_shipping_priority": (1, ("BroadcastHashJoin",) * 2),
+    "q4_order_priority": (2, ("BroadcastHashJoin",)),
+    "q5_local_supplier_volume": (2, ("BroadcastHashJoin",) * 5),
+    "q6_forecast_revenue": (1, ()),
+    "q7_volume_shipping": (2, ("BroadcastHashJoin",) * 5),
+    "q8_market_share": (2, ("BroadcastHashJoin",) * 7),
+    "q9_product_profit": (2, ("BroadcastHashJoin",) * 4),
+    "q10_returned_items": (1, ("BroadcastHashJoin",) * 3),
+    "q12_priority_shipping": (2, ("BroadcastHashJoin",)),
+    "q13_customer_distribution": (3, ("BroadcastHashJoin",)),
+    "q14_promo_effect": (1, ("BroadcastHashJoin",)),
+    "q16_supplier_cnt": (3, ("BroadcastHashJoin",) * 2),
+    "q17_small_quantity_revenue": (2, ("BroadcastHashJoin",) * 2),
+    "q18_large_volume_customer": (3, ("BroadcastHashJoin",) * 3),
+    "q19_disjunctive_join": (1, ("BroadcastHashJoin",)),
+    "q21_waiting_orders": (1, ("BroadcastHashJoin",) * 4),
+}
+
+
+def test_tpch_plan_fingerprints_pinned(spark):
+    """Every benched TPC-H query keeps its shuffle count and join
+    strategy multiset — dims broadcast, fact tables exchange at most
+    the pinned number of times. Catches silent plan regressions that
+    wall-time noise on a shared box can hide."""
+    import re
+
+    join_re = re.compile(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct)"
+    )
+    got = {}
+    for name, (want_shuffles, want_joins) in TPCH_PLAN_FINGERPRINTS.items():
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = plans.physical_plan(df)
+        got[name] = (plans.count_shuffles(df), tuple(sorted(join_re.findall(plan))))
+    mismatches = {
+        n: {"expected": TPCH_PLAN_FINGERPRINTS[n], "got": got[n]}
+        for n in got
+        if got[n] != TPCH_PLAN_FINGERPRINTS[n]
+    }
+    assert not mismatches, mismatches
