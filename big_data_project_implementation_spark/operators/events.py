@@ -309,17 +309,23 @@ def anomalies_mad(
     the full stream. Exact percentile sorts within groups; at extreme
     per-key cardinalities swap both for approx_percentile(0.5) — the
     plan shape is unchanged."""
-    # baselines round at 6dp: percentile interpolation is the one
-    # libm-ish input here; pinning it makes every downstream double op
-    # bit-identical across engines (registry float convention)
+    # baselines pinned at 6dp via the repo's floor(x*1e6+0.5)/1e6
+    # convention (NOT F.round / SQL ROUND, whose half-up-vs-half-even
+    # tie rules differ between engines): percentile interpolation is
+    # the one libm-ish input here; pinning it makes every downstream
+    # double op bit-identical across engines
     med = events.groupBy(key_col).agg(
-        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("_med")
+        (F.floor(F.expr(f"percentile({value_col}, 0.5)") * 1e6 + 0.5) / 1e6)
+        .alias("_med")
     )
     mad = (
         events.join(F.broadcast(med), key_col)
         .select(key_col, F.abs(F.col(value_col) - F.col("_med")).alias("_dev"))
         .groupBy(key_col)
-        .agg(F.round(F.expr("percentile(_dev, 0.5)"), 6).alias("_mad"))
+        .agg(
+            (F.floor(F.expr("percentile(_dev, 0.5)") * 1e6 + 0.5) / 1e6)
+            .alias("_mad")
+        )
     )
     base = med.join(mad, key_col)
     score = F.abs(F.col(value_col) - F.col("_med")) / (

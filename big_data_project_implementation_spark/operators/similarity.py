@@ -708,9 +708,16 @@ def pq_codebooks(
         "sub",
         F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len).alias("sv"),
     )
+    # seed from DISTINCT subvectors (lowest id per distinct value):
+    # duplicate subvectors among the first-k-by-id seeds would create
+    # identical centroids, and identical centroids tie every argmin to
+    # the lower code — the higher code would get zero members and the
+    # codebook would silently shrink below k after one iteration
     w0 = Window.partitionBy("sub").orderBy("_id")
     books = (
-        subs.withColumn("_rn", F.row_number().over(w0))
+        subs.groupBy("sub", "sv")
+        .agg(F.min("_id").alias("_id"))
+        .withColumn("_rn", F.row_number().over(w0))
         .filter(F.col("_rn") <= k)
         .select("sub", (F.col("_rn") - 1).alias("code"), F.col("sv").alias("centroid"))
     )
@@ -729,7 +736,7 @@ def pq_codebooks(
             )
             .select("sub", F.col("_best.code").alias("code"), F.col("_best.sv").alias("sv"))
         )
-        books = (
+        refit = (
             assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub", "code", "pos")
             .agg(F.avg("x").alias("mx"))
@@ -740,6 +747,13 @@ def pq_codebooks(
                     lambda s: s["mx"].cast("float"),
                 ).alias("centroid")
             )
+        )
+        # codes that attracted zero members this iteration keep their
+        # previous centroid instead of vanishing — the codebook always
+        # holds exactly m*k entries (pq_encode's contract); standard
+        # empty-cell handling for deterministic Lloyd
+        books = refit.unionByName(
+            books.join(refit.select("sub", "code"), ["sub", "code"], "left_anti")
         )
     return books
 

@@ -1444,7 +1444,13 @@ def weighted_sample(
     global top-k = TakeOrderedAndProject — per-partition heaps of k,
     only k rows per partition reach the driver-side merge; no sort, no
     shuffle of the corpus. md5-derived u (not rand()) keeps the draw
-    reproducible and engine-portable."""
+    reproducible and engine-portable.
+
+    Weights must be strictly positive — E-S keys are only defined for
+    w > 0 (w = 0 divides ln(u) by zero; w < 0 flips the key sign so
+    junk rows would deterministically win the top-k). Non-positive-
+    weight rows are excluded from the draw, matching the convention
+    that zero weight means "never sample"."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8),
         16,
@@ -1453,7 +1459,8 @@ def weighted_sample(
     u = (h + 1) / F.lit(float(2**32 + 1))
     key = F.log(u) / weight
     return (
-        df.withColumn("es_key", F.floor(key * 1e12 + 0.5) / 1e12)
+        df.filter(weight > 0)
+        .withColumn("es_key", F.floor(key * 1e12 + 0.5) / 1e12)
         .orderBy(F.desc("es_key"), F.asc(id_col))
         .limit(k)
     )

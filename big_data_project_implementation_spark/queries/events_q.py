@@ -232,7 +232,7 @@ def events_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_anomaly_mad",
     oracle="""
     WITH med AS (
-      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      SELECT event_type, FLOOR(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS med
       FROM events GROUP BY 1
     ),
     dev AS (
@@ -240,7 +240,7 @@ def events_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN med m USING (event_type)
     ),
     mad AS (
-      SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+      SELECT event_type, FLOOR(quantile_cont(dev, 0.5) * 1e6 + 0.5) / 1e6 AS mad
       FROM dev GROUP BY 1
     )
     SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
@@ -343,8 +343,8 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT event_type,
-             ROUND(quantile_cont(value, 0.05), 6) AS lo,
-             ROUND(quantile_cont(value, 0.95), 6) AS hi
+             FLOOR(quantile_cont(value, 0.05) * 1e6 + 0.5) / 1e6 AS lo,
+             FLOOR(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS hi
       FROM events GROUP BY 1
     )
     SELECT e.event_type,
@@ -366,8 +366,8 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen; sums are decimal-exact per the registry convention."""
     e = t(spark, sf_dir, "events")
     b = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+        (F.floor(F.expr("percentile(value, 0.05)") * 1e6 + 0.5) / 1e6).alias("lo"),
+        (F.floor(F.expr("percentile(value, 0.95)") * 1e6 + 0.5) / 1e6).alias("hi"),
     )
     clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (

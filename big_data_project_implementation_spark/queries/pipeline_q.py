@@ -2193,11 +2193,12 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE doc_id = keeper
     ),
     thr AS (
-      SELECT ROUND(quantile_cont(dsir_score, 0.5), 6) AS dsir_med
+      SELECT FLOOR(quantile_cont(dsir_score, 0.5) * 1e6 + 0.5) / 1e6 AS dsir_med
       FROM dsir
     ),
     thr2 AS (
-      SELECT ROUND(quantile_cont(lm_score, 0.25), 6) AS lm_p25 FROM lm
+      SELECT FLOOR(quantile_cont(lm_score, 0.25) * 1e6 + 0.5) / 1e6 AS lm_p25
+      FROM lm
     )
     SELECT d.doc_id, d.lang, dsir.dsir_score, lm.lm_score
     FROM documents d
@@ -2233,11 +2234,16 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-calibrating floors (corpus median / p25, 1-row broadcast):
     # absolute thresholds don't transfer across scales — the target-
     # slice fraction and smoothing mass shift the whole distribution
+    # floor-form 6dp pin (repo convention), never ROUND: the two
+    # engines' double-ROUND tie rules differ and an exact ...5 quantile
+    # would flip the threshold
     thr = dsir.agg(
-        F.round(F.expr("percentile(dsir_score, 0.5)"), 6).alias("dsir_med")
+        (F.floor(F.expr("percentile(dsir_score, 0.5)") * 1e6 + 0.5) / 1e6)
+        .alias("dsir_med")
     )
     thr2 = lm.agg(
-        F.round(F.expr("percentile(lm_score, 0.25)"), 6).alias("lm_p25")
+        (F.floor(F.expr("percentile(lm_score, 0.25)") * 1e6 + 0.5) / 1e6)
+        .alias("lm_p25")
     )
     return (
         d.select("doc_id", "lang")
@@ -2265,6 +2271,7 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS BIGINT) + 1) / 4294967297.0)
                    / n_chars * 1e12 + 0.5) / 1e12 AS es_key
       FROM documents
+      WHERE n_chars > 0
     )
     ORDER BY es_key DESC, doc_id LIMIT 50
     """,

@@ -100,12 +100,22 @@ def upsert_partitioned(
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
-        # first write: plain partitioned save
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    # Bootstrap ONLY when the table genuinely does not exist. Catching
+    # any read failure here and falling through to a table-root
+    # overwrite would let a transient fault (permissions, corrupt
+    # footer, FS hiccup) on an EXISTING table destroy every partition
+    # not in the batch — a MERGE primitive must re-raise those.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        # first write: mode is errorifexists-equivalent by construction
+        # (we just probed absence), so a concurrent bootstrap surfaces
+        # as a writer error instead of silently clobbering
+        df.write.mode("errorifexists").partitionBy(*partition_by).parquet(path)
         return
+    existing = spark.read.parquet(path)
     touched = df.select(*partition_by).distinct()
     keep = (
         existing.join(F.broadcast(touched), partition_by, "left_semi")

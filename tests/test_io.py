@@ -282,6 +282,28 @@ def test_upsert_partitioned_first_write_bootstraps(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1
 
 
+def test_upsert_partitioned_raises_on_unreadable_existing_table(spark, tmp_path):
+    """A read failure on an EXISTING table path must propagate — it
+    must never be mistaken for 'first write' and trigger a bootstrap
+    overwrite that destroys partitions outside the batch (the failure
+    mode: corrupt footer / permissions / FS hiccup on a live table)."""
+    import pytest
+
+    from big_data_project_implementation_spark.sources import writers
+
+    path = tmp_path / "t"
+    path.mkdir()
+    # path EXISTS but is unreadable as parquet (garbage footer)
+    (path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    batch = spark.createDataFrame([(1, "a", 1)], "id long, day string, v long")
+    with pytest.raises(Exception):
+        writers.upsert_partitioned(
+            batch, str(path), keys=["id"], partition_by=["day"]
+        )
+    # the garbage file is untouched — nothing was overwritten
+    assert (path / "part-00000.parquet").read_bytes() == b"this is not parquet"
+
+
 def test_parquet_schema_merge_reads_evolved_table(spark, tmp_path):
     """Schema evolution: files written before a column existed must
     read as NULL under mergeSchema — the append-only table contract

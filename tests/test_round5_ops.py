@@ -337,6 +337,31 @@ def test_pq_deterministic_across_partitionings(spark):
     assert a == b
 
 
+def test_pq_codebook_keeps_k_entries_despite_duplicate_seeds(spark):
+    """Duplicate subvectors among the lowest-id seeds must not shrink
+    the codebook: seeding is per-DISTINCT-subvector and codes with no
+    members retain their previous centroid, so the books table holds
+    min(k, distinct subvectors) entries per subspace after ANY number
+    of iterations (ADVICE r4: first-k-by-id seeding collapsed codes)."""
+    from big_data_project_implementation_spark.operators import similarity
+
+    # ids 0-9 all share one subvector value per subspace; ids 10+ vary —
+    # first-8-by-id seeding would create 8 identical centroids
+    rows = [(i, [0.0, 0.0, 1.0, 1.0]) for i in range(10)] + [
+        (10 + i, [float(i), float(i) + 1, float(i) * 2, float(i)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.pq_codebooks(df, m=2, k=8, iters=3)
+    per_sub = {
+        r.sub: r.n
+        for r in books.groupBy("sub").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_sub == {0: 8, 1: 8}, per_sub
+    # codes stay unique per subspace (no duplicate code rows from the
+    # keep-previous-centroid union)
+    assert books.groupBy("sub", "code").count().filter("count > 1").count() == 0
+
+
 # ------------------------------------------------- regression aggregates
 
 
