@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "events_attribution",
     "embedding_covariance",
     "sample_weighted_es",
+    # streaming ingest path (micro-batch wall time incl. stream setup;
+    # the query fns run their stream to completion eagerly, so the
+    # regular timing loop captures them — VERDICT r4 #9)
+    "stream_sessionize",
+    "stream_stream_left_join",
 ]
 
 

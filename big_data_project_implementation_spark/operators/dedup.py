@@ -1047,10 +1047,16 @@ def containment_pairs(
     # hash-composition-agnostic — grams only ever join against grams
     # produced by this same expression.
     th = F.transform(toks, lambda t: F.xxhash64(t))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
-    )
+    # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]) — a doc shorter
+    # than n tokens must yield zero grams (as the oracle's
+    # generate_series does), not two bogus ones
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     posts = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
         "doc", F.explode(grams).alias("g")
     )

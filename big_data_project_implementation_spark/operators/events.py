@@ -336,3 +336,68 @@ def anomalies_mad(
         .withColumn("mz", F.floor(score * 1e4 + 0.5) / 1e4)
         .filter(F.col("mz") > threshold)
     )
+
+
+def attribution_multitouch(
+    events: DataFrame,
+    credit_type: str = "view",
+    convert_type: str = "purchase",
+    window_days: int = 7,
+) -> DataFrame:
+    """Multi-touch attribution with linear + position decay: every
+    ``convert_type`` event splits credit across ALL of the user's
+    preceding ``credit_type`` touches inside the lookback window —
+    linear (1/n each) and time-decayed (recency-weighted, weights
+    normalized per conversion) — the standard upgrades over
+    last-touch (:func:`attribution` keeps the single-touch form).
+
+    Returns one row per (conversion, touch) with both weights; weight
+    columns sum to 1.0 per conversion by construction.
+
+    Scale shape: touches and conversions are two slices of ONE event
+    scan, equi-joined on user_id with the time-band filter applied on
+    the join output (the user key bounds the fan-out; per-user event
+    counts are Zipf-bounded, the same contract as sessionize). One
+    user-key exchange, one window pass for the per-conversion
+    normalizers — no self-cartesian."""
+    touches = events.filter(F.col("event_type") == credit_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+    )
+    convs = events.filter(F.col("event_type") == convert_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("conversion_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    paired = convs.join(touches, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {window_days} DAYS")
+        )
+    )
+    w = Window.partitionBy("conversion_id")
+    age_sec = (
+        F.unix_timestamp("conv_ts") - F.unix_timestamp("touch_ts")
+    ).cast("double")
+    # harmonic time decay 1/(1 + age_days), normalized per conversion:
+    # pure IEEE-754 arithmetic (no libm exp), so the weights are
+    # bit-identical on any engine — the oracle-parity discipline
+    decay = F.lit(1.0) / (F.lit(1.0) + age_sec / F.lit(86400.0))
+    return (
+        paired.withColumn("n_touches", F.count("*").over(w))
+        .withColumn("_decay", decay)
+        .withColumn("_decay_sum", F.sum("_decay").over(w))
+        .select(
+            "conversion_id",
+            "user_id",
+            "touch_id",
+            (F.floor(F.lit(1.0) / F.col("n_touches") * 1e6 + 0.5) / 1e6).alias(
+                "linear_weight"
+            ),
+            (
+                F.floor(F.col("_decay") / F.col("_decay_sum") * 1e6 + 0.5) / 1e6
+            ).alias("decay_weight"),
+        )
+    )

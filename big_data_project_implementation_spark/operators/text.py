@@ -558,6 +558,146 @@ def decontaminate(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    chunk: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level dedup (CCNet/RefinedWeb style, adapted to token
+    chunks): split each document into non-overlapping ``chunk``-token
+    passages, keep only the globally FIRST occurrence of each distinct
+    passage (ordered by (doc_id, position)), and reassemble documents
+    from their surviving passages. Boilerplate that repeats across the
+    corpus — headers, navboxes, license blocks — vanishes from every
+    doc but the first, without dropping whole documents the way
+    doc-level dedup does.
+
+    Returns (id, n_chunks, n_kept, dedup_text) — one row per input
+    document, docs whose every passage was seen before keep a row with
+    n_kept = 0 and empty text.
+
+    Scale shape: one corpus shuffle — passages group by their 8-byte
+    content hash with a map-side-combined min(doc, idx) to elect the
+    first occurrence (ties impossible: (doc, idx) is unique), then the
+    winner set joins back to the passage stream and a second groupBy
+    reassembles per doc. Passage hashes + ids cross the wire, passage
+    text only moves inside the reassembly groupBy of surviving rows."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / chunk).cast("int")
+    # sequence(0, -1) DESCENDS in Spark — empty docs must yield an
+    # empty chunk array, not bogus chunks
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("idx", "passage")
+    ).withColumn("h", F.xxhash64("passage"))
+    first = ex.groupBy("h").agg(
+        F.min(F.struct(F.col("id").alias("d"), F.col("idx").alias("i"))).alias("f")
+    )
+    kept = ex.join(first, "h").filter(
+        (F.col("id") == F.col("f.d")) & (F.col("idx") == F.col("f.i"))
+    )
+    reassembled = kept.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    base = df.select(F.col(id_col).alias("id"), n_chunks.cast("bigint").alias("n_chunks"))
+    return (
+        base.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    window: int = 3,
+    top_k: int = 50,
+    min_count: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word-pair PMI over a skip-gram window — the corpus
+    collocation signal (word2vec/GloVe co-occurrence prep, phrase
+    mining à la Mikolov et al. 2013): for every ordered token pair
+    (a, b) with b at most ``window`` positions after a,
+    PMI = ln(c_ab · T / (c_a · c_b)) where T is the total skip-gram
+    count. Pairs below ``min_count`` are dropped (PMI of rare pairs is
+    noise), survivors rank by PMI.
+
+    Scale shape: skip-gram pairs expand in whole-stage codegen (flatten
+    over the token array — no positional self-join), then ONE pair
+    groupBy with map-side combine; unigram counts are a second, smaller
+    groupBy; both count tables join at vocabulary size (pair-vocab
+    bounded, corpus-independent under Zipf for fixed min_count), and
+    the total is a 1-row broadcast. No corpus-sized join anywhere."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.flatten(
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        i + 1, F.least(i + window, F.size(toks))
+                    ),
+                    lambda j: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, j).alias("w2"),
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<array<struct<w1:string,w2:string>>>"))
+    )
+    pair_counts = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_pair"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c_w"))
+    )
+    total = pair_counts.agg(F.sum("c_pair").cast("double").alias("t"))
+    scored = (
+        pair_counts.filter(F.col("c_pair") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            (
+                F.floor(
+                    F.log(F.col("c_pair") * F.col("t") / (F.col("c1") * F.col("c2")))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+
+
 def contaminated_ids(
     df: DataFrame,
     eval_df: DataFrame,

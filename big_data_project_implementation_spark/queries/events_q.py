@@ -388,3 +388,44 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle="""
+    WITH tch AS (
+      SELECT user_id, event_id AS touch_id, ts AS touch_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    cnv AS (
+      SELECT user_id, event_id AS conversion_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    p AS (
+      SELECT c.conversion_id, c.user_id, t.touch_id,
+             CAST(FLOOR(epoch(c.conv_ts)) - FLOOR(epoch(t.touch_ts))
+                  AS DOUBLE) AS age
+      FROM cnv c JOIN tch t USING (user_id)
+      WHERE t.touch_ts < c.conv_ts
+        AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    )
+    SELECT conversion_id, user_id, touch_id,
+           FLOOR(1.0 / (COUNT(*) OVER w) * 1e6 + 0.5) / 1e6
+               AS linear_weight,
+           FLOOR((1.0 / (1.0 + age / 86400.0))
+                 / (SUM(1.0 / (1.0 + age / 86400.0)) OVER w) * 1e6 + 0.5)
+               / 1e6 AS decay_weight
+    FROM p
+    WINDOW w AS (PARTITION BY conversion_id)
+    ORDER BY conversion_id, touch_id
+    """,
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators.events.attribution_multitouch):
+    every purchase splits credit over ALL its user's views in the 7-day
+    lookback — linear 1/n plus harmonic time-decay weights, both
+    normalized per conversion. One user-key equi-join between two
+    slices of the same scan plus one conversion-key window pass; the
+    weights are pure IEEE arithmetic (no libm), so engine-exact."""
+    e = t(spark, sf_dir, "events")
+    return ev.attribution_multitouch(e).orderBy("conversion_id", "touch_id")

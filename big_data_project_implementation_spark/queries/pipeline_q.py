@@ -2377,3 +2377,150 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram strings."""
     d = t(spark, sf_dir, "documents")
     return dedup.containment_pairs(d, n=3, threshold=0.8)
+
+
+@query(
+    "text_passage_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL
+    ),
+    ch AS (
+      SELECT doc_id, i - 1 AS idx,
+             array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ') AS passage
+      FROM toks, unnest(generate_series(1,
+             CAST(ceil(len(t) / 8.0) AS INT))) AS g(i)
+    ),
+    ranked AS (
+      SELECT doc_id, idx, passage,
+             row_number() OVER (PARTITION BY passage
+                                ORDER BY doc_id, idx) AS rn
+      FROM ch
+    ),
+    re AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(passage, ' ' ORDER BY idx) AS dedup_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, CAST(ceil(len(t) / 8.0) AS BIGINT) AS n_chunks
+      FROM toks
+    )
+    SELECT b.doc_id, b.n_chunks,
+           COALESCE(re.n_kept, 0) AS n_kept,
+           COALESCE(re.dedup_text, '') AS dedup_text
+    FROM base b LEFT JOIN re USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup (operators.text.passage_dedup, CCNet-style):
+    8-token passages deduped corpus-wide by first occurrence, documents
+    reassembled from their surviving passages — repeated boilerplate
+    vanishes everywhere but its first appearance without dropping whole
+    docs. One content-hash shuffle elects winners; reassembly groups by
+    doc. Unlike the hash-keyed dedup ops this one is string-exact on
+    both engines (the oracle reassembles the same passages)."""
+    d = t(spark, sf_dir, "documents")
+    return text.passage_dedup(d, chunk=8).orderBy("doc_id")
+
+
+@query(
+    "text_pmi_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL
+    ),
+    prs AS (
+      SELECT t[i] AS w1, t[j] AS w2
+      FROM toks,
+           unnest(generate_series(1, len(t) - 1)) AS gi(i),
+           unnest(generate_series(1, len(t))) AS gj(j)
+      WHERE j > i AND j <= i + 3
+    ),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+      FROM prs GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT u AS w, CAST(count(*) AS BIGINT) AS c_w
+      FROM toks, unnest(t) AS x(u) GROUP BY u
+    ),
+    tot AS (SELECT CAST(SUM(c_pair) AS DOUBLE) AS t FROM pc)
+    SELECT w1, w2, c_pair,
+           FLOOR(ln(c_pair * tot.t / (u1.c_w * u2.c_w)) * 1e6 + 0.5) / 1e6
+               AS pmi
+    FROM pc
+    JOIN uni u1 ON u1.w = pc.w1
+    JOIN uni u2 ON u2.w = pc.w2
+    CROSS JOIN tot
+    WHERE c_pair >= 30
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information over a
+    3-token skip-gram window (operators.text.pmi_pairs) — the
+    word2vec/GloVe co-occurrence prep and phrase-mining signal. The
+    Spark side expands skip-gram pairs in codegen (no positional
+    self-join — the oracle's generate_series cross join is exactly the
+    quadratic the flatten replaces); pair/unigram counts are map-side
+    combined, the grand total is a 1-row broadcast."""
+    d = t(spark, sf_dir, "documents")
+    return text.pmi_pairs(d, window=3, top_k=50, min_count=30)
+
+
+@query(
+    "audit_table_diff",
+    oracle="""
+    WITH v_old AS (
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_id % 50 <> 0
+    ),
+    v_new AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_id % 31 = 0 THEN value + 1.0 ELSE value END
+                 AS value
+      FROM events WHERE event_id % 97 <> 0
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM v_old o FULL OUTER JOIN v_new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL
+       OR o.user_id <> n.user_id OR o.event_type <> n.event_type
+       OR o.value <> n.value
+    ORDER BY event_id
+    """,
+)
+def audit_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators.relational.table_diff): which
+    keys were added / removed / changed between two table versions —
+    the audit companion to audit_table_fingerprint (that one says
+    WHETHER, this says WHERE), i.e. the CDC/migration-sign-off
+    primitive. Demonstrated on two derived snapshots of the events
+    table (2% rows dropped, ~1% inserted, ~3% value-mutated). One
+    co-partitioned full-outer join; non-key payload collapses to an
+    8-byte hash BEFORE the exchange, so the wire carries keys+hashes.
+    The internal hash columns are Spark-side xxhash64 and not part of
+    the certified result (key + status only)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    v_old = e.filter(F.col("event_id") % 50 != 0)
+    v_new = e.filter(F.col("event_id") % 97 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 31 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return (
+        relational.table_diff(v_old, v_new, keys=["event_id"])
+        .select("event_id", "status")
+        .orderBy("event_id")
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_project_implementation_spark.queries.registry import events_stream, query
@@ -596,3 +596,52 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("window_start"), "approx_users", "n_events"
     ).orderBy("window_start")
+
+
+@query(
+    "stream_topk_trending",
+    oracle="""
+    WITH wc AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rnk
+    FROM (
+      SELECT window_start, event_type, n,
+             CAST(rank() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS BIGINT)
+                 AS rnk
+      FROM wc
+    )
+    WHERE rnk <= 3
+    ORDER BY window_start, rnk, event_type
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per tumbling day window — the
+    real-time leaderboard pattern: the streaming side maintains
+    watermarked per-(window, type) counts (bounded state: windows ×
+    types); the top-k rank over the completed windows is a batch
+    post-pass on the sink table, which is how production leaderboards
+    read their serving store. Certified against the batch
+    window+rank oracle — the stream's counts must be exactly the
+    batch GROUP BY."""
+    sdf = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    out = _run_stream_to_table(sdf, spark)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        out.select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk", "event_type")
+    )

@@ -526,3 +526,122 @@ def test_containment_no_pairs_for_disjoint_docs(spark):
         [(1, "a b c d e"), (2, "v w x y z")], "doc_id long, text string"
     )
     assert dedup.containment_pairs(df).count() == 0
+
+
+# --------------------------------------------- round-5 session additions
+
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    from big_data_project_implementation_spark.operators import text as T
+
+    # doc 1 and doc 2 share an identical 8-token passage; doc 2's copy
+    # must vanish, doc 2's unique passage must survive
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " " + "i j k l m n o p"),
+        (2, shared + " " + "q r s t u v w x"),
+        (3, "q r s t u v w x"),  # whole doc already seen in doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.passage_dedup(df, chunk=8).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[2].n_kept == 1 and out[2].dedup_text == "q r s t u v w x"
+    assert out[3].n_kept == 0 and out[3].dedup_text == ""
+
+
+def test_passage_dedup_total_tokens_conserved(spark):
+    """Every distinct passage survives exactly once corpus-wide."""
+    from big_data_project_implementation_spark.operators import text as T
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = T.passage_dedup(d, chunk=8)
+    n_kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / 8).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    n_distinct = (
+        d.select(F.explode(chunks).alias("p")).distinct().count()
+    )
+    assert n_kept_total == n_distinct
+
+
+def test_pmi_pairs_matches_local_computation(spark):
+    from collections import Counter
+    from math import log
+
+    from big_data_project_implementation_spark.operators import text as T
+
+    rows = [(i, "x y z x y w " * 10) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.pmi_pairs(df, window=2, top_k=5, min_count=5).collect()
+    # local reference
+    pair_c, uni_c = Counter(), Counter()
+    for _, txt in rows:
+        t = txt.split(" ")
+        uni_c.update(t)
+        for i in range(len(t) - 1):
+            for j in range(i + 1, min(i + 2, len(t)) + 1):
+                if j < len(t):
+                    pair_c[(t[i], t[j])] += 1
+    total = sum(pair_c.values())
+    expect = {
+        p: int(log(c * total / (uni_c[p[0]] * uni_c[p[1]])) * 1e6 + 0.5) / 1e6
+        if log(c * total / (uni_c[p[0]] * uni_c[p[1]])) >= 0
+        else __import__("math").floor(
+            log(c * total / (uni_c[p[0]] * uni_c[p[1]])) * 1e6 + 0.5
+        ) / 1e6
+        for p, c in pair_c.items()
+        if c >= 5
+    }
+    for r in out:
+        assert abs(expect[(r.w1, r.w2)] - r.pmi) < 1e-9, (r, expect[(r.w1, r.w2)])
+
+
+def test_table_diff_statuses(spark):
+    from big_data_project_implementation_spark.operators import relational
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 31), (4, "x", 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {r.k: r.status for r in relational.table_diff(old, new, ["k"]).collect()}
+    # 1 removed, 2 unchanged (absent), 3 changed, 4 changed (null -> x), 5 added
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_table_diff_null_vs_empty_not_confused(spark):
+    from big_data_project_implementation_spark.operators import relational
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    got = relational.table_diff(old, new, ["k"]).collect()
+    assert len(got) == 1 and got[0].status == "changed"
+
+
+def test_multitouch_weights_sum_to_one(spark):
+    from big_data_project_implementation_spark.operators import events as EV
+    from big_data_project_implementation_spark.queries.registry import t
+    from tests.conftest import SF_DIR
+
+    e = t(spark, SF_DIR, "events")
+    out = EV.attribution_multitouch(e)
+    sums = (
+        out.groupBy("conversion_id")
+        .agg(
+            F.sum("linear_weight").alias("ls"),
+            F.sum("decay_weight").alias("ds"),
+        )
+        .collect()
+    )
+    assert sums
+    for r in sums:
+        assert abs(r.ls - 1.0) < 1e-3, r
+        assert abs(r.ds - 1.0) < 1e-3, r
