@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "events_attribution",
     "embedding_covariance",
     "sample_weighted_es",
+    # round-5 session additions
+    "text_passage_dedup",
+    "text_pmi_topk",
+    "audit_table_diff",
+    "events_attribution_multitouch",
     # streaming ingest path (micro-batch wall time incl. stream setup;
     # the query fns run their stream to completion eagerly, so the
     # regular timing loop captures them — VERDICT r4 #9)

@@ -887,3 +887,121 @@ def embedding_covariance(
         )
         .orderBy("i", "j")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ serving path (Jégou et al. 2011, the
+    billion-vector ANN index layout): IVF cells bound WHICH vectors a
+    query touches, PQ codes bound the BYTES per touched vector, and an
+    exact re-rank on the ``refine * k`` PQ shortlist restores accuracy
+    — composing :func:`ivf_centroids`, :func:`pq_codebooks` /
+    :func:`pq_encode`, and asymmetric distance computation (ADC).
+
+    ADC: per query, a (sub, code) → partial-L2 lookup table is built
+    against the broadcast codebook (m·n_codes rows per query); a
+    candidate's approximate distance is the sum of m table hits on its
+    stored codes — the corpus' float vectors are never read during the
+    scan, only during the final shortlist re-rank.
+
+    Scale shape: the candidate stream carries (query, neighbor, codes)
+    keyed on cell; the ADC join is against a broadcast LUT; only
+    ``refine * k`` rows per query fetch real vectors for exact cosine.
+    At 100 TB the inverted lists are a cell-partitioned table of
+    m-byte codes — memory per vector is m bytes, not 4·dim."""
+    cents = ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    books = pq_codebooks(corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    c_assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine("c_vec", "centroid"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(F.desc("_cos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("cell", "neighbor_id")
+        .join(codes, "neighbor_id")
+    )
+    sub_len_expr = (F.size(F.col(vec_col)) / m).cast("int")
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sub_len_expr.alias("_sl"),
+    )
+    q_probes = (
+        q_base.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine("q_vec", "centroid"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # per-query ADC lookup table: distance from each query subvector to
+    # every sub-centroid (m * n_codes rows per query, broadcastable)
+    lut = (
+        q_base.crossJoin(F.broadcast(books))
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            _l2sq(
+                F.slice(F.col("q_vec"), F.col("sub") * F.col("_sl") + 1, F.col("_sl")),
+                F.col("centroid"),
+            ).alias("_d"),
+        )
+    )
+    cand = (
+        c_assigned.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("adc"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.withColumn("_srk", F.row_number().over(w_short))
+        .filter(F.col("_srk") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    rerank = (
+        shortlist.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            ),
+            "neighbor_id",
+        )
+        .join(q_base.select("query_id", "q_vec"), "query_id")
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -1604,3 +1604,43 @@ def weighted_sample(
         .orderBy(F.desc("es_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    batch_size: int = 32,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + minibatch assignment:
+    every row gets a global position in md5(id, epoch) order, then
+    ``batch_idx`` / ``pos_in_batch`` — the dataloader shard plan for a
+    pretraining run, computed ONCE on the cluster instead of per
+    worker. md5 ordering (not a RNG) makes epoch E's batch composition
+    a pure function of (ids, E): reproducible across reruns, engines,
+    partitionings, and elastic worker counts, and every epoch is a
+    fresh permutation.
+
+    Scale shape: the global position comes from the distributed
+    zipWithIndex (range-repartition on the shuffle key + per-partition
+    prefix offsets — operators.relational.zip_with_index), so there is
+    no single-task global window anywhere; batch arithmetic is
+    codegen."""
+    from big_data_project_implementation_spark.operators.relational import (
+        zip_with_index,
+    )
+
+    keyed = df.withColumn(
+        "_shuf",
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#epoch{epoch}"))),
+    )
+    indexed = zip_with_index(keyed, ["_shuf", id_col], index_col="position")
+    return (
+        indexed.withColumn(
+            "batch_idx", (F.col("position") / batch_size).cast("bigint")
+        )
+        .withColumn(
+            "pos_in_batch", (F.col("position") % batch_size).cast("bigint")
+        )
+        .drop("_shuf")
+    )

@@ -2524,3 +2524,46 @@ def audit_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "status")
         .orderBy("event_id")
     )
+
+
+@query(
+    "data_epoch_shuffle",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#epoch1'), doc_id
+             ) - 1 AS position
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(position AS BIGINT) AS position,
+           CAST(position // 32 AS BIGINT) AS batch_idx,
+           CAST(position % 32 AS BIGINT) AS pos_in_batch
+    FROM pos ORDER BY position
+    """,
+)
+def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 shuffle + 32-doc minibatch plan
+    (operators.text.epoch_shuffle): the dataloader shard assignment as
+    a cluster-side table — md5(id, epoch) ordering is a pure function
+    of ids, so the oracle's single global row_number reproduces it
+    exactly while the Spark side uses the distributed zipWithIndex
+    (range exchange + broadcast prefix offsets, no one-task window)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return text.epoch_shuffle(d, batch_size=32, epoch=1).orderBy("position")
+
+
+@query("similarity_ivfpq_topk")  # approximate → rows-only; recall in pytest
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ ANN serving path (operators.similarity
+    .ivfpq_topk): IVF cells bound which vectors a query touches, PQ
+    codes + an ADC lookup table bound the bytes per touched vector
+    (m bytes, floats never read in the scan), exact cosine re-rank on
+    the 4k-deep shortlist restores accuracy — the billion-vector index
+    layout end-to-end. Recall vs similarity_bruteforce_topk pinned in
+    tests/test_recall_sf01.py."""
+    from big_data_project_implementation_spark.operators import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk(qs, emb, k=5, nprobe=4).orderBy("query_id", "rank")

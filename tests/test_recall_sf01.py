@@ -76,3 +76,20 @@ def test_similarity_lsh_and_ivf_topk_recall(spark):
     ivf_recall = len(exact & ivf) / len(exact)
     assert lsh_recall >= 0.6, f"LSH top-k recall {lsh_recall:.3f} < 0.6"
     assert ivf_recall >= 0.9, f"IVF top-k recall {ivf_recall:.3f} < 0.9"
+
+
+def test_similarity_ivfpq_topk_recall(spark):
+    """The composed IVF-PQ + ADC + exact-rerank path: the shortlist is
+    PQ-approximate, but the refine-factor re-rank should land near the
+    exact top-k."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["similarity_bruteforce_topk"].fn(spark, SF01).collect()
+    }
+    assert exact
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["similarity_ivfpq_topk"].fn(spark, SF01).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ top-k recall {recall:.3f} < 0.6"

@@ -645,3 +645,37 @@ def test_multitouch_weights_sum_to_one(spark):
     for r in sums:
         assert abs(r.ls - 1.0) < 1e-3, r
         assert abs(r.ds - 1.0) < 1e-3, r
+
+
+def test_epoch_shuffle_is_permutation_and_epochs_differ(spark):
+    from big_data_project_implementation_spark.operators import text as T
+
+    df = spark.createDataFrame([(i, "d") for i in range(257)], "doc_id long, s string")
+    e0 = T.epoch_shuffle(df, batch_size=32, epoch=0)
+    rows = e0.collect()
+    # positions are a permutation of 0..n-1; batch arithmetic consistent
+    assert sorted(r.position for r in rows) == list(range(257))
+    for r in rows:
+        assert r.batch_idx == r.position // 32
+        assert r.pos_in_batch == r.position % 32
+    # a different epoch is a different permutation (overwhelmingly)
+    e1 = {r.doc_id: r.position for r in T.epoch_shuffle(df, batch_size=32, epoch=1).collect()}
+    e0m = {r.doc_id: r.position for r in rows}
+    assert e0m != e1
+    # determinism across partitionings
+    e0b = {
+        r.doc_id: r.position
+        for r in T.epoch_shuffle(df.repartition(13), batch_size=32, epoch=0).collect()
+    }
+    assert e0m == e0b
+
+
+def test_epoch_shuffle_has_no_single_task_window(spark):
+    from big_data_project_implementation_spark import plans
+    from big_data_project_implementation_spark.operators import text as T
+
+    df = spark.createDataFrame([(i, "d") for i in range(100)], "doc_id long, s string")
+    plan = plans.physical_plan(T.epoch_shuffle(df))
+    # the only unpartitioned window is over the n_parts-row offsets
+    # table; the data path must window within _pid partitions
+    assert "partitionBy(_pid" in plan or "_pid" in plan
