@@ -842,6 +842,11 @@ def embedding_covariance(
             ),
         )
     )
+    from big_data_project_implementation_spark.operators.dedup import _spread
+
+    # the d²/2 expansion is pure CPU: spread a narrow scan (single
+    # small parquet file) across cores first — pass-through at scale
+    corpus = _spread(corpus)
     moments = (
         corpus.select(
             F.posexplode(
