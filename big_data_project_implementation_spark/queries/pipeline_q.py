@@ -2566,4 +2566,9 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
-    return sim.ivfpq_topk(qs, emb, k=5, nprobe=4).orderBy("query_id", "rank")
+    # m=8 (8-dim subvectors on dim-64), 32 codes, 16k-deep shortlist:
+    # measured recall 0.88 at sf0.1 vs bruteforce (m=4/refine=4 gave
+    # 0.52 — ADC resolution, not IVF routing, is the recall dial here)
+    return sim.ivfpq_topk(
+        qs, emb, k=5, nprobe=4, m=8, n_codes=32, refine=16
+    ).orderBy("query_id", "rank")

@@ -92,4 +92,4 @@ def test_similarity_ivfpq_topk_recall(spark):
         for r in REGISTRY["similarity_ivfpq_topk"].fn(spark, SF01).collect()
     }
     recall = len(exact & got) / len(exact)
-    assert recall >= 0.6, f"IVF-PQ top-k recall {recall:.3f} < 0.6"
+    assert recall >= 0.75, f"IVF-PQ top-k recall {recall:.3f} < 0.75"
