@@ -372,7 +372,6 @@ def unigram_logprob(
     the sum — double addition is order-sensitive and partial
     aggregation order differs between engines; decimal addition is
     exact, so the oracle hash cannot flip a low bit."""
-    df = _spread(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
@@ -426,7 +425,6 @@ def tfidf_top_terms(
     ranking window over the doc partitioning. The shuffle carries
     (doc, term, count) triples — bounded by distinct terms per doc,
     not raw token count."""
-    df = _spread(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
@@ -473,7 +471,6 @@ def bm25_scores(
     order-sensitive and partial aggregation order differs between
     engines; decimal addition is exact, so the score hash cannot flip
     a low bit."""
-    df = _spread(df)
     # null text must yield null dl (Spark size(null) is -1, which would
     # silently pull avgdl down; DuckDB len(string_split(NULL)) is NULL
     # and SUM skips it — keep both engines on the skip semantics)
@@ -869,7 +866,6 @@ def ngram_heavy_hitters(
     global sort). The shuffle carries (gram, partial_count) pairs —
     bounded by distinct-gram cardinality per task, not corpus size.
     Deterministic tie-break: (count DESC, gram ASC)."""
-    df = _spread(df)
     gram_i = "concat(" + ", ' ', ".join(
         f"element_at(_toks, i + {j})" for j in range(n)
     ) + ")"
@@ -966,7 +962,6 @@ def repetition_signals(
     shuffles carry longs and partial counts, never gram strings. Docs
     too short for any gram are restored by a broadcastable left join
     and report zero fractions."""
-    df = _spread(df)
     d = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
     )
@@ -1031,7 +1026,6 @@ def ngram_novelty(
     the join back is on the gram hash — all shuffles carry longs.
     First-occurrence attribution via min(doc_id) is exact and
     associative, so it needs no ordered scan at any scale."""
-    df = _spread(df)
     d = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
     )
@@ -1276,7 +1270,6 @@ def vocab_coverage(
     the vocab then BROADCASTS into the occurrence stream, so the
     corpus-sized pass has no shuffle beyond the final per-source agg
     (rows = #sources)."""
-    df = _spread(df)
     toks = df.select(
         F.col(source_col).alias("src"),
         F.col("doc_id"),
@@ -1345,7 +1338,6 @@ def dsir_importance(
     hashing ≈ mllib HashingTF (mllib/src/main/scala/org/apache/spark/
     mllib/feature/HashingTF.scala:1), re-expressed as relational ops.
     """
-    df = _spread(df)
     toks = df.select(
         F.col(id_col),
         # when/otherwise (not a bare cast): a NULL target predicate must
@@ -1503,7 +1495,6 @@ def bigram_logprob(
     Zipf-small). Per-term decimal sums per the registry float
     convention; backoff unigram is add-one smoothed so OOV words are
     defined."""
-    df = _spread(df)
     arr = tokens(F.lower(F.col(text_col)))
     base = df.select(
         F.col(id_col).alias("id"), F.when(train, 1).otherwise(0).alias("_tr"),
