@@ -1648,3 +1648,32 @@ def epoch_shuffle(
         )
         .drop("_shuf")
     )
+
+
+def source_quota(
+    df: DataFrame,
+    max_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Per-source document quota — the mixing guardrail that stops one
+    crawl/domain from dominating a training corpus: keep at most
+    ``max_per_source`` docs per source, chosen deterministically by
+    md5(id, seed) order (not arrival order, so the kept subset is
+    unbiased w.r.t. crawl position and reproducible on any engine or
+    partitioning).
+
+    Scale shape: one source-key exchange + per-source rank window;
+    the shuffle carries (source, id, md5) triples. Sources under quota
+    pass through untouched. Skew note: a single giant source makes one
+    hot partition — at extreme skew pre-filter with a sampled
+    per-source count and only window the over-quota sources."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), F.col(id_col)
+    )
+    return (
+        df.withColumn("_qr", F.row_number().over(w))
+        .filter(F.col("_qr") <= max_per_source)
+        .drop("_qr")
+    )

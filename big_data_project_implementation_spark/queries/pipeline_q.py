@@ -2572,3 +2572,29 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_topk(
         qs, emb, k=5, nprobe=4, m=8, n_codes=32, refine=16
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "data_source_quota",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS qr
+      FROM documents
+    )
+    WHERE qr <= 40
+    ORDER BY doc_id
+    """,
+)
+def data_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap, ≤ 40 docs per source kept in deterministic
+    md5 order (operators.text.source_quota) — the anti-domination
+    guardrail in corpus mixing: one source-key exchange + rank window,
+    membership a pure function of ids so the kept set is reproducible
+    across engines and partitionings."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return text.source_quota(d, max_per_source=40).orderBy("doc_id")

@@ -679,3 +679,51 @@ def test_epoch_shuffle_has_no_single_task_window(spark):
     # the only unpartitioned window is over the n_parts-row offsets
     # table; the data path must window within _pid partitions
     assert "partitionBy(_pid" in plan or "_pid" in plan
+
+
+def test_source_quota_caps_and_is_partition_invariant(spark):
+    from big_data_project_implementation_spark.operators import text as T
+
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = T.source_quota(df, max_per_source=10)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src0": 10, "src1": 10, "src2": 10}
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in T.source_quota(df.repartition(7), max_per_source=10).collect())
+    assert a == b
+    # under-quota sources pass through completely
+    small = T.source_quota(df.filter("doc_id < 6"), max_per_source=10)
+    assert small.count() == 6
+
+
+def test_repartition_and_sort_within_partitions_parity(spark):
+    """RDD repartitionAndSortWithinPartitions (reference
+    CORE/rdd/OrderedRDDFunctions.scala:74) re-expressed as
+    repartition(key) + sortWithinPartitions — the secondary-sort /
+    ordered-run-write shape. Every partition must hold all rows of its
+    keys, locally sorted, with NO global sort exchange."""
+    df = spark.createDataFrame(
+        [(i % 7, 1000 - i) for i in range(500)], "k int, v int"
+    )
+    out = df.repartition(8, "k").sortWithinPartitions("k", "v")
+    parts = out.select(
+        F.spark_partition_id().alias("p"), "k", "v"
+    ).collect()
+    by_part: dict = {}
+    for r in parts:
+        by_part.setdefault(r.p, []).append((r.k, r.v))
+    # co-location: each key appears in exactly one partition
+    key_parts: dict = {}
+    for p, rows in by_part.items():
+        for k, _ in rows:
+            key_parts.setdefault(k, set()).add(p)
+    assert all(len(ps) == 1 for ps in key_parts.values())
+    # local order: rows within each partition are (k, v)-sorted
+    for rows in by_part.values():
+        assert rows == sorted(rows)
+    # no global Sort exchange: the sort is partition-local
+    from big_data_project_implementation_spark import plans
+
+    plan = plans.physical_plan(out)
+    assert "rangepartitioning" not in plan.lower()
