@@ -1677,3 +1677,88 @@ def source_quota(
         .filter(F.col("_qr") <= max_per_source)
         .drop("_qr")
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merges to the corpus (the other half of
+    :func:`bpe_merges`): every word is greedily merged lowest-rank-
+    first (exact subword-nmt/GPT-2 application semantics), giving
+    (id, n_tokens, n_pieces, pieces). The tokenizer-apply pass of a
+    pretraining pipeline — token budgeting, packing, and loss masking
+    all consume these pieces.
+
+    Scale shape: the corpus explodes to (id, pos, word), but the
+    Python-side BPE loop runs on the DISTINCT word table only (the
+    standard trick: encode each vocabulary word once, join back) —
+    corpus-sized work stays JVM-side (explode, join, re-assembly
+    groupBy); Python sees vocab-sized Arrow batches. The merge table
+    is a model artifact bounded by the training step count (≤ a few
+    thousand rows), collected once and broadcast into the UDF —
+    a documented bounded collect, same class as the LSH hyperplanes.
+
+    Pandas UDF (not per-row Python): the greedy merge loop is genuinely
+    iterative per word — the one shape expressions can't write — so it
+    rides the Arrow batch path on the smallest possible input."""
+    # module under `from __future__ import annotations`: the UDF's
+    # pd.Series hints are strings, so pandas must be resolvable from
+    # this function's globals for pyspark's hint inference
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks: dict[tuple[str, str], int] = {
+        tuple(r["pair"].split(" ")): int(r["rank"])
+        for r in merges.select("rank", "pair").collect()
+    }
+
+    @pandas_udf("array<string>")
+    def encode(words: pd.Series) -> pd.Series:
+        def one(w: str) -> list[str]:
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank, best_pair = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (syms[i], syms[i + 1])
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return words.map(one)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = toks.select("w").distinct().withColumn("pieces", encode("w"))
+    return (
+        toks.join(vocab, "w")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.size("pieces")).cast("bigint").alias("n_pieces"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ).alias("pieces"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "n_pieces", "pieces")
+    )

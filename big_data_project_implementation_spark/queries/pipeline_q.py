@@ -2598,3 +2598,20 @@ def data_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and partitionings."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return text.source_quota(d, max_per_source=40).orderBy("doc_id")
+
+
+@query("text_bpe_encode")  # Python greedy merge loop → rows-only; pytest pins
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode the corpus with the BPE merges trained
+    on it (operators.text.bpe_merges → bpe_encode, 8 rules) — the
+    train→apply round trip of the pretraining tokenizer story. The
+    greedy rank-first merge loop runs per DISTINCT word in an Arrow
+    batch (corpus-sized work stays JVM-side); roundtrip/compression
+    invariants pinned in tests/test_round5_ops.py."""
+    d = t(spark, sf_dir, "documents")
+    merges = text.bpe_merges(d, steps=8)
+    return (
+        text.bpe_encode(d, merges)
+        .select("doc_id", "n_tokens", "n_pieces")
+        .orderBy("doc_id")
+    )

@@ -727,3 +727,48 @@ def test_repartition_and_sort_within_partitions_parity(spark):
 
     plan = plans.physical_plan(out)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_bpe_encode_roundtrip_and_textbook(spark):
+    from big_data_project_implementation_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer low")],
+        "doc_id long, text string",
+    )
+    merges = T.bpe_merges(df, steps=2)  # learns (l o)->lo, (lo w)->low
+    out = {r.doc_id: r for r in T.bpe_encode(df, merges).collect()}
+    # textbook: 'low' collapses to one piece, 'lower' -> low+e+r
+    d1 = out[1]
+    assert d1.n_tokens == 4
+    pieces = list(d1.pieces)
+    # roundtrip: concatenating pieces in order restores the word stream
+    assert "".join(pieces) == "lowlowerlowestlow"
+    assert pieces[0] == "low" and pieces[-1] == "low"
+    assert pieces[1:4] == ["low", "e", "r"]
+
+
+def test_bpe_encode_more_merges_never_more_pieces(spark):
+    from big_data_project_implementation_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    n = {}
+    for steps in (1, 4):
+        merges = T.bpe_merges(df, steps=steps)
+        n[steps] = (
+            T.bpe_encode(df, merges).agg(F.sum("n_pieces")).collect()[0][0]
+        )
+    assert n[4] <= n[1]
+
+
+def test_bpe_encode_zero_merges_is_characters(spark):
+    from big_data_project_implementation_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "rank long, pair string, merged string, freq long")
+    r = T.bpe_encode(df, empty).collect()[0]
+    assert r.n_tokens == 2 and r.n_pieces == 5
+    assert list(r.pieces) == ["a", "b", "c", "d", "e"]
