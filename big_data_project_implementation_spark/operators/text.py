@@ -1762,3 +1762,144 @@ def bpe_encode(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "n_pieces", "pieces")
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: Column,
+    n_features: int = 64,
+    iters: int = 5,
+    lr: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train the hashed-linear quality classifier by distributed batch
+    gradient descent (logistic loss) — the companion to
+    :func:`hashed_linear_quality_score`, closing the loop: weak labels
+    in, filter weights out, all on the cluster. Returns one row per
+    iteration: (iter, loss, grad_norm, weights array<double>) — the
+    last row's weights are the model.
+
+    Scale shape (MLlib's treeAggregate pattern, kept declarative):
+    features are built ONCE — hashed-unigram relative frequencies
+    scattered into a dense ``n_features`` array per doc, plus bias —
+    and localCheckpoint-ed; each GD iteration is then a single
+    map-side-combined aggregation: the per-doc margin, sigmoid, and
+    per-component gradient contributions all happen inside one codegen
+    projection (weights enter as a broadcast 1-row table), and only
+    n_features partial sums per task cross the wire. No corpus
+    re-shuffle per iteration, no driver-side data loops — the model
+    state is a 1-row DataFrame the whole way."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        label.cast("double").alias("y"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = (
+        toks.groupBy("id", "y", F.pmod(F.xxhash64("w"), F.lit(n_features)).alias("b"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    feat = (
+        counts.groupBy("id", "y")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("b"), F.collect_list("c")
+            ).alias("m"),
+            F.sum("c").alias("tot"),
+        )
+        .select(
+            "id",
+            "y",
+            # dense normalized features + trailing bias component
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_features - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("m"), i.cast("bigint")), F.lit(0.0)
+                    )
+                    / F.col("tot"),
+                ),
+                F.array(F.lit(1.0)),
+            ).alias("f"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dim = n_features + 1
+    n_docs = feat.count()  # 1-row scalar, once (not per iteration)
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [([0.0] * dim,)], f"w array<double>"
+    )
+    out_rows = []
+    for it in range(1, iters + 1):
+        scored = feat.crossJoin(F.broadcast(w)).select(
+            "y",
+            "f",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -F.aggregate(
+                            F.zip_with("f", "w", lambda x, wt: x * wt),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                    )
+                )
+            ).alias("p"),
+        )
+        stats = (
+            scored.select(
+                F.posexplode(
+                    F.transform("f", lambda x: x * (F.col("p") - F.col("y")))
+                ).alias("pos", "g"),
+                (
+                    -(
+                        F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                        + (1 - F.col("y"))
+                        * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
+                    )
+                    / dim
+                ).alias("l"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("g").alias("g"), F.sum("l").alias("l"))
+        )
+        grad = stats.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "g"))),
+                lambda s: s["g"] / n_docs,
+            ).alias("grad"),
+            (F.sum("l") / n_docs).alias("loss"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(grad))
+            .select(
+                F.zip_with(
+                    "w", "grad", lambda wt, g: wt - F.lit(lr) * g
+                ).alias("w"),
+                "loss",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform("grad", lambda g: g * g),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ).alias("grad_norm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out_rows.append(
+            w.select(
+                F.lit(it).cast("bigint").alias("iter"),
+                F.round("loss", 6).alias("loss"),
+                F.round("grad_norm", 6).alias("grad_norm"),
+                F.col("w").alias("weights"),
+            )
+        )
+        w = w.select("w")
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -2615,3 +2615,25 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_pieces")
         .orderBy("doc_id")
     )
+
+
+@query("text_train_classifier")  # fp-sum order sensitivity → rows-only
+def text_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING (operators.text
+    .train_quality_classifier): full-batch logistic GD on hashed
+    unigram features with weak labels (lang == 'en'), 5 iterations —
+    the learn-the-filter half that hashed_linear_quality_score serves.
+    One feature-build pass (checkpointed), then each iteration is a
+    single map-side-combined n_features-row gradient aggregation —
+    MLlib's treeAggregate loop, kept declarative. Monotone-loss +
+    exact numpy-parity pinned in tests/test_round5_ops.py; the
+    cross-partition double sums make the low bits partitioning-
+    sensitive, hence rows-only here."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        text.train_quality_classifier(
+            d, label=F.col("lang") == "en", n_features=64, iters=5
+        )
+        .select("iter", "loss", "grad_norm")
+        .orderBy("iter")
+    )
