@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "text_pmi_topk",
     "audit_table_diff",
     "events_attribution_multitouch",
+    "data_epoch_shuffle",
+    "data_source_quota",
+    "text_bpe_encode",
+    "text_train_classifier",
+    "similarity_ivfpq_topk",
     # streaming ingest path (micro-batch wall time incl. stream setup;
     # the query fns run their stream to completion eagerly, so the
     # regular timing loop captures them — VERDICT r4 #9)
