@@ -385,6 +385,8 @@ def ivf_centroids(
     shuffle of exploded components. At 100 TB you'd train on a
     ``corpus.sample(...)`` — the API composes (pass the sample here),
     the search path below is unchanged."""
+    from big_data_project_implementation_spark.operators.dedup import _spread
+
     cents = (
         corpus.orderBy(id_col)
         .limit(n_cells)
@@ -395,6 +397,9 @@ def ivf_centroids(
             F.col(vec_col).alias("centroid"),
         )
     )
+    # the per-iteration argmin pass is pure CPU — spread a narrow scan
+    # (single small parquet file) across cores; pass-through at scale
+    corpus = _spread(corpus)
     for _ in range(iters):
         w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cell"))
         assigned = (
@@ -698,8 +703,10 @@ def pq_codebooks(
     rows pre-filtered by sub equality), then re-averages via a
     (sub, code, pos) groupBy. Train on a sample at 100 TB; encoding
     (below) is the corpus-sized pass."""
+    from big_data_project_implementation_spark.operators.dedup import _spread
+
     sub_len = (F.size("_vec") / m).cast("int")
-    subs = corpus.select(
+    subs = _spread(corpus).select(
         F.col(id_col).alias("_id"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         F.col(vec_col).alias("_vec"),
@@ -924,8 +931,19 @@ def ivfpq_topk(
     ``refine * k`` rows per query fetch real vectors for exact cosine.
     At 100 TB the inverted lists are a cell-partitioned table of
     m-byte codes — memory per vector is m bytes, not 4·dim."""
-    cents = ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    books = pq_codebooks(corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+    # the trained model tables are tiny (n_cells rows / m*n_codes rows)
+    # but their PLANS inline every Lloyd iteration — and this function
+    # consumes each model table from several branches, so without a
+    # checkpoint the whole training recursion is re-planned (and at
+    # runtime re-executed per non-reused stage) once per consumer.
+    # localCheckpoint materializes the model once; at 100 TB the
+    # codebooks would be trained on a sample and PERSISTED anyway.
+    cents = ivf_centroids(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    books = pq_codebooks(
+        corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
