@@ -1903,3 +1903,87 @@ def train_quality_classifier(
     for r in out_rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def unicode_normalize_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode NFC normalization + audit — the canonicalization pass a
+    multilingual corpus needs before any hash-based dedup (composed
+    'é' and 'e'+COMBINING ACUTE are different bytes, the same text):
+    returns (id, changed, n_chars_before, n_chars_after, normalized).
+    Downstream fingerprints/shingles run on ``normalized``.
+
+    Spark has no NFC builtin, so this is a Pandas UDF over Python's
+    unicodedata (the reference Unicode implementation) — Arrow-batched,
+    and the one honest use of Python here since the operation is a
+    character-level table lookup no SQL expression can write. DuckDB's
+    nfc_normalize implements the same UAX #15 spec, which makes this
+    operator end-to-end oracle-checkable across engines."""
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        F.length(text_col).cast("bigint").alias("n_chars_before"),
+        nfc(F.col(text_col)).alias("normalized"),
+    ).select(
+        id_col,
+        (F.col("normalized") != F.col("_orig")).alias("changed"),
+        "n_chars_before",
+        F.length("normalized").cast("bigint").alias("n_chars_after"),
+        "normalized",
+    )
+
+
+def heaps_curve(
+    df: DataFrame,
+    buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-word
+    count after each ``buckets``-ile of the corpus (in id order) —
+    the corpus diagnostic that says whether more data still buys new
+    vocabulary (sub-linear growth flattening = diminishing returns;
+    a break in the curve = a domain shift or contamination event).
+
+    Scale shape: one token shuffle — each word's FIRST-occurrence
+    bucket is an associative min over (word → bucket(id)), then the
+    curve is a cumulative sum over ``buckets`` rows. No ordered scan,
+    no window over the corpus."""
+    n_docs = df.count()
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor(F.col(id_col) * buckets / F.lit(n_docs)).cast("int"),
+    )
+    first = (
+        df.select(bucket.alias("b"), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.min("b").alias("first_b"))
+        .groupBy("first_b")
+        .agg(F.count("*").cast("bigint").alias("new_words"))
+    )
+    w = Window.orderBy("first_b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        first.withColumn("vocab_size", F.sum("new_words").over(w).cast("bigint"))
+        .select(
+            F.col("first_b").cast("bigint").alias("bucket"),
+            "new_words",
+            "vocab_size",
+        )
+        .orderBy("bucket")
+    )

@@ -2637,3 +2637,58 @@ def text_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("iter", "loss", "grad_norm")
         .orderBy("iter")
     )
+
+
+@query(
+    "text_unicode_nfc",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(text) <> text AS changed,
+           CAST(len(text) AS BIGINT) AS n_chars_before,
+           CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars_after,
+           nfc_normalize(text) AS normalized
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization audit (operators.text
+    .unicode_normalize_audit): composed-vs-combining byte forms unify
+    before any hash-based dedup. Spark side = Arrow-batched
+    unicodedata.normalize (Python's reference UAX #15 implementation),
+    oracle = DuckDB's nfc_normalize — the same spec implemented twice
+    independently, hash-compared end to end."""
+    d = t(spark, sf_dir, "documents")
+    return text.unicode_normalize_audit(d).orderBy("doc_id")
+
+
+@query(
+    "text_heaps_curve",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    firsts AS (
+      SELECT w, MIN(LEAST(9, CAST(FLOOR(doc_id * 10.0 / n.n_docs) AS INT)))
+                 AS first_b
+      FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+            FROM documents) , n
+      WHERE w <> ''
+      GROUP BY w
+    ),
+    per_bucket AS (
+      SELECT first_b, CAST(count(*) AS BIGINT) AS new_words
+      FROM firsts GROUP BY first_b
+    )
+    SELECT CAST(first_b AS BIGINT) AS bucket, new_words,
+           CAST(SUM(new_words) OVER (ORDER BY first_b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS vocab_size
+    FROM per_bucket ORDER BY bucket
+    """,
+)
+def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve over corpus deciles
+    (operators.text.heaps_curve): does more data still buy new
+    vocabulary? One token shuffle — per-word first-occurrence bucket
+    is an associative min, the curve a 10-row cumulative sum; no
+    ordered corpus scan anywhere."""
+    d = t(spark, sf_dir, "documents")
+    return text.heaps_curve(d, buckets=10)

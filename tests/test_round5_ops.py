@@ -853,3 +853,40 @@ def test_train_quality_classifier_matches_numpy_reference(spark):
         w = w - lr * g
         assert abs(hist[it].loss - round(loss, 6)) <= 2e-6, (it, hist[it].loss, loss)
     np.testing.assert_allclose(np.array(hist[-1].weights), w, atol=1e-9)
+
+
+def test_unicode_nfc_unifies_combining_forms(spark):
+    from big_data_project_implementation_spark.operators import text as T
+
+    composed = "café"            # é as one codepoint
+    combining = "café"          # e + COMBINING ACUTE
+    df = spark.createDataFrame(
+        [(1, composed), (2, combining), (3, "plain"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.unicode_normalize_audit(df).collect()}
+    assert out[1].changed is False and out[1].normalized == composed
+    assert out[2].changed is True and out[2].normalized == composed
+    assert out[2].n_chars_before == 5 and out[2].n_chars_after == 4
+    assert out[3].changed is False
+    assert out[4].normalized is None
+    # the point of the pass: fingerprints now agree
+    a, b = out[1].normalized, out[2].normalized
+    assert a == b
+
+
+def test_heaps_curve_tracks_vocabulary_growth(spark):
+    from big_data_project_implementation_spark.operators import text as T
+
+    # each third of the corpus introduces a disjoint vocabulary slice
+    rows = (
+        [(i, "a b c") for i in range(10)]
+        + [(10 + i, "a d e") for i in range(10)]
+        + [(20 + i, "f g") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bucket: r for r in T.heaps_curve(df, buckets=3).collect()}
+    assert out[0].new_words == 3              # a b c
+    assert out[1].new_words == 2              # d e (a already seen)
+    assert out[2].new_words == 2              # f g
+    assert [out[b].vocab_size for b in (0, 1, 2)] == [3, 5, 7]
