@@ -210,3 +210,57 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.orderBy("node")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Batagelj-Zaversnik
+    family, fixed-round distributed form): repeatedly delete every
+    node whose degree in the SURVIVING subgraph is < ``k``. The
+    standard link-graph denoiser — spam farms and orphan pages fall
+    out of the 3-core; what survives is the densely-linked body.
+    Returns (node, degree) for nodes still alive after ``rounds``
+    peels, with their final in-core degree.
+
+    A fixed ``rounds`` keeps the job graph static and the operator
+    oracle-checkable (the SQL oracle unrolls the same rounds —
+    LPA's discipline); peeling converges geometrically on power-law
+    graphs, and a production run would loop until a 1-row
+    "any-deletions?" aggregate reads zero.
+
+    100 TB design: per round, one map-side-combined degree count over
+    surviving edges + one broadcast-friendly semi-join of edges
+    against surviving nodes on EACH endpoint — all hash-partitioned
+    on node id; edge state localCheckpoint-ed per round so lineage
+    stays flat while the edge set shrinks monotonically."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+        alive = deg.filter(F.col("d") >= k).select("u")
+        sym = (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("u").alias("node"), "degree")
+        .orderBy("node")
+    )

@@ -2692,3 +2692,46 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered corpus scan anywhere."""
     d = t(spark, sf_dir, "documents")
     return text.heaps_curve(d, buckets=10)
+
+
+@query(
+    "graph_k_core",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.n AS u, b.n AS v
+      FROM m a JOIN m b ON a.g = b.g AND a.n < b.n
+    ),
+    s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    a1 AS MATERIALIZED (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 4),
+    s1 AS MATERIALIZED (SELECT s.u, s.v FROM s0 s
+           JOIN a1 x ON s.u = x.u JOIN a1 y ON s.v = y.u),
+    a2 AS MATERIALIZED (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 4),
+    s2 AS MATERIALIZED (SELECT s.u, s.v FROM s1 s
+           JOIN a2 x ON s.u = x.u JOIN a2 y ON s.v = y.u),
+    a3 AS MATERIALIZED (SELECT u FROM s2 GROUP BY u HAVING count(*) >= 4),
+    s3 AS MATERIALIZED (SELECT s.u, s.v FROM s2 s
+           JOIN a3 x ON s.u = x.u JOIN a3 y ON s.v = y.u),
+    a4 AS MATERIALIZED (SELECT u FROM s3 GROUP BY u HAVING count(*) >= 4),
+    s4 AS MATERIALIZED (SELECT s.u, s.v FROM s3 s
+           JOIN a4 x ON s.u = x.u JOIN a4 y ON s.v = y.u),
+    a5 AS MATERIALIZED (SELECT u FROM s4 GROUP BY u HAVING count(*) >= 4),
+    s5 AS MATERIALIZED (SELECT s.u, s.v FROM s4 s
+           JOIN a5 x ON s.u = x.u JOIN a5 y ON s.v = y.u),
+    a6 AS MATERIALIZED (SELECT u FROM s5 GROUP BY u HAVING count(*) >= 4),
+    s6 AS MATERIALIZED (SELECT s.u, s.v FROM s5 s
+           JOIN a6 x ON s.u = x.u JOIN a6 y ON s.v = y.u)
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM s6 GROUP BY u HAVING count(*) >= 4 ORDER BY node
+    """,
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the part co-purchase graph (operators.graph.k_core,
+    6 synchronous peels — oracle unrolls the identical rounds): the
+    link-graph denoiser that strips weakly-attached nodes; per round
+    one degree count + endpoint semi-joins on the shrinking edge set."""
+    from big_data_project_implementation_spark.operators import graph
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.k_core(edges, k=4, rounds=6)

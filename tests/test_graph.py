@@ -137,3 +137,25 @@ def test_lpa_every_node_labeled_once(spark):
     out = graph.label_propagation(edges, 3).collect()
     assert len(out) == 5
     assert len({r.node for r in out}) == 5
+
+
+def test_k_core_peels_weak_nodes(spark):
+    from big_data_project_implementation_spark.operators import graph
+
+    # clique of 5 (each degree 4) with a pendant chain hanging off it:
+    # the 3-core is exactly the clique — the chain peels away over
+    # successive rounds (node 10 loses its only strong neighbor, etc.)
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = {r.node: r.degree for r in graph.k_core(edges, k=3, rounds=4).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in out.values())
+
+
+def test_k_core_of_sparse_graph_is_empty(spark):
+    from big_data_project_implementation_spark.operators import graph
+
+    ring = [(i, (i + 1) % 6) for i in range(6)]  # every degree = 2
+    edges = spark.createDataFrame(ring, "src long, dst long")
+    assert graph.k_core(edges, k=3, rounds=3).count() == 0
