@@ -153,3 +153,83 @@ def test_ngram_novelty_matches_python_recompute(spark, corpus):
         assert (r.n_grams, r.n_novel) == (len(g3), novel)
         expect = round(novel / len(g3), 6) if g3 else 0.0
         assert r.novelty_frac == expect
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_passage_dedup_matches_python_recompute(spark, corpus):
+    """Exact recompute: first occurrence of each chunk (by doc, idx)
+    survives, all others vanish; reassembly preserves in-doc order."""
+    chunk = 3
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.passage_dedup(df, chunk=chunk).collect()}
+
+    seen: set[str] = set()
+    expect: dict[int, list[str]] = {}
+    n_chunks: dict[int, int] = {}
+    for doc_id, doc in sorted(corpus):
+        toks = doc.split(" ")
+        chunks = [
+            " ".join(toks[i : i + chunk]) for i in range(0, len(toks), chunk)
+        ] if doc != "" else ([""] if False else [])
+        # split(" ") of "" is [""] -> one chunk of ""
+        if doc == "":
+            chunks = [""]
+        n_chunks[doc_id] = len(chunks)
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        expect[doc_id] = kept
+    for doc_id, _ in corpus:
+        r = got[doc_id]
+        assert r.n_chunks == n_chunks[doc_id], (doc_id, r, n_chunks[doc_id])
+        assert r.n_kept == len(expect[doc_id])
+        assert r.dedup_text == " ".join(expect[doc_id])
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_containment_pairs_match_python_recompute(spark, corpus):
+    """Exact recompute of n-gram containment over the df-capped gram
+    space (cap high enough here to never trigger)."""
+    n = 2
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.n_grams_a)
+        for r in dedup.containment_pairs(
+            df, n=n, threshold=0.0, max_df=10**6
+        ).collect()
+    }
+    grams = {
+        doc_id: {
+            " ".join(doc.split(" ")[i : i + n])
+            for i in range(len(doc.split(" ")) - n + 1)
+        }
+        for doc_id, doc in corpus
+        if len(doc.split(" ")) >= n
+    }
+    for (a, ga) in grams.items():
+        for (b, gb) in grams.items():
+            if a == b or not ga:
+                continue
+            inter = len(ga & gb)
+            if inter > 0:
+                assert got[(a, b)] == (inter, len(ga)), (a, b)
+            else:
+                assert (a, b) not in got
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus, k=st.integers(1, 5))
+def test_source_quota_is_md5_prefix_per_source(spark, corpus, k):
+    rows = [(i, t, f"s{i % 2}") for (i, t) in corpus]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(r.doc_id for r in text.source_quota(df, max_per_source=k).collect())
+    expect = []
+    for src in {r[2] for r in rows}:
+        ids = [i for (i, _, s) in rows if s == src]
+        ordered = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect += ordered[:k]
+    assert got == sorted(expect)
