@@ -159,3 +159,50 @@ def test_k_core_of_sparse_graph_is_empty(spark):
     ring = [(i, (i + 1) % 6) for i in range(6)]  # every degree = 2
     edges = spark.createDataFrame(ring, "src long, dst long")
     assert graph.k_core(edges, k=3, rounds=3).count() == 0
+
+
+def test_bucketed_edge_storage_removes_per_round_edge_shuffle(spark):
+    """The cluster answer the LPA plan notes point at (VERDICT r4):
+    iterative graph ops re-shuffle the edge table every round because
+    localCheckpoint scans report unknown partitioning — but edges
+    stored as a BUCKETED table on the join key scan pre-partitioned,
+    so the per-round label join plans with NO exchange on the edge
+    side. One label-join round, both layouts, exchange count compared."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark import plans
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "u long, v long"
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 5) for i in range(200)], "u long, label long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS b_edges")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        edges.write.bucketBy(8, "u").sortBy("u").saveAsTable("b_edges")
+        labels.write.bucketBy(8, "u").sortBy("u").saveAsTable("b_labels")
+
+        plain = edges.join(labels, "u").groupBy("v").agg(F.count("*"))
+        bucketed = (
+            spark.table("b_edges")
+            .join(spark.table("b_labels"), "u")
+            .groupBy("v")
+            .agg(F.count("*"))
+        )
+        n_plain = plans.count_shuffles(plain)
+        n_bucketed = plans.count_shuffles(bucketed)
+        # plain: both join sides exchange (+1 agg); bucketed: the join
+        # consumes the stored bucketing, only the agg exchanges
+        assert n_bucketed < n_plain, (n_bucketed, n_plain)
+        assert n_bucketed == 1, plans.physical_plan(bucketed)
+        # and results agree
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, bucketed.collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_edges")
+        spark.sql("DROP TABLE IF EXISTS b_labels")
