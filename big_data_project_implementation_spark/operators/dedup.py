@@ -1057,8 +1057,12 @@ def containment_pairs(
             lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # array_distinct BEFORE explode: a gram repeated inside one doc is
+    # one posting (containment is over gram SETS on both engines — the
+    # oracle's posts0 is SELECT DISTINCT), so every (doc, g) row below
+    # is unique and count(*) per gram IS the document frequency.
     posts = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
-        "doc", F.explode(grams).alias("g")
+        "doc", F.explode(F.array_distinct(grams)).alias("g")
     )
     # df-cap: drop grams appearing in more than ``max_df`` documents —
     # pair expansion is Σ df(g)² below, so one Zipf-head gram whose df
@@ -1068,23 +1072,37 @@ def containment_pairs(
     # computed over the capped gram space on BOTH engines, so the
     # oracle stays exact.
     #
-    # Plan shape: ONE postings shuffle. collect_set(doc) per gram
-    # folds the (doc, gram) dedup INTO the groupBy (partial
-    # ObjectHashAggregate map-side — no separate distinct() exchange),
-    # the df-cap is a free `size(ds) <= max_df` filter on the grouped
-    # row (no df-count pass, no join back), and the df² intra-gram
-    # pairs expand in whole-stage codegen via double explode — no
-    # postings self-join. Both the pair stream and the per-doc size
-    # table consume the SAME grouped-postings subplan, so Catalyst
-    # reuses one exchange (ReusedExchange) — deliberately no persist:
-    # a persist adds a materialization job barrier that costs more
-    # than the shared shuffle read at any scale (the round-4
+    # The cap runs BEFORE collect_set — a cheap map-side-combined count
+    # per gram (wire volume = distinct grams per partition, not
+    # postings) names the Zipf-head grams, and an anti-join drops their
+    # postings ahead of the set aggregation. The round-5 form filtered
+    # `size(ds) <= max_df` AFTER collect_set, which was one shuffle
+    # cheaper at tested SFs but materialized a head gram's ENTIRE
+    # df-sized doc array in a single aggregation buffer + shuffle row
+    # before dropping it — an executor-OOM/skew hazard at corpus scale
+    # (a gram in 1e9 docs = an 8 GB buffer on one core). AQE picks
+    # broadcast vs shuffle for the anti-join by the head set's real
+    # size; when it shuffles, the subsequent groupBy("g") reuses the
+    # join's hash partitioning, so postings still cross the wire once.
+    #
+    # Plan shape: ONE postings shuffle + one gram-count micro-shuffle.
+    # collect_set(doc) per surviving gram is bounded by max_df; the
+    # df² intra-gram pairs expand in whole-stage codegen via double
+    # explode — no postings self-join. Both the pair stream and the
+    # per-doc size table consume the SAME grouped-postings subplan, so
+    # Catalyst reuses one exchange (ReusedExchange) — deliberately no
+    # persist: a persist adds a materialization job barrier that costs
+    # more than the shared shuffle read at any scale (the round-4
     # formulation recomputed postings 4× through distinct()+joins and
     # paid 5.9s at sf0.1; this shape runs ~2s).
-    per_gram = (
+    head = (
         posts.groupBy("g")
-        .agg(F.collect_set("doc").alias("ds"))
-        .filter(F.size("ds") <= max_df)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("g")
+    )
+    per_gram = posts.join(head, "g", "left_anti").groupBy("g").agg(
+        F.collect_set("doc").alias("ds")
     )
     sizes = (
         per_gram.select(F.explode("ds").alias("doc"))

@@ -172,6 +172,13 @@ def label_propagation(
     localCheckpoint-ed per round (same lineage discipline as
     ``pagerank``). Fixed ``iterations`` keeps the job graph static;
     LPA converges in a handful of sweeps on social/similarity graphs.
+
+    Convergence guard (the ``dedup_clusters`` poison-round
+    convention): one extra probe sweep runs after the last round, and
+    if ANY label would still change the result gains a single
+    (node=-1, label=-1) sentinel row — so an under-provisioned
+    ``iterations`` breaks an oracle row-count match LOUDLY instead of
+    both engines agreeing on the same non-fixed-point answer.
     """
     e = (
         edges.select(
@@ -193,23 +200,37 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(iterations):
+    def sweep(state: DataFrame) -> DataFrame:
         neigh = sym.join(
-            labels.withColumnRenamed("node", "v"), "v"
+            state.withColumnRenamed("node", "v"), "v"
         ).select(F.col("u").alias("node"), "label")
         counts = neigh.groupBy("node", "label").agg(F.count("*").alias("c"))
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                # argmax by (count, -label): most frequent neighbor
-                # label, smallest label on ties
-                F.max_by(
-                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("label")
-            )
-            .localCheckpoint(eager=True)
+        return counts.groupBy("node").agg(
+            # argmax by (count, -label): most frequent neighbor
+            # label, smallest label on ties
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
-    return labels.orderBy("node")
+
+    for _ in range(iterations):
+        labels = sweep(labels).localCheckpoint(eager=True)
+    # poison probe: one more sweep; any node whose label would still
+    # move yields ONE sentinel row (values constant, so limit(1) is
+    # deterministic). Costs one extra join+groupBy — the price of never
+    # certifying a non-converged labeling as final.
+    poison = (
+        sweep(labels)
+        .withColumnRenamed("label", "next_label")
+        .join(labels, "node")
+        .filter(F.col("next_label") != F.col("label"))
+        .select(
+            F.lit(-1).cast("long").alias("node"),
+            F.lit(-1).cast("long").alias("label"),
+        )
+        .limit(1)
+    )
+    return labels.unionByName(poison).orderBy("node")
 
 
 def k_core(
@@ -230,8 +251,14 @@ def k_core(
     A fixed ``rounds`` keeps the job graph static and the operator
     oracle-checkable (the SQL oracle unrolls the same rounds —
     LPA's discipline); peeling converges geometrically on power-law
-    graphs, and a production run would loop until a 1-row
-    "any-deletions?" aggregate reads zero.
+    graphs. Convergence guard (the ``dedup_clusters`` poison-round
+    convention): peeling has converged iff NO surviving node's degree
+    is still < k, so the final degree table doubles as the probe — if
+    any violation remains, the result gains a single
+    (node=-1, degree=-1) sentinel row, making an under-provisioned
+    ``rounds`` break an oracle match LOUDLY instead of both engines
+    agreeing on the same non-converged subgraph. The probe is free
+    (the final degrees are computed anyway).
 
     100 TB design: per round, one map-side-combined degree count over
     surviving edges + one broadcast-friendly semi-join of edges
@@ -257,10 +284,20 @@ def k_core(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+    final_deg = sym.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    poison = (
+        final_deg.filter(F.col("degree") < k)
+        .select(
+            F.lit(-1).cast("long").alias("node"),
+            F.lit(-1).cast("bigint").alias("degree"),
+        )
+        .limit(1)
+    )
     return (
-        sym.groupBy("u")
-        .agg(F.count("*").cast("bigint").alias("degree"))
-        .filter(F.col("degree") >= k)
+        final_deg.filter(F.col("degree") >= k)
         .select(F.col("u").alias("node"), "degree")
+        .unionByName(poison)
         .orderBy("node")
     )

@@ -759,9 +759,14 @@ def pq_codebooks(
         # previous centroid instead of vanishing — the codebook always
         # holds exactly m*k entries (pq_encode's contract); standard
         # empty-cell handling for deterministic Lloyd
+        # flatten lineage each iteration (k_core/label_propagation's
+        # discipline): the union references refit twice and the prior
+        # books twice, so an un-truncated plan grows ~3^iters — harmless
+        # at iters=2, but analysis/execution blows up for callers who
+        # raise iters. m*k rows, so the eager materialization is free.
         books = refit.unionByName(
             books.join(refit.select("sub", "code"), ["sub", "code"], "left_anti")
-        )
+        ).localCheckpoint(eager=True)
     return books
 
 

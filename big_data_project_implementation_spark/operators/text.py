@@ -584,8 +584,14 @@ def passage_dedup(
     first occurrence (ties impossible: (doc, idx) is unique), then the
     winner set joins back to the passage stream and a second groupBy
     reassembles per doc. Passage hashes + ids cross the wire, passage
-    text only moves inside the reassembly groupBy of surviving rows."""
-    df = _spread(df)
+    text only moves inside the reassembly groupBy of surviving rows.
+
+    NULL-text documents are excluded entirely (no output row), matching
+    the certified oracle's ``WHERE text IS NOT NULL`` base — the
+    previous form emitted a (doc, 0, 0, '') row for them
+    (``size(NULL) = -1 → ceil(-1/8) = 0``), which agreed with the
+    oracle only because the fixture happens to contain no NULLs."""
+    df = _spread(df.filter(F.col(text_col).isNotNull()))
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(toks) / chunk).cast("int")
     # sequence(0, -1) DESCENDS in Spark — empty docs must yield an
@@ -1963,8 +1969,25 @@ def heaps_curve(
     Scale shape: one token shuffle — each word's FIRST-occurrence
     bucket is an associative min over (word → bucket(id)), then the
     curve is a cumulative sum over ``buckets`` rows. No ordered scan,
-    no window over the corpus."""
-    n_docs = df.count()
+    no window over the corpus.
+
+    PRECONDITION: ``id_col`` must be dense 0-based integers
+    (0..n_docs-1) — the bucket is ``floor(id * buckets / n_docs)``, so
+    sparse or offset ids would silently pile all mass into the clamped
+    last bucket and degenerate the curve. Checked loudly (min/max ride
+    the same pre-pass job as the count): callers with arbitrary ids
+    should assign dense ones first via
+    ``operators.relational.zip_with_index``."""
+    stats = df.agg(
+        F.count("*").alias("n"), F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    n_docs = stats["n"]
+    if n_docs and (stats["lo"] < 0 or stats["hi"] >= n_docs):
+        raise ValueError(
+            f"heaps_curve needs dense 0-based ids in {id_col!r} "
+            f"(got min={stats['lo']}, max={stats['hi']}, n={n_docs}); "
+            "assign dense ids first, e.g. relational.zip_with_index"
+        )
     bucket = F.least(
         F.lit(buckets - 1),
         F.floor(F.col(id_col) * buckets / F.lit(n_docs)).cast("int"),

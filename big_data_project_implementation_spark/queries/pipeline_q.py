@@ -1988,7 +1988,10 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lpa_oracle(rounds: int = 4) -> str:
     """Unrolled DuckDB oracle for graph_label_propagation: synchronous
-    LPA with (count desc, label asc) argmax, one CTE pair per round."""
+    LPA with (count desc, label asc) argmax, one CTE pair per round,
+    plus the poison probe round — one extra unrolled sweep whose diff
+    against round ``rounds`` emits the same (-1, -1) sentinel the Spark
+    operator emits when the labeling is not yet a fixed point."""
     head = """
     WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
     e AS (
@@ -2010,29 +2013,43 @@ def _lpa_oracle(rounds: int = 4) -> str:
                                   ORDER BY c DESC, label ASC) AS rn
         FROM c{i}) WHERE rn = 1
     )"""
-    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, rounds + 1))
+    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, rounds + 2))
     return (
         head
         + body
         + f"""
-    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
-    FROM l{rounds} ORDER BY node"""
+    SELECT node, label FROM (
+      SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+      FROM l{rounds}
+      UNION ALL
+      SELECT * FROM (
+        SELECT CAST(-1 AS BIGINT) AS node, CAST(-1 AS BIGINT) AS label
+        FROM l{rounds} a JOIN l{rounds + 1} b USING (node)
+        WHERE a.label <> b.label LIMIT 1
+      )
+    ) ORDER BY node"""
     )
 
 
-@query("graph_label_propagation", oracle=_lpa_oracle(4))
+@query("graph_label_propagation", oracle=_lpa_oracle(5))
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-purchase graph
-    (operators.graph.label_propagation, 4 synchronous rounds):
-    deterministic LPA — most-frequent neighbor label, smallest label
-    on ties — the topical-grouping layer between exact connected
-    components (too coarse) and embedding clustering (needs vectors).
-    Integer-exact, so the unrolled oracle checks it round-for-round."""
+    (operators.graph.label_propagation, 5 synchronous rounds + the
+    poison probe round): deterministic LPA — most-frequent neighbor
+    label, smallest label on ties — the topical-grouping layer between
+    exact connected components (too coarse) and embedding clustering
+    (needs vectors). Integer-exact, so the unrolled oracle checks it
+    round-for-round, probe included. Round-6 finding: the previously
+    certified 4-round labeling was NOT a fixed point at sf0.01 (the
+    probe emits a (-1,-1) sentinel there) — agreement without
+    convergence, exactly what the guard exists to surface; 5 rounds
+    converge at sf0.001/sf0.01, the sf0.1 bench graph needs 6 and now
+    says so loudly via the sentinel row instead of silently certifying."""
     from big_data_project_implementation_spark.operators import graph
 
     li = t(spark, sf_dir, "lineitem")
     edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    return graph.label_propagation(edges, iterations=4).select(
+    return graph.label_propagation(edges, iterations=5).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("label"),
     )
@@ -2721,8 +2738,15 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     a6 AS MATERIALIZED (SELECT u FROM s5 GROUP BY u HAVING count(*) >= 4),
     s6 AS MATERIALIZED (SELECT s.u, s.v FROM s5 s
            JOIN a6 x ON s.u = x.u JOIN a6 y ON s.v = y.u)
-    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
-    FROM s6 GROUP BY u HAVING count(*) >= 4 ORDER BY node
+    SELECT node, degree FROM (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM s6 GROUP BY u HAVING count(*) >= 4
+      UNION ALL
+      SELECT * FROM (
+        SELECT CAST(-1 AS BIGINT) AS node, CAST(-1 AS BIGINT) AS degree
+        FROM s6 GROUP BY u HAVING count(*) < 4 LIMIT 1
+      )
+    ) ORDER BY node
     """,
 )
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,12 +18,20 @@ from big_data_project_implementation_spark.queries.registry import events_stream
 
 
 def _run_stream_to_table(
-    sdf: DataFrame,
+    build,
     spark: SparkSession,
     output_mode: str = "complete",
     state_partitions: int = 8,
 ) -> DataFrame:
     """Execute a streaming DF to completion into a memory sink.
+
+    ``build`` is a callable ``SparkSession -> streaming DataFrame``:
+    the stream is PLANNED on a cloned session (``spark.newSession()``
+    — shared SparkContext/catalog/cache, isolated runtime SQLConf), so
+    the ``state_partitions`` override below can never leak into a batch
+    query planned concurrently on the caller's session (the old
+    set/restore-on-the-shared-session form silently gave any such query
+    8 shuffle partitions for the stream's whole run).
 
     ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to
     the stream's (fresh) checkpoint: stateful operators instantiate
@@ -34,21 +42,24 @@ def _run_stream_to_table(
     (measured 11.5s → 4.3s on the stream-stream outer join at 8).
     A production deployment with large state raises it; results are
     partitioning-invariant either way (oracle-certified)."""
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = "s" + uuid.uuid4().hex[:12]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    q = (
+        build(sub)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory-sink tables are session-scoped temp views — read through
+    # the cloned session. The returned DataFrame collects fine from the
+    # caller (same SparkContext); downstream transformations plan on the
+    # clone, inheriting the context-level conf (AQE etc.) like any
+    # session.
+    return sub.table(name)
 
 
 @query(
@@ -67,13 +78,13 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window + watermark over a file stream
     (reference window(windowDuration) DStream.scala:788 → modern
     F.window; watermarks are the SURVEY §2.12 capability upgrade)."""
-    sdf = (
-        events_stream(spark, sf_dir)
+    out = _run_stream_to_table(
+        lambda s: events_stream(s, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")),
+        spark,
     )
-    out = _run_stream_to_table(sdf, spark)
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n", "total"
     ).orderBy("window_start", "event_type")
@@ -99,13 +110,13 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time window (1h window, 30m slide) — DStream
     window(win, slide) parity (reference DStream.scala:799)."""
-    sdf = (
-        events_stream(spark, sf_dir)
+    out = _run_stream_to_table(
+        lambda s: events_stream(s, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")),
+        spark,
     )
-    out = _run_stream_to_table(sdf, spark)
     return out.select(
         F.col("window.start").alias("window_start"), "n", "avg_value"
     ).orderBy("window_start")
@@ -124,12 +135,12 @@ def stream_per_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed running counts — updateStateByKey / mapWithState parity in
     aggregate form (reference PairDStreamFunctions.scala:396; custom
     per-event state lives in tests via applyInPandasWithState)."""
-    sdf = (
-        events_stream(spark, sf_dir)
+    out = _run_stream_to_table(
+        lambda s: events_stream(s, sf_dir)
         .groupBy("user_id", "event_type")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n")),
+        spark,
     )
-    out = _run_stream_to_table(sdf, spark)
     return out.orderBy("user_id", "event_type")
 
 
@@ -150,29 +161,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from DStreams (per-batch joins only, SURVEY §2.13); modern
     Structured Streaming buffers both sides in the state store and
     watermarks bound the buffer."""
-    clicks = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
+    def build(s: SparkSession) -> DataFrame:
+        clicks = (
+            events_stream(s, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
         )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("p_ts") >= F.col("click_ts"))
-        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
-    ).select("user_id", "click_id", "purchase_id")
-    out = _run_stream_to_table(joined, spark, output_mode="append")
+        purchases = (
+            events_stream(s, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        ).select("user_id", "click_id", "purchase_id")
+
+    out = _run_stream_to_table(build, spark, output_mode="append")
     return out.orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -207,11 +224,12 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     StateSpec idle timeout, STR/StateSpec.scala:100). Oracle:
     gaps-and-islands SQL. Spark closes a session when the next event is
     >= gap after the last, hence '>=' in the oracle's lag test."""
-    sdf = events_stream(spark, sf_dir)
-    agg = sdf.groupBy(F.session_window("ts", "4 hours"), "user_id").agg(
-        F.count("*").alias("n_events")
+    out = _run_stream_to_table(
+        lambda s: events_stream(s, sf_dir)
+        .groupBy(F.session_window("ts", "4 hours"), "user_id")
+        .agg(F.count("*").alias("n_events")),
+        spark,
     )
-    out = _run_stream_to_table(agg, spark)
     return out.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -238,9 +256,14 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dropDuplicatesWithinWatermark) is covered in tests/test_streaming.py."""
     from big_data_project_implementation_spark import streaming as stm
 
-    sdf = events_stream(spark, sf_dir).select("event_type", "user_id", "ts")
-    deduped = stm.dedup_stream(sdf, ["event_type", "user_id"])
-    out = _run_stream_to_table(deduped, spark, output_mode="append")
+    out = _run_stream_to_table(
+        lambda s: stm.dedup_stream(
+            events_stream(s, sf_dir).select("event_type", "user_id", "ts"),
+            ["event_type", "user_id"],
+        ),
+        spark,
+        output_mode="append",
+    )
     return (
         out.groupBy("event_type")
         .agg(F.count("*").alias("n_keys"))
@@ -291,9 +314,12 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents_stream,
     )
 
-    sdf = text_ops.quality_filter(documents_stream(spark, sf_dir))
     out = _run_stream_to_table(
-        sdf.select("doc_id", "drop_reason", "keep"), spark, output_mode="append"
+        lambda s: text_ops.quality_filter(documents_stream(s, sf_dir)).select(
+            "doc_id", "drop_reason", "keep"
+        ),
+        spark,
+        output_mode="append",
     )
     return out.orderBy("doc_id")
 
@@ -320,25 +346,27 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, batch-oracled result."""
     from big_data_project_implementation_spark.queries.registry import t
 
-    sdf = events_stream(spark, sf_dir).select("user_id", "value")
-    cust = t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    agg = (
-        sdf.join(F.broadcast(cust), "user_id")
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            # per-row DECIMAL(28,10) widening before SUM: double
-            # addition is order-sensitive across partial-agg orders,
-            # so a raw double total near a rounding boundary could
-            # hash-mismatch nondeterministically (float-oracle rule)
-            F.round(
-                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 2
-            ).alias("total_value"),
+    def build(s: SparkSession) -> DataFrame:
+        sdf = events_stream(s, sf_dir).select("user_id", "value")
+        cust = t(s, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
         )
-    )
-    out = _run_stream_to_table(agg, spark)
+        return (
+            sdf.join(F.broadcast(cust), "user_id")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                # per-row DECIMAL(28,10) widening before SUM: double
+                # addition is order-sensitive across partial-agg orders,
+                # so a raw double total near a rounding boundary could
+                # hash-mismatch nondeterministically (float-oracle rule)
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 2
+                ).alias("total_value"),
+            )
+        )
+
+    out = _run_stream_to_table(build, spark)
     return out.orderBy("segment")
 
 
@@ -383,12 +411,14 @@ def stream_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from big_data_project_implementation_spark.queries.registry import t
 
-    iv = ev_ops.scd2_intervals(t(spark, sf_dir, "events")).select(
-        "user_id", "state", "valid_from", "valid_to"
-    )
-    sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
-    joined = relational.interval_join(sdf, iv, "user_id")
-    out = _run_stream_to_table(joined, spark, output_mode="append")
+    def build(s: SparkSession) -> DataFrame:
+        iv = ev_ops.scd2_intervals(t(s, sf_dir, "events")).select(
+            "user_id", "state", "valid_from", "valid_to"
+        )
+        sdf = events_stream(s, sf_dir).select("event_id", "user_id", "ts")
+        return relational.interval_join(sdf, iv, "user_id")
+
+    out = _run_stream_to_table(build, spark, output_mode="append")
     return out.orderBy("event_id")
 
 
@@ -482,43 +512,45 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls. Certified against the batch LEFT JOIN oracle; the sentinel
     mechanics that make a finite stream flush completely are in
     _events_stream_with_flush."""
-    sdf = _events_stream_with_flush(spark, sf_dir)
-    clicks = (
-        sdf.filter(F.col("event_type") == "click")
-        .select(
-            "user_id",
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
+    def build(s: SparkSession) -> DataFrame:
+        sdf = _events_stream_with_flush(s, sf_dir)
+        clicks = (
+            sdf.filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
         )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        sdf.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
+        purchases = (
+            sdf.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
         )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = (
-        clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user_id"))
-            & (F.col("p_ts") >= F.col("click_ts"))
-            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
-            "left_outer",
+        return (
+            clicks.join(
+                purchases,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("p_ts") >= F.col("click_ts"))
+                & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+                "left_outer",
+            )
+            # drop watermark sentinels — the OR with a RIGHT-side column
+            # makes this predicate non-pushable through the outer join: a
+            # plain user_id >= 0 filter would be pushed below the join onto
+            # the SHARED file scan, pruning the sentinel rows before the
+            # watermark node ever sees them (observed: watermark stuck,
+            # trailing null rows never flushed)
+            .filter((F.col("click_id") >= 0) | F.col("purchase_id").isNotNull())
+            .select("user_id", "click_id", "purchase_id")
         )
-        # drop watermark sentinels — the OR with a RIGHT-side column
-        # makes this predicate non-pushable through the outer join: a
-        # plain user_id >= 0 filter would be pushed below the join onto
-        # the SHARED file scan, pruning the sentinel rows before the
-        # watermark node ever sees them (observed: watermark stuck,
-        # trailing null rows never flushed)
-        .filter((F.col("click_id") >= 0) | F.col("purchase_id").isNotNull())
-        .select("user_id", "click_id", "purchase_id")
-    )
-    return _run_stream_to_table(joined, spark, output_mode="append").orderBy(
+
+    return _run_stream_to_table(build, spark, output_mode="append").orderBy(
         "user_id", "click_id", "purchase_id"
     )
 
@@ -543,42 +575,44 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop predicates are null-TOLERANT per side (IS NULL OR ...) so the
     optimizer cannot push them through the outer join onto the shared
     scan (the stream_stream_left_join lesson)."""
-    sdf = _events_stream_with_flush(spark, sf_dir)
-    clicks = (
-        sdf.filter(F.col("event_type") == "click")
-        .select(
-            "user_id",
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
+    def build(s: SparkSession) -> DataFrame:
+        sdf = _events_stream_with_flush(s, sf_dir)
+        clicks = (
+            sdf.filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
         )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        sdf.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
+        purchases = (
+            sdf.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
         )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = (
-        clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user_id"))
-            & (F.col("p_ts") >= F.col("click_ts"))
-            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
-            "full_outer",
+        return (
+            clicks.join(
+                purchases,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("p_ts") >= F.col("click_ts"))
+                & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+                "full_outer",
+            )
+            .filter(F.col("click_id").isNull() | (F.col("click_id") >= 0))
+            .filter(F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+            .select(
+                F.coalesce("user_id", "p_user_id").alias("user_id"),
+                "click_id",
+                "purchase_id",
+            )
         )
-        .filter(F.col("click_id").isNull() | (F.col("click_id") >= 0))
-        .filter(F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
-        .select(
-            F.coalesce("user_id", "p_user_id").alias("user_id"),
-            "click_id",
-            "purchase_id",
-        )
-    )
-    return _run_stream_to_table(joined, spark, output_mode="append").orderBy(
+
+    return _run_stream_to_table(build, spark, output_mode="append").orderBy(
         "user_id", "click_id", "purchase_id"
     )
 
@@ -593,16 +627,16 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are engine-specific (rows-only at the driver); equality with
     the batch sketch on the same data is pinned in
     tests/test_streaming.py::test_stream_hll_matches_batch_hll."""
-    sdf = (
-        events_stream(spark, sf_dir)
+    out = _run_stream_to_table(
+        lambda s: events_stream(s, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"))
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
             F.count("*").cast("bigint").alias("n_events"),
-        )
+        ),
+        spark,
     )
-    out = _run_stream_to_table(sdf, spark)
     return out.select(
         F.col("window.start").alias("window_start"), "approx_users", "n_events"
     ).orderBy("window_start")
@@ -637,13 +671,13 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     read their serving store. Certified against the batch
     window+rank oracle — the stream's counts must be exactly the
     batch GROUP BY."""
-    sdf = (
-        events_stream(spark, sf_dir)
+    out = _run_stream_to_table(
+        lambda s: events_stream(s, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day"), "event_type")
-        .agg(F.count("*").cast("bigint").alias("n"))
+        .agg(F.count("*").cast("bigint").alias("n")),
+        spark,
     )
-    out = _run_stream_to_table(sdf, spark)
     w = Window.partitionBy("window_start").orderBy(
         F.desc("n"), F.asc("event_type")
     )

@@ -661,3 +661,24 @@ def test_zip_with_index_no_global_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line or "partitionBy" in line, line
+
+
+def test_heaps_curve_rejects_sparse_ids_loudly(spark):
+    """Round-5 ADVICE: sparse/offset ids used to pile all mass into the
+    clamped last bucket and silently degenerate the curve; now the
+    dense-0-based precondition is checked in the same pre-pass job."""
+    import pytest as _pytest
+
+    from big_data_project_implementation_spark.operators import text as T
+
+    sparse = spark.createDataFrame(
+        [(1000, "a b"), (2000, "b c"), (9999, "c d")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="dense 0-based"):
+        T.heaps_curve(sparse, buckets=4)
+
+    dense = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (2, "c d")], "doc_id long, text string"
+    )
+    rows = T.heaps_curve(dense, buckets=3).collect()
+    assert [r.vocab_size for r in rows][-1] == 4  # a b c d

@@ -890,3 +890,39 @@ def test_heaps_curve_tracks_vocabulary_growth(spark):
     assert out[1].new_words == 2              # d e (a already seen)
     assert out[2].new_words == 2              # f g
     assert [out[b].vocab_size for b in (0, 1, 2)] == [3, 5, 7]
+
+
+def test_passage_dedup_null_text_docs_are_excluded(spark):
+    """Round-5 ADVICE: NULL-text docs used to emit a (doc, 0, 0, '')
+    row while the certified oracle (base CTE filters text IS NOT NULL)
+    emitted nothing — parity held only because the fixture has no
+    NULLs. The operator now excludes them by construction."""
+    from big_data_project_implementation_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.passage_dedup(df, chunk=8).collect()}
+    assert set(out) == {0, 2}  # NULL-text doc 1 gone entirely
+    assert out[0].n_kept == 1
+    assert out[2].n_chunks == 1  # empty string -> one empty passage
+
+
+def test_containment_df_cap_runs_before_set_aggregation(spark):
+    """Round-5 ADVICE (medium): the df-cap must prune Zipf-head grams
+    BEFORE collect_set builds per-gram doc arrays — otherwise one head
+    gram materializes a df-sized aggregation buffer + shuffle row just
+    to be dropped. Shape-asserted: the plan carries a LeftAnti join
+    (postings minus head grams) feeding the set aggregation, and the
+    result still honors the cap exactly."""
+    from big_data_project_implementation_spark.operators import dedup as D
+
+    rows = [(i, "common gram here " + f"unique{i} tail{i} x{i} y{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.containment_pairs(df, n=3, threshold=0.1, max_df=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # 'common gram here' appears in all 12 docs > max_df=4 → capped out;
+    # remaining grams are unique per doc → no qualifying pairs at all
+    assert out.count() == 0

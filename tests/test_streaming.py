@@ -510,3 +510,33 @@ def test_stream_hll_matches_batch_hll(spark):
         )
     }
     assert streamed == batch
+
+
+def test_run_stream_conf_isolated_from_caller_session(spark):
+    """_run_stream_to_table plans the stream on a cloned session: the
+    state-partitions override must be visible to the stream's planner
+    and NEVER to the caller's session (a concurrent batch query on the
+    shared session used to silently inherit 8 shuffle partitions for
+    the stream's whole run — round-5 ADVICE)."""
+    from big_data_project_implementation_spark.queries import streaming_q
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = {}
+
+    def build(s):
+        # observed DURING the stream's lifetime, not after a restore
+        seen["caller"] = spark.conf.get("spark.sql.shuffle.partitions")
+        seen["stream"] = s.conf.get("spark.sql.shuffle.partitions")
+        seen["cloned"] = s is not spark
+        return (
+            events_stream(s, SF_DIR)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = streaming_q._run_stream_to_table(build, spark, state_partitions=4)
+    assert out.count() > 0
+    assert seen["cloned"] is True
+    assert seen["stream"] == "4"
+    assert seen["caller"] == before  # caller conf untouched while running
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
