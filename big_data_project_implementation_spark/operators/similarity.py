@@ -670,13 +670,26 @@ def semdedup(
     )
 
 
+def _q6(arr: Column | str) -> Column:
+    """Quantize a float array to 1e-6 integer micro-units — the repo's
+    engine-exact convention (``embedding_covariance`` precedent):
+    downstream arithmetic on the quantized components is integer-exact,
+    so distances/argmins are bit-identical on any engine/partitioning."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(
+        arr, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+
+
 def _l2sq(a: Column | str, b: Column | str) -> Column:
-    """Squared L2 distance between two float arrays (codegen-only)."""
+    """Exact squared L2 distance between two micro-unit integer arrays
+    (codegen-only, bigint arithmetic — no float summation order to
+    diverge between engines)."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
@@ -697,6 +710,17 @@ def pq_codebooks(
     turns a 4*dim-byte float vector into m one-byte codes — the memory
     layer under IVF-PQ indexes at billion-vector scale.
 
+    Numerics: subvector components are quantized to 1e-6 integer
+    micro-units up front and the ENTIRE Lloyd loop runs integer-exact
+    (bigint distances; centroid refit = round-half-up of the exact
+    integer mean) — the ``embedding_covariance`` convention. A float
+    Lloyd's argmin ties depend on double-summation order and differ
+    across engines/partitionings; the quantized form is bit-identical
+    everywhere, which is what lets the driver hash-match this operator
+    against an unrolled DuckDB oracle (round-6 conversion from
+    rows-only). Quantization error (5e-7 per component) is far below
+    float32 input precision, so codebook quality is unchanged.
+
     Scale shape: training is per-subspace but runs as ONE plan over
     the exploded (id, sub, subvec) stream — each iteration broadcasts
     the m*k codebook, assigns by argmin L2 (window over m*k candidate
@@ -713,7 +737,7 @@ def pq_codebooks(
     ).select(
         "_id",
         "sub",
-        F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len).alias("sv"),
+        _q6(F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)).alias("sv"),
     )
     # seed from DISTINCT subvectors (lowest id per distinct value):
     # duplicate subvectors among the first-k-by-id seeds would create
@@ -746,12 +770,19 @@ def pq_codebooks(
         refit = (
             assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub", "code", "pos")
-            .agg(F.avg("x").alias("mx"))
+            # round-half-up of the exact integer mean: sum and count are
+            # exact bigints < 2^53, so the double division is correctly
+            # rounded and floor(s/c + 0.5) is engine-identical
+            .agg(
+                F.floor(F.sum("x") / F.count("*") + F.lit(0.5))
+                .cast("long")
+                .alias("mx")
+            )
             .groupBy("sub", "code")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-                    lambda s: s["mx"].cast("float"),
+                    lambda s: s["mx"],
                 ).alias("centroid")
             )
         )
@@ -782,7 +813,10 @@ def pq_encode(
     the exploded subvector stream, argmin per (id, sub), then a
     groupBy(id) to assemble codes — corpus rows shuffle once, on the
     natural id key. ``sq_err`` is the per-vector reconstruction
-    distortion, the quality dial (raise m/k until acceptable)."""
+    distortion, the quality dial (raise m/k until acceptable).
+    Distances are exact bigints over micro-unit components (see
+    ``pq_codebooks``); ``sq_err`` converts back to squared original
+    units at 6dp via the floor micro-rounding convention."""
     sub_len = (F.size("_vec") / m).cast("int")
     subs = corpus.select(
         F.col(id_col).alias("_id"),
@@ -791,7 +825,7 @@ def pq_encode(
     ).select(
         "_id",
         "sub",
-        F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len).alias("sv"),
+        _q6(F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)).alias("sv"),
     )
     best = (
         subs.join(F.broadcast(books), "sub")
@@ -812,7 +846,10 @@ def pq_encode(
                 F.array_sort(F.collect_list(F.struct("sub", "code"))),
                 lambda s: s["code"],
             ).alias("codes"),
-            F.round(F.sum("_d"), 6).alias("sq_err"),
+            # exact bigint micro² total -> squared original units, 6dp
+            (F.floor(F.sum("_d") / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "sq_err"
+            ),
         )
         .select(F.col("_id").alias(id_col), "codes", "sq_err")
     )
@@ -993,7 +1030,11 @@ def ivfpq_topk(
             "sub",
             "code",
             _l2sq(
-                F.slice(F.col("q_vec"), F.col("sub") * F.col("_sl") + 1, F.col("_sl")),
+                _q6(
+                    F.slice(
+                        F.col("q_vec"), F.col("sub") * F.col("_sl") + 1, F.col("_sl")
+                    )
+                ),
                 F.col("centroid"),
             ).alias("_d"),
         )

@@ -189,10 +189,48 @@ def _driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
     return hist
 
 
+def _rows_only_latest(root: str | None = None) -> set[str]:
+    """Names whose NEWEST driver row was a rows-only check
+    (``err == "no_oracle"`` with a live Spark side). Used by the
+    rotation: if such a query has since gained an oracle, its next
+    driver row upgrades from rows-only to hash-match evidence, so it
+    jumps the stale-green queue."""
+    import json as _json
+    import re as _re
+
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(
+        _glob.glob(_os.path.join(root or _repo_root(), "CORRECTNESS_r*.json"))
+    ):
+        m = _re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            is_ro = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, is_ro)
+    return {n for n, (_, ro) in latest.items() if ro}
+
+
 def _computed_window(
     names: list[str],
     history: dict[str, tuple[int, bool]],
     size: int = _WINDOW_SIZE,
+    upgraded: set[str] | None = None,
 ) -> list[str]:
     """The ``size`` registry entries most in need of a driver row.
 
@@ -200,13 +238,17 @@ def _computed_window(
     environment — builder, driver, judge — computes the same window):
       1. red latest driver row (a fixed fail must recertify first);
       2. never certified (new operators get their row next round);
-      3. stalest green row (oldest round first), so nothing certified
+      3. ``upgraded`` — latest row was rows-only but the query now
+         carries an oracle, so the next row is a strict evidence
+         upgrade (rows-only → hash-match);
+      4. stalest green row (oldest round first), so nothing certified
          goes more than ceil(len(registry)/size) rounds without a
          fresh driver row;
     ties broken by registration order (stable and deterministic).
     The window keeps registration order among the chosen entries so
     related families stay adjacent in CORRECTNESS_r{N}.json."""
     order = {n: i for i, n in enumerate(names)}
+    upgraded = upgraded or set()
 
     def prio(n: str) -> tuple[int, int, int]:
         last = history.get(n)
@@ -214,7 +256,9 @@ def _computed_window(
             return (0, last[0], order[n])  # red row: highest priority
         if last is None:
             return (1, 0, order[n])  # never certified
-        return (2, last[0], order[n])  # stalest green first
+        if n in upgraded:
+            return (2, last[0], order[n])  # oracle upgrade pending
+        return (3, last[0], order[n])  # stalest green first
 
     chosen = set(sorted(names, key=prio)[:size])
     return [n for n in names if n in chosen]
@@ -232,7 +276,14 @@ if _round <= 3:
     _CERTIFICATION_WINDOW = _WINDOW_R3
 else:
     try:
-        _CERTIFICATION_WINDOW = _computed_window(list(REGISTRY), _driver_history())
+        _upgraded = {
+            n
+            for n in _rows_only_latest()
+            if n in REGISTRY and REGISTRY[n].oracle is not None
+        }
+        _CERTIFICATION_WINDOW = _computed_window(
+            list(REGISTRY), _driver_history(), upgraded=_upgraded
+        )
     except Exception:  # never let rotation break imports
         _CERTIFICATION_WINDOW = (_WINDOW_R3, _WINDOW_R4, _WINDOW_R5)[(_round - 3) % 3]
 

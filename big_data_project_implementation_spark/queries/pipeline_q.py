@@ -1934,9 +1934,12 @@ def data_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _bpe_oracle(steps: int = 5) -> str:
-    """Unrolled DuckDB oracle for text_bpe_merges: one (pair-count,
-    argmax, apply) CTE block per merge step."""
+def _bpe_training_ctes(steps: int) -> str:
+    """The shared unrolled BPE-training CTE chain (one pair-count /
+    argmax / apply block per merge step), ending in a ``t{steps}`` CTE
+    holding the last learned rule. Consumed by both `_bpe_oracle`
+    (which SELECTs the rules) and `_bpe_encode_oracle` (which applies
+    them to every distinct word)."""
     pair_block = """
     p{i} AS (
       SELECT pair, CAST(SUM(n) AS BIGINT) AS freq FROM (
@@ -1954,7 +1957,7 @@ def _bpe_oracle(steps: int = 5) -> str:
              FROM w{prev}, t{i})"""
     parts = [
         """
-    WITH w0 AS (
+    w0 AS (
       SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS w
@@ -1967,11 +1970,71 @@ def _bpe_oracle(steps: int = 5) -> str:
         if i < steps:
             parts.append(apply_block.format(i=i, prev=i - 1))
         parts.append("," if i < steps else "")
+    return "".join(parts)
+
+
+def _bpe_oracle(steps: int = 5) -> str:
+    """Unrolled DuckDB oracle for text_bpe_merges: one (pair-count,
+    argmax, apply) CTE block per merge step."""
     selects = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS rank, pair, merged, freq FROM t{i}"
         for i in range(1, steps + 1)
     )
-    return "".join(parts) + f"\n    SELECT * FROM ({selects}) ORDER BY rank"
+    return (
+        "\n    WITH " + _bpe_training_ctes(steps)
+        + f"\n    SELECT * FROM ({selects}) ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle(steps: int = 8) -> str:
+    """Unrolled DuckDB oracle for text_bpe_encode: train ``steps``
+    rules (shared CTE chain), then run the greedy rank-first merge
+    loop over every DISTINCT word as a recursive CTE — each recursion
+    applies the (lowest-rank, leftmost) mergeable pair once. One
+    occurrence per step is equivalent to the Spark UDF's
+    all-occurrences-then-rescan pass because BPE rank order respects
+    producer-before-consumer: a pair consuming a merged symbol is
+    always ranked after the rule that created the symbol, so merging
+    one occurrence can never surface a lower-ranked pair than the one
+    being applied. The word's final piece count is its minimum
+    symbol-list length over the recursion (lengths strictly
+    decrease)."""
+    return f"""
+    WITH RECURSIVE {_bpe_training_ctes(steps)},
+    merges AS ({" UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, pair FROM t{i}"
+        for i in range(1, steps + 1))}),
+    vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''
+    ),
+    enc(w, syms) AS (
+      SELECT w, string_split(w, '') FROM vocab
+      UNION ALL
+      SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+      FROM (
+        SELECT w, syms,
+               (SELECT u.i
+                FROM unnest(generate_series(1, len(syms) - 1)) u(i)
+                JOIN merges m ON m.pair = syms[u.i] || ' ' || syms[u.i + 1]
+                ORDER BY m.rank, u.i LIMIT 1) AS bi
+        FROM enc
+      ) WHERE bi IS NOT NULL
+    ),
+    pieces AS (SELECT w, CAST(MIN(len(syms)) AS BIGINT) AS n_p
+               FROM enc GROUP BY w),
+    toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(p.n_p) AS BIGINT) AS n_pieces
+    FROM toks t JOIN pieces p USING (w)
+    GROUP BY t.doc_id ORDER BY t.doc_id"""
 
 
 @query("text_bpe_merges", oracle=_bpe_oracle(5))
@@ -2113,14 +2176,88 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(d, train=F.col("lang") == "en").orderBy("doc_id")
 
 
-@query("embedding_pq_codes")  # float k-means -> rows-only; invariants in pytest
+def _pq_oracle(m: int = 4, k: int = 16, iters: int = 2) -> str:
+    """Unrolled DuckDB oracle for embedding_pq_codes: the exact
+    integer-quantized Lloyd the Spark operator runs (micro-unit
+    subvectors → bigint argmin assignment → round-half-up integer
+    centroid refit with empty-code retention), one CTE trio per
+    iteration — the ``text_bpe_merges`` unrolling discipline applied
+    to k-means."""
+    dist = ("list_sum(list_transform(generate_series(1, len(s.sv)), "
+            "x -> (s.sv[x] - b.centroid[x]) * (s.sv[x] - b.centroid[x])))")
+    parts = [f"""
+    WITH subs AS (
+      SELECT vec_id AS id, g.sub AS sub,
+             list_transform(
+               e.embedding[g.sub * e.sl + 1 : g.sub * e.sl + e.sl],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS sv
+      FROM (SELECT vec_id, embedding,
+                   CAST(len(embedding) // {m} AS INT) AS sl FROM embeddings) e,
+           (SELECT unnest(generate_series(0, {m - 1})) AS sub) g
+    ),
+    seeds AS (SELECT sub, sv, MIN(id) AS mid FROM subs GROUP BY sub, sv),
+    b0 AS (
+      SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS centroid FROM (
+        SELECT sub, sv,
+               row_number() OVER (PARTITION BY sub ORDER BY mid) AS rn
+        FROM seeds)
+      WHERE rn <= {k}
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS (
+      SELECT id, sub, code, sv FROM (
+        SELECT s.id, s.sub, b.code, s.sv,
+               row_number() OVER (PARTITION BY s.id, s.sub
+                                  ORDER BY {dist}, b.code) AS rn
+        FROM subs s JOIN b{i - 1} b USING (sub))
+      WHERE rn = 1
+    ),
+    r{i} AS (
+      SELECT sub, code, u.pos AS pos,
+             CAST(FLOOR(SUM(sv[u.pos]) / COUNT(*) + 0.5) AS BIGINT) AS cx
+      FROM a{i}, unnest(generate_series(1, len(sv))) u(pos)
+      GROUP BY sub, code, u.pos
+    ),
+    rc{i} AS (
+      SELECT sub, code, list(cx ORDER BY pos) AS centroid
+      FROM r{i} GROUP BY sub, code
+    ),
+    b{i} AS (
+      SELECT * FROM rc{i}
+      UNION ALL
+      SELECT p.sub, p.code, p.centroid FROM b{i - 1} p
+      WHERE NOT EXISTS (SELECT 1 FROM rc{i} c
+                        WHERE c.sub = p.sub AND c.code = p.code)
+    )""")
+    parts.append(f""",
+    enc AS (
+      SELECT id, sub, code, d FROM (
+        SELECT s.id, s.sub, b.code, {dist} AS d,
+               row_number() OVER (PARTITION BY s.id, s.sub
+                                  ORDER BY {dist}, b.code) AS rn
+        FROM subs s JOIN b{iters} b USING (sub))
+      WHERE rn = 1
+    )
+    SELECT id AS vec_id,
+           array_to_string(list(code ORDER BY sub), ',') AS codes,
+           FLOOR(SUM(d) / 1e6 + 0.5) / 1e6 AS sq_err
+    FROM enc GROUP BY id ORDER BY vec_id""")
+    return "".join(parts)
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle(m=4, k=16, iters=2))
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization of the embeddings table
     (operators.similarity.pq_codebooks + pq_encode, m=4 subspaces x
     k=16 codes): each vector compressed to 4 codes + its
     reconstruction distortion — the memory layer of an IVF-PQ index.
-    Approximate by nature (float Lloyd iterations), so rows-only at
-    the driver; bounds/exactness/determinism pinned in
+    Converted from rows-only to a full hash-match oracle in round 6
+    (VERDICT r5 #2): the Lloyd loop now runs on 1e-6 integer
+    micro-units end-to-end (bigint distances, round-half-up integer
+    centroid refit), so training is bit-identical across engines and
+    the oracle unrolls the identical two iterations in SQL.
+    Bounds/exactness/determinism additionally pinned in
     tests/test_round5_ops.py."""
     from big_data_project_implementation_spark.operators import similarity
 
@@ -2338,14 +2475,119 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_covariance(emb)
 
 
-@query("multimodal_entropy")  # zlib-dependent bytes -> rows-only; pytest pins
+@query(
+    "multimodal_entropy",
+    oracle="""
+    WITH RECURSIVE media AS (
+      SELECT doc_id AS media_id,
+             doc_id % 20 = 0 AS is_png,
+             16 + doc_id % 97 AS w,
+             16 + (7 * doc_id) % 89 AS h,
+             100 + doc_id % 400 AS nf
+      FROM documents
+    ),
+    -- CRC-32 (IEEE 802.3) lookup table, computed in SQL: 8 polynomial
+    -- halvings of each seed byte with 0xEDB88320
+    tgen(n, c, i) AS (
+      SELECT n, CAST(n AS BIGINT), 0
+      FROM (SELECT unnest(generate_series(0, 255)) AS n)
+      UNION ALL
+      SELECT n,
+             CASE WHEN c & 1 = 1 THEN xor(3988292384, c >> 1) ELSE c >> 1 END,
+             i + 1
+      FROM tgen WHERE i < 8
+    ),
+    crc_tab AS (SELECT n, c FROM tgen WHERE i = 8),
+    -- the 17 CRC-covered IHDR bytes: tag + be32(w) + be32(h) + 8,2,0,0,0
+    ihdr AS (
+      SELECT media_id, [73,72,68,82,
+          (w >> 24) & 255, (w >> 16) & 255, (w >> 8) & 255, w & 255,
+          (h >> 24) & 255, (h >> 16) & 255, (h >> 8) & 255, h & 255,
+          8,2,0,0,0] AS bs
+      FROM media WHERE is_png
+    ),
+    crc_fold(media_id, pos, c) AS (
+      SELECT media_id, 0, CAST(4294967295 AS BIGINT) FROM ihdr
+      UNION ALL
+      SELECT f.media_id, f.pos + 1, xor(f.c >> 8, t.c)
+      FROM crc_fold f
+      JOIN ihdr b ON b.media_id = f.media_id
+      JOIN crc_tab t ON t.n = xor(f.c, b.bs[f.pos + 1]) & 255
+      WHERE f.pos < 17
+    ),
+    crc AS (SELECT media_id, xor(c, 4294967295) AS crc
+            FROM crc_fold WHERE pos = 17),
+    -- the full 45-byte PNG: magic + IHDR(len,tag,data,crc) + IEND
+    png_all AS (
+      SELECT m.media_id,
+             [137,80,78,71,13,10,26,10, 0,0,0,13]
+             || i.bs
+             || [(crc >> 24) & 255, (crc >> 16) & 255,
+                 (crc >> 8) & 255, crc & 255]
+             || [0,0,0,0, 73,69,78,68, 174,66,96,130] AS bs
+      FROM media m JOIN ihdr i USING (media_id) JOIN crc USING (media_id)
+    ),
+    -- the canonical 44-byte stdlib WAV header; PCM silence follows
+    wav_hdr AS (
+      SELECT media_id, [82,73,70,70,
+          (36 + 2*nf) & 255, ((36 + 2*nf) >> 8) & 255,
+          ((36 + 2*nf) >> 16) & 255, ((36 + 2*nf) >> 24) & 255,
+          87,65,86,69, 102,109,116,32,
+          16,0,0,0, 1,0, 1,0,
+          64,31,0,0, 128,62,0,0,
+          2,0, 16,0,
+          100,97,116,97,
+          (2*nf) & 255, ((2*nf) >> 8) & 255,
+          ((2*nf) >> 16) & 255, ((2*nf) >> 24) & 255] AS bs,
+          CAST(2*nf AS BIGINT) AS zeros
+      FROM media WHERE NOT is_png
+    ),
+    hist AS (
+      SELECT media_id, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT media_id, unnest(bs) AS b FROM png_all
+        UNION ALL
+        SELECT media_id, unnest(bs) AS b FROM wav_hdr
+      ) GROUP BY media_id, b
+    ),
+    histz AS (
+      SELECT h.media_id, h.b,
+             h.cnt + CASE WHEN h.b = 0 THEN COALESCE(w.zeros, 0) ELSE 0 END
+                 AS cnt
+      FROM hist h LEFT JOIN wav_hdr w ON w.media_id = h.media_id
+    ),
+    tot AS (SELECT media_id, SUM(cnt) AS n FROM histz GROUP BY media_id),
+    ent AS (
+      SELECT h.media_id,
+             -SUM((CAST(cnt AS DOUBLE) / n)
+                  * ln(CAST(cnt AS DOUBLE) / n) / ln(2)) AS hraw,
+             MAX(cnt) AS maxc, ANY_VALUE(n) AS n
+      FROM histz h JOIN tot USING (media_id) GROUP BY h.media_id
+    )
+    SELECT m.media_id,
+           CASE WHEN m.is_png THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CAST(CASE WHEN m.is_png THEN 45 ELSE 44 + 2*m.nf END AS BIGINT)
+               AS n_bytes,
+           FLOOR(hraw * 1e6 + 0.5) / 1e6 AS byte_entropy,
+           FLOOR(CAST(maxc AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS top_byte_frac
+    FROM ent JOIN media m USING (media_id)
+    ORDER BY media_id
+    """,
+)
 def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-entropy corruption audit over synthesized media payloads
     (operators.multimodal.payload_entropy): zero-filled PCM WAVs sit
-    near 0 bits/byte, compressed PNG scanlines strictly higher — the
-    cheap pre-decode health gate for a media lake. Entropy depends on
-    the synthesized zlib stream, so no closed-form oracle; known-value
-    and wav<png separation pinned in tests/test_round5_ops.py."""
+    near 0 bits/byte, PNG container bytes strictly higher — the cheap
+    pre-decode health gate for a media lake. Converted from rows-only
+    to a full hash-match oracle in round 6 (VERDICT r5 #2): the
+    fixtures contain no zlib stream — the only non-arithmetic bytes
+    are two CRC-32s, one constant (IEND) and one over 17 closed-form
+    IHDR bytes — so the oracle implements CRC-32 itself in SQL (a
+    256-entry recursive-CTE table + a 17-step fold) and rebuilds every
+    payload's byte histogram arithmetically from doc_id, then entropy
+    in integer micro-units on both sides (the embedding_covariance
+    convention). Known-value and wav<png separation also pinned in
+    tests/test_round5_ops.py."""
     from big_data_project_implementation_spark.operators import multimodal as mm
 
     base = t(spark, sf_dir, "documents").select("doc_id")
@@ -2617,14 +2859,19 @@ def data_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_quota(d, max_per_source=40).orderBy("doc_id")
 
 
-@query("text_bpe_encode")  # Python greedy merge loop → rows-only; pytest pins
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(8))
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY: encode the corpus with the BPE merges trained
     on it (operators.text.bpe_merges → bpe_encode, 8 rules) — the
     train→apply round trip of the pretraining tokenizer story. The
     greedy rank-first merge loop runs per DISTINCT word in an Arrow
-    batch (corpus-sized work stays JVM-side); roundtrip/compression
-    invariants pinned in tests/test_round5_ops.py."""
+    batch (corpus-sized work stays JVM-side). Converted from rows-only
+    to a full hash-match oracle in round 6 (VERDICT r5 #2): the oracle
+    re-trains the 8 rules in SQL and replays the greedy loop as a
+    recursive CTE over the distinct words — the hot path itself is now
+    hash-certified, not just the pytest fixtures;
+    roundtrip/compression invariants remain in
+    tests/test_round5_ops.py."""
     d = t(spark, sf_dir, "documents")
     merges = text.bpe_merges(d, steps=8)
     return (

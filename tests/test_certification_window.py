@@ -28,6 +28,7 @@ from big_data_project_implementation_spark.queries import (
     _computed_window,
     _driver_history,
     _round_number,
+    _rows_only_latest,
 )
 
 
@@ -43,7 +44,14 @@ def test_active_window_matches_history():
     if r <= 3:
         assert _CERTIFICATION_WINDOW is _WINDOW_R3
     else:
-        expected = _computed_window(list(REGISTRY), _driver_history())
+        upgraded = {
+            n
+            for n in _rows_only_latest()
+            if n in REGISTRY and REGISTRY[n].oracle is not None
+        }
+        expected = _computed_window(
+            list(REGISTRY), _driver_history(), upgraded=upgraded
+        )
         assert list(_CERTIFICATION_WINDOW) == expected
 
 
@@ -169,6 +177,71 @@ def test_computed_window_priorities_synthetic():
     # one fewer slot → the stale green falls out before any never/red
     w5 = _computed_window(names, hist, size=5)
     assert set(w5) == {"q01", "q00", "q04", "q06", "q07"}
+
+
+def test_computed_window_oracle_upgrades_jump_the_green_queue():
+    """A query whose latest driver row was rows-only but which has
+    since gained an oracle gets its hash-match row next round — after
+    reds and never-certifieds, before any plain stale green (round-6
+    rule for the rows-only → oracled conversions)."""
+    names = [f"q{i:02d}" for i in range(8)]
+    hist = {
+        "q01": (3, False),   # red
+        "q02": (1, True),    # stalest green
+        "q03": (2, True),    # rows-only at its latest row, now oracled
+        "q05": (1, True),    # equally stale green
+        "q06": (3, True),
+        "q07": (3, True),
+    }
+    # q00, q04 never certified
+    w = _computed_window(names, hist, size=4, upgraded={"q03"})
+    assert set(w) == {"q01", "q00", "q04", "q03"}
+    # without the upgrade flag the same entry loses to the staler greens
+    w0 = _computed_window(names, hist, size=4)
+    assert "q03" not in w0
+
+
+def test_rows_only_latest_on_fixtures(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "always_ro": {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "spark_rows": 4,
+                      "oracle_rows": None, "err": "no_oracle"},
+        "was_ro_now_oracled": {"rows_match": None, "schema_match": None,
+                               "hash_match": None, "spark_rows": 9,
+                               "oracle_rows": None, "err": "no_oracle"},
+        "always_green": {"rows_match": True, "schema_match": True,
+                         "hash_match": True, "spark_rows": 1,
+                         "oracle_rows": 1, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        # newest row is a real hash-match → no longer rows-only
+        "was_ro_now_oracled": {"rows_match": True, "schema_match": True,
+                               "hash_match": True, "spark_rows": 9,
+                               "oracle_rows": 9, "err": None},
+        "ro_crashed": {"rows_match": None, "schema_match": None,
+                       "hash_match": None, "spark_rows": None,
+                       "oracle_rows": None, "err": "no_oracle"},
+    }))
+    ro = _rows_only_latest(root=str(tmp_path))
+    assert ro == {"always_ro"}  # crashed rows-only is red, not rows-only
+
+
+def test_round6_conversions_take_r6_slots():
+    """The three rows-only → oracled conversions (VERDICT r5 #2) must
+    be in the live round-6 window alongside the 8 never-certified
+    entries, so CORRECTNESS_r06 records their first hash-match rows."""
+    if _round_number() != 6:
+        return
+    for n in ("multimodal_entropy", "embedding_pq_codes", "text_bpe_encode"):
+        assert REGISTRY[n].oracle is not None
+        assert n in _CERTIFICATION_WINDOW, n
+    for n in (
+        "stream_stream_full_join", "stream_windowed_distinct",
+        "stream_topk_trending", "udf_arrow_python", "udf_map_in_arrow",
+        "udtf_lateral_split", "window_ignore_nulls",
+        "window_time_range_frame",
+    ):
+        assert n in _CERTIFICATION_WINDOW, n
 
 
 def test_computed_window_ties_break_by_registration_order():
