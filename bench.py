@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "text_train_classifier",
     "similarity_ivfpq_topk",
+    # serve-only ANN: the index builds lazily on the first pass, so the
+    # two-pass min reports the persisted-index serving cost (the number
+    # a deployment cares about — VERDICT r5 #5)
+    "similarity_ivfpq_serve",
     # streaming ingest path (micro-batch wall time incl. stream setup;
     # the query fns run their stream to completion eagerly, so the
     # regular timing loop captures them — VERDICT r4 #9)

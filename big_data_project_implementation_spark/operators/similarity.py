@@ -1003,6 +1003,39 @@ def ivfpq_topk(
         .select("cell", "neighbor_id")
         .join(codes, "neighbor_id")
     )
+    return _ivfpq_serve(
+        queries,
+        corpus,
+        cents,
+        books,
+        c_assigned,
+        k=k,
+        nprobe=nprobe,
+        refine=refine,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _ivfpq_serve(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: DataFrame,
+    books: DataFrame,
+    c_assigned: DataFrame,
+    k: int,
+    nprobe: int,
+    refine: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The model-consuming half of IVF-PQ: probe routing, per-query ADC
+    LUT, code-stream scan, shortlist, exact re-rank. Shared verbatim by
+    the inline trainer (:func:`ivfpq_topk`) and the persisted-index
+    reader (:func:`ivfpq_topk_from_index`), so the benched serve path
+    IS the certified inline path."""
     sub_len_expr = (F.size(F.col(vec_col)) / m).cast("int")
     q_base = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1073,4 +1106,107 @@ def ivfpq_topk(
             F.round("cos", 6).alias("cos"),
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the IVF-PQ model ONCE and persist it as three parquet
+    tables under ``path`` — the deployment shape the inline
+    :func:`ivfpq_topk` docstring promises ("trained on a sample and
+    persisted"), made concrete:
+
+    - ``centroids/``  — the coarse quantizer (n_cells rows);
+    - ``codebooks/``  — the PQ sub-centroid table (m * n_codes rows,
+      integer micro-unit components);
+    - ``codes/``      — the encoded inverted lists, ONE m-byte code row
+      per corpus vector, hive-partitioned BY CELL so a serve-time probe
+      of ``nprobe`` cells prunes the scan to nprobe/n_cells of the
+      corpus on disk (PartitionFilters), exactly how a billion-vector
+      deployment lays out its lists.
+
+    Serving reads these with :func:`ivfpq_topk_from_index` — no
+    training in the query path. Rebuild on corpus change is the
+    caller's policy (the index is a derived artifact, versioned by
+    path)."""
+    from big_data_project_implementation_spark.sources import writers
+
+    cents = ivf_centroids(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    books = pq_codebooks(
+        corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine("c_vec", "centroid"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.desc("_cos"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("cell", "neighbor_id")
+        .join(codes, "neighbor_id")
+        .select("cell", "neighbor_id", "codes")
+    )
+    writers.write(cents, f"{path}/centroids", mode="overwrite")
+    writers.write(books, f"{path}/codebooks", mode="overwrite")
+    writers.write(assigned, f"{path}/codes", mode="overwrite", partition_by=["cell"])
+
+
+def ivfpq_topk_from_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN top-k from a PERSISTED IVF-PQ index
+    (:func:`build_ann_index`) — the hot path a deployment actually
+    runs: no Lloyd iterations in the plan, just two tiny model scans
+    (broadcast), the cell-pruned code scan, the broadcast ADC LUT, and
+    the ``refine * k`` exact re-rank against ``corpus`` (the vector
+    fetch-by-id side). ``m`` is read off the codebook table (model
+    metadata, m*n_codes rows), not re-specified — the index is
+    self-describing."""
+    spark = queries.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    assigned = spark.read.parquet(f"{path}/codes").select(
+        "cell", "neighbor_id", "codes"
+    )
+    # model metadata from the model table itself (m*n_codes rows)
+    m = books.agg(F.max("sub")).first()[0] + 1
+    return _ivfpq_serve(
+        queries,
+        corpus,
+        cents,
+        books,
+        assigned,
+        k=k,
+        nprobe=nprobe,
+        refine=refine,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
     )

@@ -2833,6 +2833,40 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query("similarity_ivfpq_serve")  # approximate → rows-only; parity in pytest
+def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from a PERSISTED IVF-PQ index (operators.similarity
+    .build_ann_index → ivfpq_topk_from_index) — the split the inline
+    similarity_ivfpq_topk docstring promises: training runs once and
+    writes centroids/codebooks/cell-partitioned code lists to parquet;
+    the query path contains NO Lloyd iterations, just two broadcast
+    model scans, the cell-keyed code scan, the ADC LUT, and the exact
+    re-rank. Same hyper-parameters as the inline query, and the serve
+    half is literally the same function (_ivfpq_serve), so result
+    parity with similarity_ivfpq_topk is exact
+    (tests/test_round6_ops.py); recall floor vs bruteforce pinned at
+    sf0.1 with the inline path's. The index builds lazily on first use
+    per sf_dir (bench's two-pass-min therefore times the serve path
+    alone — the deployment-shape number)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from big_data_project_implementation_spark.operators import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        "spark_graft_ann_index",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    if not _os.path.exists(_os.path.join(path, "codes", "_SUCCESS")):
+        sim.build_ann_index(emb, path, n_cells=16, m=8, n_codes=32)
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk_from_index(
+        qs, emb, path, k=5, nprobe=4, refine=16
+    ).orderBy("query_id", "rank")
+
+
 @query(
     "data_source_quota",
     oracle="""

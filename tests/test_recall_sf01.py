@@ -93,3 +93,17 @@ def test_similarity_ivfpq_topk_recall(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.75, f"IVF-PQ top-k recall {recall:.3f} < 0.75"
+
+
+def test_similarity_ivfpq_serve_parity_at_bench_scale(spark):
+    """The persisted-index serve path must match the inline IVF-PQ path
+    row-for-row at sf0.1 too (same training code + same serve function
+    — _ivfpq_serve), which transfers the inline path's 0.75 recall
+    floor to the serve path exactly."""
+    inline = sorted(
+        map(tuple, REGISTRY["similarity_ivfpq_topk"].fn(spark, SF01).collect())
+    )
+    served = sorted(
+        map(tuple, REGISTRY["similarity_ivfpq_serve"].fn(spark, SF01).collect())
+    )
+    assert served == inline

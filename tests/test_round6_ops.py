@@ -1,0 +1,73 @@
+"""Round-6 additions: persisted IVF-PQ index build/serve split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark.operators import similarity as sim
+from big_data_project_implementation_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_ivfpq_serve_matches_inline_exactly(spark, tmp_path):
+    """build_ann_index + ivfpq_topk_from_index must reproduce the
+    inline ivfpq_topk result row-for-row: same training code, same
+    hyper-parameters, and the serve half is literally the same
+    function — so the persisted index is a pure plan split, not an
+    approximation of an approximation."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    inline = sim.ivfpq_topk(qs, emb, k=5, nprobe=4, m=8, n_codes=32, refine=16)
+    idx = str(tmp_path / "idx")
+    sim.build_ann_index(emb, idx, n_cells=16, m=8, n_codes=32)
+    served = sim.ivfpq_topk_from_index(qs, emb, idx, k=5, nprobe=4, refine=16)
+    assert _rows(served) == _rows(inline)
+
+
+def test_ivfpq_serve_plan_is_training_free(spark, tmp_path):
+    """The serve plan must contain no training machinery. The inline
+    path trains at query-build time (eager localCheckpoints — its plan
+    carries ExistingRDD scans of the just-trained model and pays Lloyd
+    wall-time on every call); the persisted-index plan reads the three
+    parquet model tables only: every scan is a FileScan, no checkpoint
+    RDD anywhere, single-digit shuffle count."""
+    from big_data_project_implementation_spark import plans
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "idx")
+    sim.build_ann_index(emb, idx, n_cells=16, m=8, n_codes=32)
+    served = sim.ivfpq_topk_from_index(qs, emb, idx, k=5, nprobe=4, refine=16)
+    n = plans.count_shuffles(served)
+    assert n <= 10, f"serve plan has {n} shuffles"
+    sp = plans.physical_plan(served)
+    assert "ExistingRDD" not in sp  # no checkpointed training residue
+    assert "codes" in sp  # reads the persisted inverted lists
+    inline = sim.ivfpq_topk(qs, emb, k=5, nprobe=4, m=8, n_codes=32, refine=16)
+    assert "ExistingRDD" in plans.physical_plan(inline)  # the contrast
+    # the billion-vector property: the probe prunes the inverted-list
+    # scan ON DISK — dynamic partition pruning on the cell key, so a
+    # query reads nprobe/n_cells of the code lists, not all of them
+    assert "dynamicpruningexpression(cell" in plans.formatted_plan(served)
+
+
+def test_ann_index_layout_is_cell_partitioned(spark, tmp_path):
+    import os
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    sim.build_ann_index(emb, idx, n_cells=8, m=4, n_codes=16)
+    cells = [d for d in os.listdir(os.path.join(idx, "codes")) if d.startswith("cell=")]
+    assert 1 <= len(cells) <= 8  # hive layout, one dir per populated cell
+    books = spark.read.parquet(os.path.join(idx, "codebooks"))
+    assert books.count() <= 4 * 16
+    # m is self-describing metadata
+    assert books.agg(F.max("sub")).first()[0] + 1 == 4
+    # every corpus vector has exactly one code row
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert codes.count() == emb.count()
+    assert codes.select("neighbor_id").distinct().count() == emb.count()
