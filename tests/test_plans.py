@@ -343,6 +343,52 @@ TPCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
 }
 
 
+# Same machinery for the heavy pipeline queries (VERDICT r5 #1): the
+# r5 bench showed dedup_word_jaccard +60% with no implicating commit —
+# exactly the r4 TPC-H pattern that fingerprints proved was JVM
+# contention. With these pinned (verified identical at sf0.001 and
+# sf0.1), a wall-time move on these rows can only be contention.
+# NB: for the iterative queries (clusters, LPA) the physical plan of
+# the returned DF covers the final stage only — the per-round segments
+# execute eagerly behind localCheckpoints — so their fingerprints pin
+# the closure/argmax stage, and the round structure is pinned by the
+# operators' unrolled oracles instead.
+HEAVY_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
+    "dedup_word_jaccard": (
+        24,
+        ("BroadcastHashJoin",) * 5 + ("BroadcastNestedLoopJoin",),
+    ),
+    "dedup_minhash_lsh": (33, ("BroadcastHashJoin",) * 6),
+    "dedup_clusters": (4, ("SortMergeJoin",)),
+    "dedup_containment": (11, ("BroadcastHashJoin",) * 3),
+    "embedding_semdedup": (5, ("SortMergeJoin",) * 2),
+    "graph_label_propagation": (7, ("SortMergeJoin",) * 2),
+}
+
+
+def test_heavy_pipeline_plan_fingerprints_pinned(spark):
+    """The heavy dedup/ANN/graph bench rows keep their shuffle count
+    and join-operator multiset — so a bench regression on them can be
+    attributed to contention, never silent plan drift."""
+    import re
+
+    join_re = re.compile(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct)"
+    )
+    got = {}
+    for name, _want in HEAVY_PLAN_FINGERPRINTS.items():
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = plans.physical_plan(df)
+        got[name] = (plans.count_shuffles(df), tuple(sorted(join_re.findall(plan))))
+    mismatches = {
+        n: {"expected": HEAVY_PLAN_FINGERPRINTS[n], "got": got[n]}
+        for n in got
+        if got[n] != HEAVY_PLAN_FINGERPRINTS[n]
+    }
+    assert not mismatches, mismatches
+
+
 def test_tpch_plan_fingerprints_pinned(spark):
     """Every benched TPC-H query keeps its shuffle count and join
     strategy multiset — dims broadcast, fact tables exchange at most
