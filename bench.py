@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     # regular timing loop captures them — VERDICT r4 #9)
     "stream_sessionize",
     "stream_stream_left_join",
+    # round 6: the remaining stateful-stream family (VERDICT r5 #7)
+    "stream_stream_full_join",
+    "stream_windowed_distinct",
 ]
 
 

@@ -29,6 +29,20 @@ def _norm(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def norm_tokens(col: Column | str) -> Column:
+    """THE normalized identity-bearing tokenizer for dedup compositions:
+    lower → trim → collapse whitespace runs → single-space split.
+    ``shingles`` (and through it jaccard/minhash/clusters/decontaminate)
+    tokenizes with exactly this expression; any pipeline stage whose
+    output identity depends on token boundaries (e.g. a dedup-prefix
+    fingerprint composed with decontamination) must call THIS function
+    rather than hand-rolling a split — `\\s+`-split vs single-space
+    split silently diverge on tabs/newlines/space runs (round-6
+    tokenization contract, COVERAGE.md)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(_norm(col), " ")
+
+
 def _target_parallelism(df: DataFrame) -> int:
     """Cores-worth of partitions for CPU-heavy small-input stages.
 
@@ -89,8 +103,7 @@ def exact_dedup(
 
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles as an array of strings (distinct)."""
-    col = F.col(text) if isinstance(text, str) else text
-    toks = F.split(_norm(col), " ")
+    toks = norm_tokens(text)
     if k == 1:  # fast path: 1-shingles are the tokens themselves
         return F.array_distinct(toks)
     n = F.size(toks)

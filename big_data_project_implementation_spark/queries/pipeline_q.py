@@ -1400,7 +1400,9 @@ def text_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv_ids AS (
       SELECT MIN(doc_id) AS doc_id
       FROM kept
-      GROUP BY array_to_string(string_split(lower(trim(text)), ' ')[1:5], ' ')
+      GROUP BY array_to_string(
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ')[1:5], ' ')
     ),
     survd AS (SELECT k.* FROM kept k JOIN surv_ids USING (doc_id)),
     w AS (
@@ -1470,9 +1472,14 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("keep")
         .select("doc_id", "text", "lang")
     )
-    pref = F.array_join(
-        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 5), " "
-    )
+    # tokenization contract (round 6): the two identity-bearing stages
+    # — the dedup-prefix fingerprint here and the decontamination
+    # shingles below — must tokenize IDENTICALLY, so both derive from
+    # dedup.norm_tokens (the single source shingles itself uses). The
+    # quality heuristics above may use \s+ stats; they gate rows but
+    # never feed a fingerprint. Pinned by
+    # tests/test_round6_ops.py::test_curate_identity_stages_share_tokenizer.
+    pref = F.array_join(F.slice(dedup.norm_tokens(F.col("text")), 1, 5), " ")
     surv = dedup.exact_dedup(
         kept.withColumn("prefix", pref), text_col="prefix", id_col="doc_id"
     ).drop("prefix")

@@ -71,3 +71,32 @@ def test_ann_index_layout_is_cell_partitioned(spark, tmp_path):
     codes = spark.read.parquet(os.path.join(idx, "codes"))
     assert codes.count() == emb.count()
     assert codes.select("neighbor_id").distinct().count() == emb.count()
+
+
+def test_curate_identity_stages_share_tokenizer(spark):
+    """Round-6 tokenization contract (VERDICT r5 #9): the curate
+    pipeline's identity-bearing stages (dedup-prefix fingerprint,
+    decontamination shingles) tokenize through ONE function
+    (dedup.norm_tokens) — on whitespace-adversarial text the prefix
+    key equals the first-5 shingle tokens exactly, where the old
+    hand-rolled single-space split diverged on tabs/runs."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "A\tB  C\nD E F G"), (1, " x  y\tz ")], "doc_id long, text string"
+    )
+    both = df.select(
+        F.array_join(F.slice(dedup.norm_tokens("text"), 1, 5), " ").alias("pref"),
+        F.array_join(F.slice(F.split(dedup._norm(F.col("text")), " "), 1, 5), " ")
+        .alias("shingle_first5"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 5), " "
+        ).alias("old_form"),
+    ).collect()
+    for r in both:
+        assert r.pref == r.shingle_first5  # unified
+    # and the adversarial doc is exactly where the old form diverged
+    assert both[0].pref != both[0].old_form
+    assert both[0].pref == "a b c d e"
