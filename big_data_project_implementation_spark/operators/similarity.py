@@ -369,6 +369,25 @@ def embedding_near_dup_pairs(
     )
 
 
+def cosine_q(vec: Column | str, centq: Column | str) -> Column:
+    """Cosine between a raw float vector and a micro-unit INTEGER
+    centroid (see ``_q6``): the vector quantizes on the fly, so the
+    dot product and both squared norms are exact bigints (≤ ~2.6e14
+    for 64-dim unit-ish vectors — inside both long and exact-double
+    range), and the final sqrt/divide are correctly-rounded IEEE ops
+    over exact integers — bit-identical on any engine or partitioning.
+    This is what lets the IVF assignment argmax be oracled in SQL."""
+    v = _q6(vec)
+    c = F.col(centq) if isinstance(centq, str) else centq
+    zero = F.lit(0).cast("long")
+    d = F.aggregate(F.zip_with(v, c, lambda x, y: x * y), zero, lambda a, t: a + t)
+    nv = F.aggregate(F.transform(v, lambda x: x * x), zero, lambda a, t: a + t)
+    nc = F.aggregate(F.transform(c, lambda x: x * x), zero, lambda a, t: a + t)
+    return d.cast("double") / (
+        F.sqrt(nv.cast("double")) * F.sqrt(nc.cast("double"))
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -379,6 +398,14 @@ def ivf_centroids(
     """Deterministic coarse quantizer for IVF: k-means with init =
     lowest-id vectors, a fixed number of Lloyd iterations, all in
     DataFrame ops (no mllib, no driver math).
+
+    Numerics (round 6, same convention as ``pq_codebooks``): centroids
+    are 1e-6 integer micro-unit arrays and the whole loop — cosine
+    argmax assignment through ``cosine_q`` (exact-integer dot/norms),
+    round-half-up integer refit — is engine-exact, so the composed
+    ``similarity_ivf_topk`` query carries a full unrolled SQL oracle
+    instead of a rows-only row. Quantization error (5e-7/component) is
+    far below float32 input precision.
 
     Scale shape: each iteration is one broadcast (centroids, k rows) +
     one narrow argmin pass over the corpus + one groupBy(cell, pos)
@@ -394,7 +421,7 @@ def ivf_centroids(
             F.row_number()
             .over(Window.orderBy(id_col))
             .alias("cell"),
-            F.col(vec_col).alias("centroid"),
+            _q6(F.col(vec_col)).alias("centroid"),
         )
     )
     # the per-iteration argmin pass is pure CPU — spread a narrow scan
@@ -405,22 +432,28 @@ def ivf_centroids(
         assigned = (
             corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
             .crossJoin(F.broadcast(cents))
-            .withColumn("_cos", cosine("_vec", "centroid"))
+            .withColumn("_cos", cosine_q("_vec", "centroid"))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
-            .select("cell", "_vec")
+            .select("cell", _q6(F.col("_vec")).alias("_vq"))
         )
         by_pos = (
-            assigned.select("cell", F.posexplode("_vec").alias("pos", "x"))
+            assigned.select("cell", F.posexplode("_vq").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            # round-half-up of the exact integer mean (sums exact in
+            # double below 2^53) — engine-identical, see pq_codebooks
+            .agg(
+                F.floor(F.sum("x") / F.count("*") + F.lit(0.5))
+                .cast("long")
+                .alias("m")
+            )
         )
         cents = (
             by_pos.groupBy("cell")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"].cast("float"),
+                    lambda s: s["m"],
                 ).alias("centroid")
             )
         )
@@ -446,7 +479,7 @@ def ivf_topk(
     c_assigned = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("_cos", cosine("c_vec", "centroid"))
+        .withColumn("_cos", cosine_q("c_vec", "centroid"))
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -459,7 +492,7 @@ def ivf_topk(
     q_probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("_cos", cosine("q_vec", "centroid"))
+        .withColumn("_cos", cosine_q("q_vec", "centroid"))
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -609,7 +642,7 @@ def semdedup(
     assigned = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine("vec", "centroid"))
+        .withColumn("_cos", cosine_q("vec", "centroid"))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select("id", unit.alias("uvec"), "cell")
@@ -992,7 +1025,7 @@ def ivfpq_topk(
     c_assigned = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine("c_vec", "centroid"))
+        .withColumn("_cos", cosine_q("c_vec", "centroid"))
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -1044,7 +1077,7 @@ def _ivfpq_serve(
     )
     q_probes = (
         q_base.crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine("q_vec", "centroid"))
+        .withColumn("_cos", cosine_q("q_vec", "centroid"))
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -1152,7 +1185,7 @@ def build_ann_index(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
         .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine("c_vec", "centroid"))
+        .withColumn("_cos", cosine_q("c_vec", "centroid"))
         .withColumn(
             "_rk",
             F.row_number().over(

@@ -609,11 +609,94 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(emb).orderBy("label", "dim")
 
 
-@query("similarity_ivf_topk")  # approximate → rows-only; recall tested in pytest
+def _ivf_oracle(n_cells: int = 16, iters: int = 2, nprobe: int = 4, k: int = 5) -> str:
+    """Unrolled DuckDB oracle for similarity_ivf_topk: the exact
+    integer-quantized Lloyd the Spark quantizer runs (micro-unit
+    vectors; cosine argmax whose dot/norms are exact integers — sums
+    stay under 2^53 so double arithmetic is EXACT on both engines;
+    round-half-up integer refit), then the serve path: corpus cell
+    assignment, nprobe query probes, exact double-cosine re-rank — the
+    bruteforce oracle's list_dot_product convention."""
+    cosq = ("list_dot_product(s.qv, b.centroid) / "
+            "(sqrt(list_dot_product(s.qv, s.qv)) * "
+            "sqrt(list_dot_product(b.centroid, b.centroid)))")
+    parts = [f"""
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5)) AS qv,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT cell, qv AS centroid FROM (
+        SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cell, qv, id
+        FROM v) WHERE cell <= {n_cells}
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS (
+      SELECT id, cell, qv FROM (
+        SELECT s.id, b.cell, s.qv,
+               row_number() OVER (PARTITION BY s.id
+                                  ORDER BY {cosq} DESC, b.cell ASC) AS rn
+        FROM v s, c{i - 1} b) WHERE rn = 1
+    ),
+    r{i} AS (
+      SELECT cell, u.pos AS pos, FLOOR(SUM(qv[u.pos]) / COUNT(*) + 0.5) AS m
+      FROM a{i}, unnest(generate_series(1, len(qv))) u(pos)
+      GROUP BY cell, u.pos
+    ),
+    c{i} AS (SELECT cell, list(m ORDER BY pos) AS centroid
+             FROM r{i} GROUP BY cell)""")
+    parts.append(f""",
+    ca AS (
+      SELECT id, cell FROM (
+        SELECT s.id, b.cell,
+               row_number() OVER (PARTITION BY s.id
+                                  ORDER BY {cosq} DESC, b.cell ASC) AS rn
+        FROM v s, c{iters} b) WHERE rn = 1
+    ),
+    qp AS (
+      SELECT id, cell FROM (
+        SELECT s.id, b.cell,
+               row_number() OVER (PARTITION BY s.id
+                                  ORDER BY {cosq} DESC, b.cell ASC) AS rn
+        FROM v s, c{iters} b WHERE s.id < 5) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT DISTINCT qp.id AS query_id, ca.id AS neighbor_id,
+             list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+      FROM qp JOIN ca USING (cell)
+      JOIN v q ON q.id = qp.id
+      JOIN v c ON c.id = ca.id
+      WHERE qp.id <> ca.id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank""")
+    return "".join(parts)
+
+
+@query("similarity_ivf_topk", oracle=_ivf_oracle(16, 2, 4, 5))
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators.similarity.ivf_centroids/ivf_topk): k-means
     coarse quantizer (DataFrame-only Lloyd iterations) + nprobe-cell
-    search — the inverted-list scale path next to LSH."""
+    search — the inverted-list scale path next to LSH. Converted from
+    rows-only to a full hash-match oracle in round 6: the quantizer now
+    runs on 1e-6 integer micro-units (cosine_q — exact-integer
+    dot/norms), so cell routing is bit-identical across engines and the
+    oracle unrolls both Lloyd iterations plus the nprobe serve path in
+    SQL. 'Approximate' survives only as the IVF design trade (cells
+    bound which candidates a probe sees), which both engines now make
+    identically; the nprobe recall floor vs bruteforce remains pinned
+    at sf0.1."""
     emb = t(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(emb, n_cells=16, iters=2)
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -2861,9 +2944,11 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_project_implementation_spark.operators import similarity as sim
 
     emb = t(spark, sf_dir, "embeddings")
+    # v2: integer micro-unit centroids (round-6 cosine_q conversion) —
+    # the version segment invalidates indexes built by older code
     path = _os.path.join(
         _tempfile.gettempdir(),
-        "spark_graft_ann_index",
+        "spark_graft_ann_index_v2",
         sf_dir.strip("/").replace("/", "_"),
     )
     if not _os.path.exists(_os.path.join(path, "codes", "_SUCCESS")):
