@@ -2902,14 +2902,169 @@ def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.epoch_shuffle(d, batch_size=32, epoch=1).orderBy("position")
 
 
-@query("similarity_ivfpq_topk")  # approximate → rows-only; recall in pytest
+def _ivfpq_oracle(n_cells=16, ivf_iters=2, m=8, n_codes=32, pq_iters=2,
+                  nprobe=4, refine=16, k=5):
+    """Unrolled DuckDB oracle for the COMPOSED IVF-PQ pipeline
+    (round 6): integer-exact IVF training (the _ivf_oracle blocks),
+    integer-exact PQ training with empty-code retention (the
+    _pq_oracle blocks, pa/pr/pb-prefixed), then the full serve path —
+    cell routing, per-query ADC lookup table over exact bigint
+    distances, refine*k shortlist, exact double-cosine re-rank. Every
+    stage is bit-identical across engines thanks to the micro-unit
+    quantization convention, so the flagship ANN query carries a real
+    hash-match oracle instead of a recall floor alone."""
+    cosq = ("list_dot_product(s.qv, b.centroid) / "
+            "(sqrt(list_dot_product(s.qv, s.qv)) * "
+            "sqrt(list_dot_product(b.centroid, b.centroid)))")
+    pdist = ("list_sum(list_transform(generate_series(1, len(s.sv)), "
+             "x -> (s.sv[x] - b.centroid[x]) * (s.sv[x] - b.centroid[x])))")
+    parts = [f"""
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS qv,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             CAST(len(embedding) // {m} AS INT) AS sl
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT cell, qv AS centroid FROM (
+        SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cell, qv, id
+        FROM v) WHERE cell <= {n_cells}
+    )"""]
+    for i in range(1, ivf_iters + 1):
+        parts.append(f""",
+    a{i} AS (
+      SELECT id, cell, qv FROM (
+        SELECT s.id, b.cell, s.qv,
+               row_number() OVER (PARTITION BY s.id
+                                  ORDER BY {cosq} DESC, b.cell ASC) AS rn
+        FROM v s, c{i - 1} b) WHERE rn = 1
+    ),
+    r{i} AS (
+      SELECT cell, u.pos AS pos,
+             CAST(FLOOR(SUM(qv[u.pos]) / COUNT(*) + 0.5) AS BIGINT) AS mval
+      FROM a{i}, unnest(generate_series(1, len(qv))) u(pos)
+      GROUP BY cell, u.pos
+    ),
+    c{i} AS (SELECT cell, list(mval ORDER BY pos) AS centroid
+             FROM r{i} GROUP BY cell)""")
+    parts.append(f""",
+    ca AS (
+      SELECT id, cell FROM (
+        SELECT s.id, b.cell,
+               row_number() OVER (PARTITION BY s.id
+                                  ORDER BY {cosq} DESC, b.cell ASC) AS rn
+        FROM v s, c{ivf_iters} b) WHERE rn = 1
+    ),
+    qp AS (
+      SELECT id, cell FROM (
+        SELECT s.id, b.cell,
+               row_number() OVER (PARTITION BY s.id
+                                  ORDER BY {cosq} DESC, b.cell ASC) AS rn
+        FROM v s, c{ivf_iters} b WHERE s.id < 5) WHERE rn <= {nprobe}
+    ),
+    subs AS (
+      SELECT id, g.sub AS sub, qv[g.sub * sl + 1 : g.sub * sl + sl] AS sv
+      FROM v, (SELECT unnest(generate_series(0, {m - 1})) AS sub) g
+    ),
+    seeds AS (SELECT sub, sv, MIN(id) AS mid FROM subs GROUP BY sub, sv),
+    pb0 AS (
+      SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS centroid FROM (
+        SELECT sub, sv,
+               row_number() OVER (PARTITION BY sub ORDER BY mid) AS rn
+        FROM seeds)
+      WHERE rn <= {n_codes}
+    )""")
+    for i in range(1, pq_iters + 1):
+        parts.append(f""",
+    pa{i} AS (
+      SELECT id, sub, code, sv FROM (
+        SELECT s.id, s.sub, b.code, s.sv,
+               row_number() OVER (PARTITION BY s.id, s.sub
+                                  ORDER BY {pdist}, b.code) AS rn
+        FROM subs s JOIN pb{i - 1} b USING (sub))
+      WHERE rn = 1
+    ),
+    pr{i} AS (
+      SELECT sub, code, u.pos AS pos,
+             CAST(FLOOR(SUM(sv[u.pos]) / COUNT(*) + 0.5) AS BIGINT) AS cx
+      FROM pa{i}, unnest(generate_series(1, len(sv))) u(pos)
+      GROUP BY sub, code, u.pos
+    ),
+    prc{i} AS (
+      SELECT sub, code, list(cx ORDER BY pos) AS centroid
+      FROM pr{i} GROUP BY sub, code
+    ),
+    pb{i} AS (
+      SELECT * FROM prc{i}
+      UNION ALL
+      SELECT p.sub, p.code, p.centroid FROM pb{i - 1} p
+      WHERE NOT EXISTS (SELECT 1 FROM prc{i} c
+                        WHERE c.sub = p.sub AND c.code = p.code)
+    )""")
+    parts.append(f""",
+    enc AS (
+      SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, b.code,
+               row_number() OVER (PARTITION BY s.id, s.sub
+                                  ORDER BY {pdist}, b.code) AS rn
+        FROM subs s JOIN pb{pq_iters} b USING (sub))
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT s.id AS query_id, s.sub AS sub, b.code AS code, {pdist} AS d
+      FROM subs s JOIN pb{pq_iters} b USING (sub)
+      WHERE s.id < 5
+    ),
+    cand AS (
+      SELECT qp.id AS query_id, ca.id AS neighbor_id, SUM(l.d) AS adc
+      FROM qp JOIN ca USING (cell)
+      JOIN enc e ON e.id = ca.id
+      JOIN lut l ON l.query_id = qp.id AND l.sub = e.sub AND l.code = e.code
+      WHERE qp.id <> ca.id
+      GROUP BY qp.id, ca.id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id ASC) AS srk
+        FROM cand) WHERE srk <= {refine * k}
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT sl.query_id, sl.neighbor_id,
+             list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos,
+             row_number() OVER (PARTITION BY sl.query_id
+               ORDER BY list_dot_product(q.emb, c.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+               sl.neighbor_id) AS rank
+      FROM shortlist sl
+      JOIN v q ON q.id = sl.query_id
+      JOIN v c ON c.id = sl.neighbor_id)
+    WHERE rank <= {k}
+    ORDER BY query_id, rank""")
+    return "".join(parts)
+
+
+@query("similarity_ivfpq_topk",
+       oracle=_ivfpq_oracle(16, 2, 8, 32, 2, 4, 16, 5))
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed IVF-PQ ANN serving path (operators.similarity
     .ivfpq_topk): IVF cells bound which vectors a query touches, PQ
     codes + an ADC lookup table bound the bytes per touched vector
     (m bytes, floats never read in the scan), exact cosine re-rank on
     the 4k-deep shortlist restores accuracy — the billion-vector index
-    layout end-to-end. Recall vs similarity_bruteforce_topk pinned in
+    layout end-to-end. Hash-certified since round 6: with IVF and PQ
+    training both integer-exact, the unrolled _ivfpq_oracle replays the
+    whole pipeline in SQL — 'approximate' survives only as the
+    cells/codes design trades, made identically by both engines.
+    Recall vs similarity_bruteforce_topk additionally pinned in
     tests/test_recall_sf01.py."""
     from big_data_project_implementation_spark.operators import similarity as sim
 
@@ -2923,7 +3078,8 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query("similarity_ivfpq_serve")  # approximate → rows-only; parity in pytest
+@query("similarity_ivfpq_serve",
+       oracle=_ivfpq_oracle(16, 2, 8, 32, 2, 4, 16, 5))
 def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN serving from a PERSISTED IVF-PQ index (operators.similarity
     .build_ann_index → ivfpq_topk_from_index) — the split the inline
@@ -2934,7 +3090,8 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank. Same hyper-parameters as the inline query, and the serve
     half is literally the same function (_ivfpq_serve), so result
     parity with similarity_ivfpq_topk is exact
-    (tests/test_round6_ops.py); recall floor vs bruteforce pinned at
+    (tests/test_round6_ops.py) and the same unrolled _ivfpq_oracle
+    hash-certifies both; recall floor vs bruteforce pinned at
     sf0.1 with the inline path's. The index builds lazily on first use
     per sf_dir (bench's two-pass-min therefore times the serve path
     alone — the deployment-shape number)."""
