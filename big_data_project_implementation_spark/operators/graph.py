@@ -35,6 +35,16 @@ def pagerank(
 
         r(v) <- (1-d)/N + d * sum_{u~v} r(u) / deg(u)
 
+    Numerics (round 6, the repo's integer convention): rank state is a
+    fixed-point BIGINT in 1e-12 units of total mass, contributions are
+    integer floor divisions (``rq div deg``), and damping applies as
+    an exact integer ratio (``damping`` quantized to 1/10000) — the
+    whole iteration is integer arithmetic, bit-identical on any
+    engine/partitioning, which is what lets graph_pagerank carry an
+    unrolled SQL oracle. The floor divisions shave at most one 1e-12
+    unit per edge per iteration off total mass — far below the 1e-3
+    convergence scale of the fixpoint itself.
+
     Every node appearing in ``pairs`` gets a row; ranks over each
     connected component sum to that component's share of N (teleport
     is uniform), so within-cluster ranks are directly comparable for
@@ -61,13 +71,17 @@ def pagerank(
     ).localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     n_nodes = deg.count()
-    teleport = (1.0 - damping) / n_nodes
-    ranks = deg.select("u", F.lit(1.0 / n_nodes).alias("rank"))
+    scale = 10**12
+    d_num = int(round(damping * 10000))  # damping as an exact /10000 ratio
+    t_q = ((10000 - d_num) * scale) // (10000 * n_nodes)
+    ranks = deg.select("u", F.lit(scale // n_nodes).cast("long").alias("rq"))
     for _ in range(iterations):
         contribs = (
             sym.join(ranks, "u")
             .join(deg, "u")
-            .select("v", (F.col("rank") / F.col("deg")).alias("c"))
+            # integer floor division — `div`, not `/`: a double ratio's
+            # floor can flip an ulp away from an integer; div cannot
+            .select("v", F.expr("rq div deg").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("mass"))
         )
@@ -80,13 +94,17 @@ def pagerank(
             .select(
                 "u",
                 (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(t_q)
+                    + F.expr(f"({d_num} * coalesce(mass, 0L)) div 10000")
+                )
+                .cast("long")
+                .alias("rq"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select(F.col("u").alias("id"), "rank")
+    return ranks.select(
+        F.col("u").alias("id"), (F.col("rq") / F.lit(float(scale))).alias("rank")
+    )
 
 
 def co_occurrence_edges(

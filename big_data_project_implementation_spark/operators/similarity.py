@@ -620,8 +620,11 @@ def semdedup(
     candidates, near-duplicate pairs (cosine ≥ ``threshold``) are
     transitive-closed with the large-star/small-star CC operator, and
     each cluster keeps its minimum-id member. Approximate ONLY in that
-    cross-cell near-dups are missed — the SemDeDup trade — so it is
-    registered rows-only; soundness invariants are pinned in pytest.
+    cross-cell near-dups are missed — the SemDeDup trade — which both
+    engines now make IDENTICALLY: cells come from the integer-exact
+    quantizer and pair dots are exact bigints over micro-unit unit
+    vectors, so the operator carries a full unrolled SQL oracle
+    (round 6); soundness invariants remain pinned in pytest.
 
     Scale shape: cell assignment is a broadcast argmax (centroids are
     k rows); the pair search joins on ``cell``, so its cost is
@@ -632,12 +635,19 @@ def semdedup(
     cents = ivf_centroids(emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("id").orderBy(F.desc("_cos"), F.asc("cell"))
     # Pre-normalize once so every pair score is a plain dot product
-    # (cosine would recompute both norms per candidate pair), and
-    # localCheckpoint: the assignment feeds the pair search twice plus
-    # the output join — without it the whole k-means lineage re-executes
-    # for each consumer.
-    unit = F.transform(
-        F.col("vec"), lambda x: x.cast("double") / norm(F.col("vec"))
+    # (cosine would recompute both norms per candidate pair), THEN
+    # quantize the unit vector to 1e-6 integer micro-units (round 6):
+    # pair dots become exact bigints (≤ 64e12, inside long AND
+    # exact-double range) and the threshold test compares integers —
+    # zero float-summation-order risk, which is what lets the whole
+    # operator carry an unrolled SQL oracle. localCheckpoint: the
+    # assignment feeds the pair search twice plus the output join —
+    # without it the whole k-means lineage re-executes per consumer.
+    unitq = F.transform(
+        F.col("vec"),
+        lambda x: F.floor(
+            x.cast("double") / norm(F.col("vec")) * 1e6 + F.lit(0.5)
+        ).cast("long"),
     )
     assigned = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -645,7 +655,7 @@ def semdedup(
         .withColumn("_cos", cosine_q("vec", "centroid"))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("id", unit.alias("uvec"), "cell")
+        .select("id", unitq.alias("uvec"), "cell")
         .localCheckpoint(eager=True)
     )
     a = assigned.select(
@@ -654,10 +664,16 @@ def semdedup(
     b = assigned.select(
         F.col("cell"), F.col("id").alias("id_b"), F.col("uvec").alias("vb")
     )
+    zero = F.lit(0).cast("long")
+    dot_q = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        zero,
+        lambda acc, t: acc + t,
+    )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot("va", "vb") >= threshold)
+        .filter(dot_q >= F.lit(int(round(threshold * 1e12))))
         .select("cell", "id_a", "id_b")
     )
     # Components cannot span cells (pairs are within-cell by

@@ -334,23 +334,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")  # float fixpoint → rows-only; invariants in pytest
+def _pagerank_oracle(iters=8, d_num=8500, threshold=0.8):
+    """Unrolled DuckDB oracle for graph_pagerank (round 6): the exact
+    word-jaccard near-dup edge set (the dedup_word_jaccard pair CTE),
+    then ``iters`` unrolled integer power iterations — fixed-point
+    1e-12 rank units, floor-division edge contributions, damping as an
+    exact /10000 ratio — replaying the operator's integer arithmetic
+    verbatim. MATERIALIZED is load-bearing (the DuckDB CTE-inlining
+    lesson from the dedup_clusters oracle)."""
+    parts = [f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+      FROM documents
+    ),
+    posts AS MATERIALIZED (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
+    e0 AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib
+      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id, a.n, b.n
+      HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= {threshold}
+    ),
+    sym AS MATERIALIZED (
+      SELECT ia AS u, ib AS v FROM e0 UNION ALL SELECT ib, ia FROM e0
+    ),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    tq AS (SELECT ({10000 - d_num} * 1000000000000) // (10000 * n) AS t FROM nn),
+    r0 AS MATERIALIZED (
+      SELECT u, CAST(1000000000000 // n AS BIGINT) AS rq FROM deg, nn
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    m{i} AS MATERIALIZED (
+      SELECT s.v AS u, SUM(r.rq // d.deg) AS mass
+      FROM sym s JOIN r{i - 1} r ON r.u = s.u JOIN deg d ON d.u = s.u
+      GROUP BY s.v
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT d.u,
+             CAST(tq.t + ({d_num} * COALESCE(m.mass, 0)) // 10000 AS BIGINT)
+                 AS rq
+      FROM deg d LEFT JOIN m{i} m ON m.u = d.u, tq
+    )""")
+    parts.append(f"""
+    SELECT u AS doc_id, rq AS rank_e12 FROM r{iters} ORDER BY doc_id""")
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(8, 8500, 0.8))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the MinHash-LSH near-dup graph
+    """PageRank over the exact word-jaccard near-dup graph
     (operators.graph.pagerank, 8 undirected power iterations) — ranks
     every doc in a dup cluster by centrality, the canonical-member
     selection signal. Join+groupBy per iteration, localCheckpoint'd
-    lineage; invariants (mass conservation, symmetry, hand-computed
-    stars) are pinned in tests/test_graph.py."""
+    lineage. Hash-certified since round 6: the iteration is integer
+    fixed-point (1e-12 rank units, floor-division contributions, /10000
+    damping), so the unrolled SQL oracle replays it exactly; the edge
+    source moved from MinHash-LSH pairs (xxhash64 — not reproducible in
+    the oracle engine) to the exact jaccard pairs the LSH approximates,
+    which is also the stronger certification of the composition. The
+    rank_e12 output is the exact bigint state (rank = rank_e12/1e12).
+    Float-free invariants (mass conservation, symmetry, hand-computed
+    stars) remain pinned in tests/test_graph.py."""
     from big_data_project_implementation_spark.operators import graph
 
     d = t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        d, text_col="text", id_col="doc_id", k=1, num_hashes=32, bands=8,
-        threshold=0.8,
-    )
-    return graph.pagerank(pairs).select(
-        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=1, threshold=0.8
+    ).select(F.col("id_a"), F.col("id_b"))
+    return (
+        graph.pagerank(pairs, id_a="id_a", id_b="id_b")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.floor(F.col("rank") * 1e12 + F.lit(0.5)).cast("long").alias("rank_e12"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1729,13 +1788,97 @@ def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "rank_in_group")
 
 
-@query("embedding_semdedup")  # cross-cell misses → rows-only; invariants in pytest
+def _semdedup_oracle(threshold=0.35, iters=2, per_cell=250, min_cells=8):
+    """Unrolled DuckDB oracle for embedding_semdedup (round 6): the
+    integer-exact quantizer blocks (n_cells computed in SQL exactly as
+    the query computes it), cell assignment, exact-bigint pair dots
+    over micro-unit UNIT vectors against threshold*1e12, then the
+    within-cell transitive closure as a recursive reach CTE with min-id
+    components — the SemDeDup cross-cell trade made identically by
+    both engines."""
+    cosq = ("list_dot_product(s.qv, b.centroid) / "
+            "(sqrt(list_dot_product(s.qv, s.qv)) * "
+            "sqrt(list_dot_product(b.centroid, b.centroid)))")
+    thr = int(round(threshold * 1e12))
+    parts = [f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5)) AS qv,
+             list_transform(embedding,
+               x -> FLOOR(CAST(x AS DOUBLE)
+                          / sqrt(list_dot_product(
+                              list_transform(embedding,
+                                             y -> CAST(y AS DOUBLE)),
+                              list_transform(embedding,
+                                             y -> CAST(y AS DOUBLE))))
+                          * 1e6 + 0.5)) AS uq
+      FROM embeddings
+    ),
+    nc AS (SELECT GREATEST({min_cells}, COUNT(*) // {per_cell}) AS n FROM v),
+    c0 AS (
+      SELECT cell, qv AS centroid FROM (
+        SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cell, qv, id
+        FROM v) WHERE cell <= (SELECT n FROM nc)
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS (
+      SELECT id, cell, qv FROM (
+        SELECT s.id, b.cell, s.qv,
+               row_number() OVER (PARTITION BY s.id
+                                  ORDER BY {cosq} DESC, b.cell ASC) AS rn
+        FROM v s, c{i - 1} b) WHERE rn = 1
+    ),
+    r{i} AS (
+      SELECT cell, u.pos AS pos, FLOOR(SUM(qv[u.pos]) / COUNT(*) + 0.5) AS m
+      FROM a{i}, unnest(generate_series(1, len(qv))) u(pos)
+      GROUP BY cell, u.pos
+    ),
+    c{i} AS (SELECT cell, list(m ORDER BY pos) AS centroid
+             FROM r{i} GROUP BY cell)""")
+    parts.append(f""",
+    ca AS (
+      SELECT id, cell FROM (
+        SELECT s.id, b.cell,
+               row_number() OVER (PARTITION BY s.id
+                                  ORDER BY {cosq} DESC, b.cell ASC) AS rn
+        FROM v s, c{iters} b) WHERE rn = 1
+    ),
+    prs AS (
+      SELECT x.id AS id_a, y.id AS id_b
+      FROM ca x JOIN ca y ON x.cell = y.cell AND x.id < y.id
+      JOIN v va ON va.id = x.id
+      JOIN v vb ON vb.id = y.id
+      WHERE list_dot_product(va.uq, vb.uq) >= {thr}
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION ALL SELECT id_b, id_a FROM prs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a)
+    SELECT v.id AS vec_id,
+           CAST(ca.cell AS BIGINT) AS cell,
+           CAST(COALESCE(LEAST(c.mn, v.id), v.id) AS BIGINT) AS component,
+           COALESCE(LEAST(c.mn, v.id), v.id) = v.id AS kept
+    FROM v JOIN ca ON ca.id = v.id
+    LEFT JOIN comp c ON c.id = v.id
+    ORDER BY vec_id""")
+    return "".join(parts)
+
+
+@query("embedding_semdedup", oracle=_semdedup_oracle(0.35, 2, 250, 8))
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup over the embeddings table: deterministic
     k-means cells bound the pair search, within-cell cosine ≥ 0.35
     pairs (the fixture's near-dup band, matching embedding_near_dup)
-    transitive-close via star-contraction CC, min-id survivor per
-    cluster (operators.similarity.semdedup)."""
+    transitive-close via per-cell union-find, min-id survivor per
+    cluster (operators.similarity.semdedup). Hash-certified since
+    round 6 (integer-exact cells + exact-bigint pair dots; the oracle
+    replays training, pairing, and closure in SQL)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # scale knob: cells sized ~250 vectors keep the within-cell pair
     # search bounded (SemDeDup's own trade — the paper's 50k clusters
