@@ -1505,14 +1505,73 @@ def text_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.strip_top_df_terms(d, top_n=10)
 
 
-@query("text_pack_bfd")  # rows-only: a stateful packing loop is not
-# SQL-expressible; invariants (budget bound, pack-count lower bound,
-# partitioning independence) are pinned in tests/test_round4_ops.py
+def _bfd_oracle(budget=512):
+    """DuckDB oracle for text_pack_bfd (round 6): the best-fit-
+    decreasing loop replayed as a recursive CTE — one recursion step
+    per item per shard, state = the bin-fill list; the best bin is the
+    fullest that still fits (ties -> lowest id), chosen by a correlated
+    scalar subquery over the unnested fills. Proof that 'a stateful
+    packing loop is not SQL-expressible' was wrong — it is, one step
+    at a time, exactly like the BPE-encode replay."""
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+      FROM documents
+    ),
+    items AS (
+      SELECT lang, doc_id, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, doc_id) AS INT) AS rn
+      FROM base
+    ),
+    st(lang, step, fills, pid) AS (
+      SELECT lang, 0, CAST([] AS BIGINT[]), CAST(NULL AS INT)
+      FROM (SELECT DISTINCT lang FROM items)
+      UNION ALL
+      SELECT lang, step + 1,
+             CASE WHEN best IS NULL THEN list_append(fills, n)
+                  ELSE list_transform(generate_series(1, len(fills)),
+                         j -> CASE WHEN j = best THEN fills[j] + n
+                              ELSE fills[j] END)
+             END,
+             CAST(COALESCE(best, len(fills) + 1) AS INT)
+      FROM (
+        SELECT s.lang, s.step, s.fills, i.n,
+               (SELECT u.j
+                FROM unnest(generate_series(1, len(s.fills))) u(j)
+                WHERE s.fills[u.j] + i.n <= {budget}
+                ORDER BY s.fills[u.j] DESC, u.j LIMIT 1) AS best
+        FROM st s JOIN items i ON i.lang = s.lang AND i.rn = s.step + 1
+      )
+    ),
+    fin AS (
+      SELECT lang, fills FROM (
+        SELECT lang, fills,
+               row_number() OVER (PARTITION BY lang ORDER BY step DESC) AS r
+        FROM st) WHERE r = 1
+    )
+    SELECT i.doc_id, i.lang, i.n AS n_tokens,
+           CAST(a.pid - 1 AS BIGINT) AS pack_id,
+           CAST(f.fills[a.pid] AS BIGINT) AS pack_fill
+    FROM st a
+    JOIN items i ON i.lang = a.lang AND i.rn = a.step
+    JOIN fin f ON f.lang = a.lang
+    WHERE a.step >= 1
+    ORDER BY i.lang, pack_id, i.doc_id"""
+
+
+@query("text_pack_bfd", oracle=_bfd_oracle(512))
 def text_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing sequence packing per language shard
     (operators.text.pack_sequences_bfd): applyInPandas per shard — the
     documented custom-stateful escape hatch — tighter than the
-    streaming pack_sequences at the cost of a per-shard sort."""
+    streaming pack_sequences at the cost of a per-shard sort.
+    Hash-certified since round 6: the sequential loop replays in SQL
+    as a per-shard recursive CTE (_bfd_oracle), so the Arrow-side
+    Python is checked item-for-item by an independent engine;
+    budget/lower-bound/partitioning invariants remain in
+    tests/test_round4_ops.py."""
     d = t(spark, sf_dir, "documents").withColumn(
         "n_tokens", text.token_count("text")
     )

@@ -227,12 +227,17 @@ def test_rows_only_latest_on_fixtures(tmp_path):
 
 
 def test_round6_conversions_take_r6_slots():
-    """The three rows-only → oracled conversions (VERDICT r5 #2) must
-    be in the live round-6 window alongside the 8 never-certified
-    entries, so CORRECTNESS_r06 records their first hash-match rows."""
+    """Every rows-only → oracled conversion of round 6 must be in the
+    live round-6 window alongside the 8 never-certified entries, so
+    CORRECTNESS_r06 records their first hash-match rows."""
     if _round_number() != 6:
         return
-    for n in ("multimodal_entropy", "embedding_pq_codes", "text_bpe_encode"):
+    for n in (
+        "multimodal_entropy", "embedding_pq_codes", "text_bpe_encode",
+        "similarity_ivf_topk", "similarity_ivfpq_topk",
+        "similarity_ivfpq_serve", "embedding_semdedup", "graph_pagerank",
+        "text_pack_bfd",
+    ):
         assert REGISTRY[n].oracle is not None
         assert n in _CERTIFICATION_WINDOW, n
     for n in (
