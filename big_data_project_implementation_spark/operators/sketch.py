@@ -16,9 +16,17 @@ from pyspark.sql import functions as F
 
 
 def _bucket(col, d: int, width: int):
-    # independent-ish hash rows via per-row seed strings; pmod keeps
-    # the bucket non-negative (xxhash64 is signed)
-    return F.pmod(F.xxhash64(F.concat(F.lit(f"cm{d}:"), col)), F.lit(width))
+    # independent-ish hash rows via per-row seed strings. md5-derived
+    # (first 15 hex chars → 60-bit int), NOT xxhash64: md5 exists in
+    # every engine, so the whole sketch — build, estimate, one-sided
+    # error — is reproducible by the DuckDB oracle (round 6; the
+    # hashed_linear_quality_score precedent). ~2x slower per hash than
+    # xxhash64, irrelevant next to the gram explode feeding it.
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{d}:"), col)), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(width),
+    )
 
 
 def count_min_build(

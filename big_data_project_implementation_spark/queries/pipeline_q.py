@@ -1946,12 +1946,59 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(emb, threshold=0.35, n_cells=n_cells).orderBy("vec_id")
 
 
-@query("sketch_count_min_topk")  # sketch overestimates by design → rows-only
+_COUNT_MIN_ORACLE = (
+    # Rebuilds the count-min counter matrix EXACTLY (md5-derived
+    # buckets, round 6), estimates the exact top-50 bigrams from it,
+    # and checks the one-sided error as a hash-match, not a pytest
+    # inequality alone.
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS tks FROM documents
+    ),
+    g AS (
+      SELECT UNNEST(list_transform(range(1, len(tks)),
+                                   i -> tks[i] || ' ' || tks[i + 1]))
+               AS gram
+      FROM toks
+    ),
+    cells AS (
+      SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT u.d AS d,
+               CAST(('0x' || substr(md5('cm' || u.d || ':' || gram), 1, 15))
+                    AS BIGINT) % 4096 AS bucket
+        FROM g, unnest([0, 1, 2, 3]) u(d)
+      ) GROUP BY d, bucket
+    ),
+    top AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM g GROUP BY gram
+      ORDER BY n_occurrences DESC, gram LIMIT 50
+    ),
+    est AS (
+      SELECT t.gram, MIN(COALESCE(c.cnt, 0)) AS est
+      FROM top t
+      CROSS JOIN unnest([0, 1, 2, 3]) u(d)
+      LEFT JOIN cells c
+        ON c.d = u.d
+       AND c.bucket = CAST(('0x' || substr(md5('cm' || u.d || ':' || t.gram),
+                                           1, 15)) AS BIGINT) % 4096
+      GROUP BY t.gram
+    )
+    SELECT t.gram, t.n_occurrences, CAST(e.est AS BIGINT) AS est
+    FROM top t JOIN est e USING (gram)
+    ORDER BY n_occurrences DESC, gram"""
+)
+
+
+@query("sketch_count_min_topk", oracle=_COUNT_MIN_ORACLE)
 def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates for the exact top-50 2-grams
     (operators.sketch): aggregation state bounded at depth×width cells
-    regardless of corpus size — the bounded-memory heavy-hitter path;
-    est ≥ true one-sided error pinned in pytest."""
+    regardless of corpus size — the bounded-memory heavy-hitter path.
+    Hash-certified since round 6: bucket hashes are md5-derived (not
+    xxhash64), so the oracle rebuilds the identical counter matrix and
+    the collision-overestimates match cell-for-cell; est ≥ true
+    one-sided error additionally pinned in pytest."""
     from big_data_project_implementation_spark.operators import sketch
 
     d = t(spark, sf_dir, "documents")

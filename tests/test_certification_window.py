@@ -236,7 +236,7 @@ def test_round6_conversions_take_r6_slots():
         "multimodal_entropy", "embedding_pq_codes", "text_bpe_encode",
         "similarity_ivf_topk", "similarity_ivfpq_topk",
         "similarity_ivfpq_serve", "embedding_semdedup", "graph_pagerank",
-        "text_pack_bfd",
+        "text_pack_bfd", "sketch_count_min_topk",
     ):
         assert REGISTRY[n].oracle is not None
         assert n in _CERTIFICATION_WINDOW, n
