@@ -540,6 +540,180 @@ def minhash_lsh_pairs(
     )
 
 
+def _md5long(col: Column) -> Column:
+    """60-bit int from the first 15 md5 hex chars — the engine-portable
+    hash primitive (sketch._bucket precedent): md5 exists in every SQL
+    engine, so a pipeline built on it replays cell-for-cell in an
+    external oracle. ~2x slower per hash than xxhash64 — certification
+    variants only, never the production hot path."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_agree: int = 6,
+) -> DataFrame:
+    """Certification variant of ``minhash_lsh_pairs``: the identical
+    algorithm — per-shingle hash family, per-doc min-aggregation,
+    banded bucket join (only colliding bands meet), signature-agreement
+    verify — over an md5-derived hash family instead of xxhash64, so
+    every stage is replayable in an external SQL engine and the whole
+    pipeline certifies as a hash-match rather than rows-only.
+
+    What this certifies that the recall-floor pytest cannot: the band
+    partitioning arithmetic, the candidate join's dedup/ordering, and
+    the agreement count — the parts of LSH that can be silently wrong
+    while recall still looks plausible. The production path remains
+    ``minhash_lsh_pairs`` (xxhash64 family + signature collapse +
+    flood caps); this variant deliberately omits the caps so the
+    oracle semantics are closed-form.
+
+    Returns (id_a, id_b, n_agree) for candidate pairs agreeing on
+    ``min_agree`` of ``num_hashes`` signature positions. Docs with no
+    shingles carry no signature (inner explode) — mirrored by the
+    oracle's empty-gram CASE."""
+    rows_per_band = num_hashes // bands
+    posts = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+            "id",
+        )
+        .select("id", F.explode(shingles("_t", k)).alias("s"))
+    )
+    sig = posts.groupBy("id").agg(
+        *[
+            F.min(_md5long(F.concat(F.lit(f"mh{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_keys = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"h{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    bands_df = sig.select(
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    cand = (
+        bands_df.alias("x")
+        .join(
+            bands_df.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_agree", n_agree)
+        .filter(F.col("n_agree") >= min_agree)
+        .select("id_a", "id_b", "n_agree")
+    )
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 16,
+    blocks: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Certification variant of ``simhash_pairs``: the identical
+    algorithm — per-bit ±1 votes over distinct shingles, sign →
+    fingerprint bit, block-banded candidate join, Hamming verify —
+    over an md5-derived hash (``_md5long``) so the whole pipeline
+    replays in an external SQL engine as a hash-match.
+
+    Pigeonhole soundness: ``max_hamming`` < ``blocks`` guarantees any
+    pair within the Hamming ball shares at least one intact block, so
+    block banding loses no true pair (Manku et al.'s simhash blocking,
+    WWW'07 — public). 16 bits / 4 blocks / hamming ≤ 2 mirrors the
+    production 64/4/8 shape at a quarter scale.
+
+    Returns (id_a, id_b, hamming). Production path remains
+    ``simhash_pairs`` (64-bit xxhash64)."""
+    bits_per_block = bits // blocks
+    posts = (
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+            "id",
+        )
+        .select("id", F.explode(shingles("_t", k)).alias("s"))
+        .select("id", _md5long(F.concat(F.lit("sh:"), F.col("s"))).alias("h"))
+    )
+    votes = posts.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(bits)
+    ).cast("bigint")
+    sig = votes.select("id", fp.alias("fp"))
+    block_keys = [
+        F.shiftright("fp", b * bits_per_block)
+        .bitwiseAND(F.lit((1 << bits_per_block) - 1))
+        for b in range(blocks)
+    ]
+    blocks_df = sig.select(
+        "id", F.posexplode(F.array(*block_keys)).alias("b", "key")
+    )
+    cand = (
+        blocks_df.alias("x")
+        .join(
+            blocks_df.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    fa = sig.select(F.col("id").alias("id_a"), F.col("fp").alias("fa"))
+    fb = sig.select(F.col("id").alias("id_b"), F.col("fp").alias("fb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash(text: Column | str, k: int = 3, bits: int = 64) -> Column:
     """64-bit SimHash over shingle features, expression-only.
 

@@ -334,6 +334,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
+    """DuckDB replay of dedup.minhash_md5_pairs: identical md5-derived
+    hash family (the count-min `_bucket` idiom), per-doc min-aggregated
+    signatures, banded candidate join, agreement count. The shingle
+    CASE mirrors Spark's `shingles` clamp: docs shorter than k emit one
+    whole-doc shingle, never zero (sequence(0, greatest(n-k, 0)))."""
+    rows_per_band = num_hashes // bands
+    h = lambda i, s: (  # noqa: E731
+        f"CAST(('0x' || substr(md5('mh{i}:' || {s}), 1, 15)) AS BIGINT)"
+    )
+    sig_cols = ",\n         ".join(
+        f"MIN({h(i, 's')}) AS h{i}" for i in range(num_hashes)
+    )
+    band_cases = "\n           ".join(
+        f"WHEN {b} THEN "
+        + " || ',' || ".join(
+            f"h{b * rows_per_band + j}" for j in range(rows_per_band)
+        )
+        for b in range(bands - 1)
+    )
+    last_band = " || ',' || ".join(
+        f"h{(bands - 1) * rows_per_band + j}" for j in range(rows_per_band)
+    )
+    agree = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS ws
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT id, s FROM (
+        SELECT id,
+               UNNEST(CASE WHEN len(ws) >= {k}
+                      THEN list_transform(range(1, len(ws) - {k} + 2),
+                                          i -> array_to_string(ws[i:i+{k - 1}],
+                                                               ' '))
+                      ELSE [array_to_string(ws, ' ')] END) AS s
+        FROM w
+      )
+    ),
+    sig AS MATERIALIZED (
+      SELECT id,
+         {sig_cols}
+      FROM sh GROUP BY id
+    ),
+    bnd AS MATERIALIZED (
+      SELECT id, u.b,
+             CASE u.b
+           {band_cases}
+           ELSE {last_band}
+         END AS key
+      FROM sig, unnest([{", ".join(str(b) for b in range(bands))}]) u(b)
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM bnd x JOIN bnd y ON x.b = y.b AND x.key = y.key AND x.id < y.id
+    )
+    SELECT c.id_a, c.id_b, CAST({agree} AS BIGINT) AS n_agree
+    FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+    WHERE {agree} >= {min_agree}
+    ORDER BY id_a, id_b"""
+
+
+@query("dedup_minhash_certified", oracle=_minhash_md5_oracle(3, 8, 4, 6))
+def dedup_minhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding with a hash-match oracle
+    (operators.dedup.minhash_md5_pairs, round 6): the same
+    shingle→minhash→band→bucket-join→agreement-verify pipeline as the
+    production `dedup_minhash_lsh`, over an md5-derived hash family the
+    DuckDB oracle replays stage-for-stage. Certifies the banding
+    arithmetic, candidate-join dedup, and agreement count that the
+    rows-only recall floor cannot pin; `dedup_minhash_lsh` (xxhash64 +
+    flood caps) remains the 100 TB path and keeps its recall/soundness
+    pytest + sf0.1 floor."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_md5_pairs(
+        d, text_col="text", id_col="doc_id", k=3, num_hashes=8, bands=4,
+        min_agree=6,
+    ).orderBy("id_a", "id_b")
+
+
 def _pagerank_oracle(iters=8, d_num=8500, threshold=0.8):
     """Unrolled DuckDB oracle for graph_pagerank (round 6): the exact
     word-jaccard near-dup edge set (the dedup_word_jaccard pair CTE),
@@ -411,6 +496,82 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _simhash_md5_oracle(k=3, bits=16, blocks=4, max_hamming=2) -> str:
+    """DuckDB replay of dedup.simhash_md5_pairs: md5-derived per-bit
+    ±1 votes, sign → fingerprint, block banding, bit_count(xor)
+    Hamming verify. Same shingle clamp CTE as _minhash_md5_oracle."""
+    bpb = bits // blocks
+    vote_cols = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS ws
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT id, s FROM (
+        SELECT id,
+               UNNEST(CASE WHEN len(ws) >= {k}
+                      THEN list_transform(range(1, len(ws) - {k} + 2),
+                                          i -> array_to_string(ws[i:i+{k - 1}],
+                                                               ' '))
+                      ELSE [array_to_string(ws, ' ')] END) AS s
+        FROM w
+      )
+    ),
+    hs AS MATERIALIZED (
+      SELECT id,
+             CAST(('0x' || substr(md5('sh:' || s), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ),
+    votes AS MATERIALIZED (
+      SELECT id,
+             {vote_cols}
+      FROM hs GROUP BY id
+    ),
+    sig AS MATERIALIZED (
+      SELECT id, CAST({fp_expr} AS BIGINT) AS fp FROM votes
+    ),
+    blk AS MATERIALIZED (
+      SELECT id, u.b, (fp >> (u.b * {bpb})) & {(1 << bpb) - 1} AS key
+      FROM sig, unnest([{", ".join(str(b) for b in range(blocks))}]) u(b)
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM blk x JOIN blk y ON x.b = y.b AND x.key = y.key AND x.id < y.id
+    )
+    SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    ORDER BY id_a, id_b"""
+
+
+@query("dedup_simhash_certified", oracle=_simhash_md5_oracle(3, 16, 4, 2))
+def dedup_simhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with a hash-match oracle
+    (operators.dedup.simhash_md5_pairs, round 6): identical vote/sign/
+    block-band/Hamming pipeline as the production `dedup_simhash`, over
+    an md5-derived hash the oracle replays bit-for-bit — certifying the
+    vote aggregation, fingerprint assembly, block arithmetic, and
+    Hamming filter that the rows-only soundness pytest cannot pin.
+    Restricted to doc_id < 200 like `dedup_simhash` (the 16-bit
+    fingerprint space is deliberately small; a larger corpus saturates
+    it with block collisions and the candidate join goes quadratic —
+    at scale use the production 64-bit path)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_md5_pairs(
+        d, text_col="text", id_col="doc_id", k=3, bits=16, blocks=4,
+        max_hamming=2,
+    ).orderBy("id_a", "id_b")
 
 
 @query("dedup_simhash")  # approximate → rows-only; tested in pytest

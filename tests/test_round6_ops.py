@@ -100,3 +100,111 @@ def test_curate_identity_stages_share_tokenizer(spark):
     # and the adversarial doc is exactly where the old form diverged
     assert both[0].pref != both[0].old_form
     assert both[0].pref == "a b c d e"
+
+
+# ---------------------------------------------------------------------------
+# md5-certified minhash / simhash variants (round 6): the hash family is
+# engine-portable, so a pure-Python recompute is a THIRD independent
+# implementation (alongside Spark and the DuckDB oracle) pinning the
+# banding arithmetic and agreement/Hamming filters.
+
+
+def _md5long_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles_py(txt: str, k: int) -> set[str]:
+    import re
+
+    toks = re.sub(r"\s+", " ", txt.strip().lower()).split(" ")
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}  # Spark shingles() clamp: short docs emit one
+
+
+_CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "an entirely different document about spark engines"),
+    (4, "an entirely different document about spark engines and scale"),
+    (5, "short doc"),
+    (6, ""),
+    (7, "the quick brown fox jumps over the lazy dog today"),
+]
+
+
+def test_minhash_md5_pairs_match_python_recompute(spark):
+    from big_data_project_implementation_spark.operators import dedup
+
+    k, num_hashes, bands, min_agree = 3, 8, 4, 6
+    rows_per_band = num_hashes // bands
+    sig = {}
+    for doc_id, txt in _CORPUS:
+        sh = _shingles_py(txt, k)
+        if sh:
+            sig[doc_id] = [
+                min(_md5long_py(f"mh{i}:{s}") for s in sh)
+                for i in range(num_hashes)
+            ]
+    buckets: dict[tuple, list] = {}
+    for i, s in sig.items():
+        for b in range(bands):
+            key = (b, tuple(s[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(i)
+    expected = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    n = sum(x == y for x, y in zip(sig[a], sig[b]))
+                    if n >= min_agree:
+                        expected.add((a, b, n))
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in dedup.minhash_md5_pairs(
+            df, k=k, num_hashes=num_hashes, bands=bands, min_agree=min_agree
+        ).collect()
+    }
+    assert got == expected
+    assert (0, 2, num_hashes) in got  # exact dups agree everywhere
+
+
+def test_simhash_md5_pairs_match_bruteforce_hamming(spark):
+    """blocks > max_hamming ⇒ block banding is lossless (pigeonhole),
+    so the operator must equal the ALL-PAIRS Hamming-ball recompute —
+    completeness, not just soundness."""
+    from big_data_project_implementation_spark.operators import dedup
+
+    k, bits, blocks, max_hamming = 3, 16, 4, 2
+    fp = {}
+    for doc_id, txt in _CORPUS:
+        sh = _shingles_py(txt, k)
+        if not sh:
+            continue
+        f = 0
+        for j in range(bits):
+            votes = sum(
+                1 if (_md5long_py(f"sh:{s}") >> j) & 1 else -1 for s in sh
+            )
+            if votes > 0:
+                f |= 1 << j
+        fp[doc_id] = f
+    expected = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= max_hamming
+    }
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in dedup.simhash_md5_pairs(
+            df, k=k, bits=bits, blocks=blocks, max_hamming=max_hamming
+        ).collect()
+    }
+    assert got == expected
+    assert (0, 2, 0) in got  # exact dups at Hamming 0
