@@ -132,3 +132,98 @@ def hll_distinct_rollup(
         .cast("bigint")
         .alias("approx_distinct_ids")
     )
+
+
+def _bloom_pos(col, i: int, n_bits: int):
+    # md5-derived bit position — same engine-portable idiom as _bucket,
+    # so the filter an external SQL oracle rebuilds is bit-identical
+    # (including which false positives it produces).
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), col)), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(n_bits),
+    )
+
+
+#: Bits packed per bigint word. 62, not 64: shifting into bit 63 is a
+#: sign-bit wrap in the JVM but an overflow ERROR in some SQL engines
+#: (DuckDB raises on ``1::BIGINT << 63``), and the oracle must rebuild
+#: the identical words — so no mask ever touches the top two bits.
+_BITS_PER_WORD = 62
+
+
+def _bloom_coords(df: DataFrame, item_col: str, n_bits: int, n_hashes: int):
+    """(item, word, mask) bit coordinates for every (row, hash) pair:
+    word = pos // 62, mask = 1 << (pos % 62), packed into bigint words
+    so the whole filter is ``ceil(n_bits / 62)`` rows."""
+    col = F.col(item_col).cast("string")
+    out = None
+    for i in range(n_hashes):
+        o = df.select(
+            F.col(item_col).alias("item"), _bloom_pos(col, i, n_bits).alias("pos")
+        ).select(
+            "item",
+            F.floor(F.col("pos") / _BITS_PER_WORD).cast("bigint").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BITS_PER_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+def bloom_build(
+    df: DataFrame, item_col: str, n_bits: int = 8192, n_hashes: int = 3
+) -> DataFrame:
+    """Build a Bloom filter of ``item_col`` membership as a relation of
+    (word, bits) bigint rows — ``ceil(n_bits / 62)`` rows total, i.e.
+    a fixed ~``n_bits / 8``-byte object regardless of item cardinality.
+
+    Why this exists next to the exact semi-join (text.decontaminate):
+    at 100 TB the eval-gram table itself can outgrow comfortable
+    broadcast range, while the equivalent 1%-FP Bloom filter for 10M
+    grams is ~12 MB — always broadcastable, and probe-side the corpus
+    grams never shuffle at all. One-sided error: false positives only
+    (over-flagging is the safe direction for decontamination), never
+    false negatives; and with the md5-derived family the false
+    positives are deterministic, so an external engine reproduces the
+    flag set exactly.
+
+    Scale shape: coordinates are map-local projections; the only
+    shuffle is a map-side-combined bit_or groupBy onto ≤ ceil(n_bits/62)
+    keys — aggregation state is the filter size, not the item count
+    (the count_min_build contract, bitwise)."""
+    return (
+        _bloom_coords(df, item_col, n_bits, n_hashes)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Membership test for every DISTINCT item: (item, bloom_member).
+    member = every hash position's bit set (bool_and); an absent word
+    row means those 64 bits are all zero (left join + coalesce).
+
+    The filter side is broadcast by construction (≤ ceil(n_bits/62) rows);
+    the probe is embarrassingly parallel over the items scan and the
+    only shuffle is the per-item bool_and groupBy — at 100 TB join
+    callers should probe DISTINCT grams (this function dedups) and
+    semi-join the members back against their corpus."""
+    coords = _bloom_coords(items.select(item_col).distinct(), item_col, n_bits, n_hashes)
+    return (
+        coords.join(F.broadcast(sketch), "word", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")))
+            == F.col("mask"),
+        )
+        .groupBy("item")
+        .agg(F.bool_and("_hit").alias("bloom_member"))
+    )

@@ -1504,6 +1504,114 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate(d, eval_df, k=5).orderBy("doc_id")
 
 
+_BLOOM_DECON_ORACLE = """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len(ws) - 4, 1) + 1),
+               i -> array_to_string(ws[i:i+4], ' '))) AS grams
+      FROM w
+    ),
+    posts AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    eg AS (SELECT DISTINCT gram FROM posts WHERE doc_id % 97 = 0),
+    ec AS (
+      SELECT CAST(('0x' || substr(md5('bf' || u.i || ':' || gram), 1, 15))
+                  AS BIGINT) % 8192 AS pos
+      FROM eg, unnest([0, 1, 2]) u(i)
+    ),
+    words AS (
+      SELECT pos // 62 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+      FROM ec GROUP BY 1
+    ),
+    pg AS (SELECT DISTINCT gram FROM posts),
+    pc AS (
+      SELECT gram,
+             CAST(('0x' || substr(md5('bf' || u.i || ':' || gram), 1, 15))
+                  AS BIGINT) % 8192 AS pos
+      FROM pg, unnest([0, 1, 2]) u(i)
+    ),
+    memb AS (
+      SELECT pc.gram,
+             BOOL_AND((COALESCE(wd.bits, 0)
+                       & (CAST(1 AS BIGINT) << CAST(pc.pos % 62 AS INT)))
+                      = (CAST(1 AS BIGINT) << CAST(pc.pos % 62 AS INT)))
+               AS member
+      FROM pc LEFT JOIN words wd ON wd.word = pc.pos // 62
+      GROUP BY pc.gram
+    ),
+    hits AS (
+      SELECT p.doc_id, COUNT(*) AS n_hit
+      FROM posts p JOIN memb m ON m.gram = p.gram AND m.member
+      GROUP BY p.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_bloom_hit,
+           COALESCE(h.n_hit, 0) > 0 AS flagged
+    FROM g LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("text_bloom_decontaminate", oracle=_BLOOM_DECON_ORACLE)
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a Bloom filter
+    (operators.sketch.bloom_build/bloom_probe) instead of the exact
+    gram semi-join: the eval set collapses to a fixed ~1 KB bitset
+    that broadcasts at ANY eval-set size — the 100 TB shape when the
+    benchmark suite itself is too large to broadcast as grams. Flags
+    are a deterministic superset of `text_decontaminate`'s (one-sided
+    md5-family error, same-bits-everywhere), which the oracle replays
+    word-for-word and a pytest pins as the no-false-negative
+    invariant."""
+    from big_data_project_implementation_spark.operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    from big_data_project_implementation_spark.operators.dedup import shingles
+
+    eg = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingles(F.col("text"), 5)).alias("gram"))
+        .distinct()
+    )
+    bloom = sketch.bloom_build(eg, "gram", n_bits=8192, n_hashes=3)
+    dg = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("gram")
+    )
+    members = sketch.bloom_probe(bloom, dg, "gram", n_bits=8192, n_hashes=3)
+    hits = (
+        dg.join(
+            members.filter(F.col("bloom_member")).select(
+                F.col("item").alias("gram")
+            ),
+            "gram",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bloom_hit"))
+    )
+    base = d.select(
+        "doc_id",
+        F.size(shingles(F.col("text"), 5)).cast("bigint").alias("n_grams"),
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_bloom_hit", F.lit(0)).cast("bigint").alias("n_bloom_hit"),
+            (F.coalesce("n_bloom_hit", F.lit(0)) > 0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "text_chunk_overlap",
     oracle="""

@@ -208,3 +208,53 @@ def test_simhash_md5_pairs_match_bruteforce_hamming(spark):
     }
     assert got == expected
     assert (0, 2, 0) in got  # exact dups at Hamming 0
+
+
+def test_bloom_probe_membership_and_one_sided_error(spark):
+    """True members are ALWAYS found (no false negatives — the Bloom
+    guarantee the decontamination query relies on); non-members may
+    false-positive but at 3 hashes / 8192 bits over 50 items the
+    probability any of 200 probes collides on all 3 is ~0."""
+    from big_data_project_implementation_spark.operators import sketch
+
+    items = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(50)], "gram string"
+    )
+    bloom = sketch.bloom_build(items, "gram", n_bits=8192, n_hashes=3)
+    probes = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(250)], "gram string"
+    )
+    got = {
+        r.item: r.bloom_member
+        for r in sketch.bloom_probe(
+            bloom, probes, "gram", n_bits=8192, n_hashes=3
+        ).collect()
+    }
+    assert all(got[f"gram-{i}"] for i in range(50))  # no false negatives
+    fp = sum(got[f"gram-{i}"] for i in range(50, 250))
+    assert fp <= 2  # load factor 150/8192 → per-probe FP ~6e-6
+
+
+def test_bloom_decontaminate_is_superset_of_exact(spark):
+    """The bloom query's flags must contain every exactly-contaminated
+    doc with n_bloom_hit >= the exact n_hit — over-flagging is the
+    only permitted direction."""
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        text_bloom_decontaminate,
+        text_decontaminate,
+    )
+
+    exact = {
+        r.doc_id: (r.n_hit, r.contaminated)
+        for r in text_decontaminate(spark, SF_DIR).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_bloom_hit, r.flagged)
+        for r in text_bloom_decontaminate(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(bloom)
+    for doc_id, (n_hit, contaminated) in exact.items():
+        n_bloom, flagged = bloom[doc_id]
+        assert n_bloom >= n_hit
+        if contaminated:
+            assert flagged
