@@ -290,6 +290,42 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: int = 12,
+    val: int = 2,
+    seed: str = "",
+) -> DataFrame:
+    """Train/val/test assignment keyed on the normalized CONTENT
+    fingerprint instead of the id: every doc whose normalized text is
+    byte-identical lands in the same split by construction, so exact
+    duplicates can never straddle the train/test boundary — the
+    classic eval-leakage failure of id-keyed splits (duplicate docs
+    get independent ids, id-hash scatters them across splits, and the
+    test set silently contains training text).
+
+    Returns (id, content_fp, split); split = ``hash_split`` over the
+    fingerprint, so it inherits the same engine/partition/reshard
+    invariance. For NEAR-dup safety, key on the dedup cluster
+    representative instead: join ``dedup.assign_dedup_clusters`` and
+    pass its survivor id through ``hash_split`` — same no-straddle
+    guarantee, cluster-granular (pytest demonstrates the composition).
+
+    Scale shape: one codegen projection — no shuffle, no state; the
+    fingerprint reuses exact_dedup's normalization so "same content"
+    means the same thing in both operators."""
+    from big_data_project_implementation_spark.operators.dedup import _norm
+
+    fp = F.md5(_norm(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        fp.alias("content_fp"),
+        hash_split(fp, train=train, val=val, seed=seed).alias("split"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     order_col: str = "doc_id",

@@ -1071,6 +1071,41 @@ def data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_leakage_safe_split",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, fp,
+             strpos('0123456789abcdef', substr(md5(fp), 1, 1)) - 1 AS nib
+      FROM n
+    )
+    SELECT doc_id,
+           fp AS content_fp,
+           CASE WHEN nib < 12 THEN 'train'
+                WHEN nib < 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    ORDER BY doc_id
+    """,
+)
+def data_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (operators.text.leakage_safe_split): membership keyed on the
+    normalized content fingerprint, so duplicate documents — which get
+    independent doc_ids and would be scattered across splits by
+    `data_hash_split` — always share a split. Same md5-nibble
+    assignment as hash_split, same engine/partition invariance; the
+    no-straddle invariant and the near-dup cluster-keyed composition
+    are pinned in pytest."""
+    d = t(spark, sf_dir, "documents")
+    return text.leakage_safe_split(d).orderBy("doc_id")
+
+
+@query(
     "text_pack_sequences",
     oracle="""
     WITH toks AS (

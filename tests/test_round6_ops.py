@@ -258,3 +258,58 @@ def test_bloom_decontaminate_is_superset_of_exact(spark):
         assert n_bloom >= n_hit
         if contaminated:
             assert flagged
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """Exact duplicates (distinct ids, same normalized text) must land
+    in the same split; id-keyed hash_split demonstrably scatters them
+    — that contrast IS the operator's reason to exist."""
+    from big_data_project_implementation_spark.operators import text as t_ops
+
+    rows = [(i, f"unique doc {i}") for i in range(40)]
+    rows += [(100 + i, "  The SAME\t\tdocument  ") for i in range(10)]
+    rows += [(200 + i, "the same document") for i in range(10)]  # normalizes equal
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = t_ops.leakage_safe_split(df).collect()
+    by_fp: dict[str, set] = {}
+    for r in out:
+        by_fp.setdefault(r.content_fp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_fp.values())  # no straddle
+    dup_splits = {r.split for r in out if r.doc_id >= 100}
+    assert len(dup_splits) == 1  # all 20 dup docs together
+    id_splits = {
+        r.split
+        for r in df.filter(F.col("doc_id") >= 100)
+        .select(t_ops.hash_split("doc_id").alias("split"))
+        .collect()
+    }
+    assert len(id_splits) > 1  # id-keyed split scatters the same docs
+
+
+def test_cluster_keyed_split_composition(spark):
+    """The near-dup variant: key the split on the dedup-cluster
+    survivor id — every member of a connected near-dup cluster shares
+    a split even when their texts differ."""
+    from big_data_project_implementation_spark.operators import dedup
+    from big_data_project_implementation_spark.operators import text as t_ops
+
+    # 3 clusters via an explicit pair list: {1,2,3}, {10,11}, {20}
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs)
+    assigned = (
+        docs.join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_rep"),
+        )
+        .withColumn("split", t_ops.hash_split("cluster_rep"))
+    )
+    got = {r.doc_id: (r.cluster_rep, r.split) for r in assigned.collect()}
+    assert got[1][1] == got[2][1] == got[3][1]
+    assert got[10][1] == got[11][1]
+    assert got[1][0] == 1 and got[10][0] == 10 and got[20][0] == 20
