@@ -152,24 +152,32 @@ def _bloom_pos(col, i: int, n_bits: int):
 _BITS_PER_WORD = 62
 
 
-def _bloom_coords(df: DataFrame, item_col: str, n_bits: int, n_hashes: int):
-    """(item, word, mask) bit coordinates for every (row, hash) pair:
-    word = pos // 62, mask = 1 << (pos % 62), packed into bigint words
-    so the whole filter is ``ceil(n_bits / 62)`` rows."""
+def _bloom_coords(
+    df: DataFrame, item_col: str, n_bits: int, n_hashes: int, keep: list[str] = []
+):
+    """(*keep, item, word, mask) bit coordinates for every (row, hash)
+    pair: word = pos // 62, mask = 1 << (pos % 62), packed into bigint
+    words so the whole filter is ``ceil(n_bits / 62)`` rows.
+
+    One scan: the ``n_hashes`` positions explode from a single array
+    projection rather than a union of per-hash branches — a union of
+    projections over the same source re-reads (and for exploded gram
+    streams, re-EXPLODES) the input once per hash."""
     col = F.col(item_col).cast("string")
-    out = None
-    for i in range(n_hashes):
-        o = df.select(
-            F.col(item_col).alias("item"), _bloom_pos(col, i, n_bits).alias("pos")
-        ).select(
-            "item",
-            F.floor(F.col("pos") / _BITS_PER_WORD).cast("bigint").alias("word"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BITS_PER_WORD} AS INT))"
-            ).alias("mask"),
-        )
-        out = o if out is None else out.unionByName(o)
-    return out
+    return df.select(
+        *keep,
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(*[_bloom_pos(col, i, n_bits) for i in range(n_hashes)])
+        ).alias("pos"),
+    ).select(
+        *keep,
+        "item",
+        F.floor(F.col("pos") / _BITS_PER_WORD).cast("bigint").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BITS_PER_WORD} AS INT))"
+        ).alias("mask"),
+    )
 
 
 def bloom_build(
@@ -226,4 +234,39 @@ def bloom_probe(
         )
         .groupBy("item")
         .agg(F.bool_and("_hit").alias("bloom_member"))
+    )
+
+
+def bloom_probe_count(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    group_col: str,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Grouped membership counting in ONE pass over the item stream:
+    (group, n_items, n_member) — for each ``group_col`` key, how many
+    of its items exist in the filter. The decontamination shape
+    (group = document, items = its grams) without materializing the
+    distinct-item membership table and re-joining it against the
+    stream: coordinates explode once, meet the broadcast filter, and
+    two map-side-combined groupBys do the rest. Probe cost is
+    n_hashes coordinate rows per item, streamed — never a second scan
+    of the item source."""
+    coords = _bloom_coords(items, item_col, n_bits, n_hashes, keep=[group_col])
+    return (
+        coords.join(F.broadcast(sketch), "word", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")))
+            == F.col("mask"),
+        )
+        .groupBy(group_col, "item")
+        .agg(F.bool_and("_hit").alias("_member"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("_member").cast("int")).cast("bigint").alias("n_member"),
+        )
     )

@@ -1617,34 +1617,22 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bloom = sketch.bloom_build(eg, "gram", n_bits=8192, n_hashes=3)
+    # ONE pass over the corpus gram stream: grams are already distinct
+    # within a doc (shingles()), so the grouped probe's n_items IS the
+    # per-doc gram count and no separate size()/membership-rejoin scan
+    # of the corpus is needed
     dg = d.select(
         "doc_id", F.explode(shingles(F.col("text"), 5)).alias("gram")
     )
-    members = sketch.bloom_probe(bloom, dg, "gram", n_bits=8192, n_hashes=3)
-    hits = (
-        dg.join(
-            members.filter(F.col("bloom_member")).select(
-                F.col("item").alias("gram")
-            ),
-            "gram",
-        )
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bloom_hit"))
+    counts = sketch.bloom_probe_count(
+        bloom, dg, "gram", "doc_id", n_bits=8192, n_hashes=3
     )
-    base = d.select(
+    return counts.select(
         "doc_id",
-        F.size(shingles(F.col("text"), 5)).cast("bigint").alias("n_grams"),
-    )
-    return (
-        base.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_bloom_hit", F.lit(0)).cast("bigint").alias("n_bloom_hit"),
-            (F.coalesce("n_bloom_hit", F.lit(0)) > 0).alias("flagged"),
-        )
-        .orderBy("doc_id")
-    )
+        F.col("n_items").alias("n_grams"),
+        F.col("n_member").alias("n_bloom_hit"),
+        (F.col("n_member") > 0).alias("flagged"),
+    ).orderBy("doc_id")
 
 
 @query(
