@@ -689,3 +689,64 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("window_start", "rnk", "event_type")
     )
+
+
+@query(
+    "stream_dedup_vs_corpus",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    s AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT s.fp AS content_fp, CAST(COUNT(*) AS BIGINT) AS n_arrivals
+    FROM s LEFT JOIN corpus c USING (fp)
+    WHERE c.fp IS NULL
+    GROUP BY s.fp
+    ORDER BY content_fp
+    """,
+)
+def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion dedup against a HISTORICAL corpus: arriving documents
+    are content-fingerprinted (the exact_dedup/leakage_safe_split
+    normalization) and left-anti joined per micro-batch against a
+    static fingerprint index (even doc_ids stand in for the already-
+    ingested corpus) — only genuinely new content survives to the
+    sink. Stream-static anti joins keep NO stream state (the static
+    side re-plans and broadcasts each micro-batch), which is what
+    makes this the 100 TB ingest shape: the index is a compact
+    fingerprint table (or, beyond broadcast range, the Bloom filter of
+    sketch.bloom_build probed the same way). Output aggregates the
+    sink by fingerprint so the result is arrival-order invariant; the
+    oracle is the equivalent batch anti join. Intra-stream dedup (two
+    NEW copies arriving in one batch both pass the anti join) is the
+    stream_dedup_exact state story, composable upstream."""
+    from big_data_project_implementation_spark.operators.dedup import _norm
+    from big_data_project_implementation_spark.queries.registry import (
+        documents_stream,
+    )
+
+    static_fps = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(_norm(F.col("text"))).alias("fp"))
+        .distinct()
+    )
+    out = _run_stream_to_table(
+        lambda s: (
+            documents_stream(s, sf_dir)
+            .select(F.md5(_norm(F.col("text"))).alias("fp"))
+            .join(static_fps, "fp", "left_anti")
+        ),
+        spark,
+        output_mode="append",
+    )
+    return (
+        out.groupBy(F.col("fp").alias("content_fp"))
+        .agg(F.count("*").alias("n_arrivals"))
+        .orderBy("content_fp")
+    )
