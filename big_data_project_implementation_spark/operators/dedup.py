@@ -578,12 +578,18 @@ def minhash_md5_pairs(
     shingles carry no signature (inner explode) — mirrored by the
     oracle's empty-gram CASE."""
     rows_per_band = num_hashes // bands
+    # NULL text shingles to [NULL] (array_join of a null slice), which
+    # would become an all-NULL signature whose concat_ws band key is ""
+    # — two NULL docs would spuriously pair, and the oracle (which
+    # filters NULL text) would disagree. Drop null shingles so NULL
+    # docs simply have no signature, matching the oracle's WHERE.
     posts = (
         _spread(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
             "id",
         )
         .select("id", F.explode(shingles("_t", k)).alias("s"))
+        .filter(F.col("s").isNotNull())
     )
     sig = posts.groupBy("id").agg(
         *[
@@ -664,6 +670,7 @@ def simhash_md5_pairs(
             "id",
         )
         .select("id", F.explode(shingles("_t", k)).alias("s"))
+        .filter(F.col("s").isNotNull())  # NULL docs: no votes, no fp (oracle WHERE parity)
         .select("id", _md5long(F.concat(F.lit("sh:"), F.col("s"))).alias("h"))
     )
     votes = posts.groupBy("id").agg(

@@ -365,7 +365,7 @@ def _minhash_md5_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
       SELECT doc_id AS id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                           ' ') AS ws
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     sh AS MATERIALIZED (
       SELECT DISTINCT id, s FROM (
@@ -515,7 +515,7 @@ def _simhash_md5_oracle(k=3, bits=16, blocks=4, max_hamming=2) -> str:
       SELECT doc_id AS id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                           ' ') AS ws
-      FROM documents WHERE doc_id < 200
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
     ),
     sh AS MATERIALIZED (
       SELECT DISTINCT id, s FROM (
@@ -1544,7 +1544,7 @@ _BLOOM_DECON_ORACLE = """
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
                AS ws
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     g AS (
       SELECT doc_id,
@@ -1623,7 +1623,7 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the corpus is needed
     dg = d.select(
         "doc_id", F.explode(shingles(F.col("text"), 5)).alias("gram")
-    )
+    ).filter(F.col("gram").isNotNull())  # NULL-text docs: no grams (oracle WHERE parity)
     counts = sketch.bloom_probe_count(
         bloom, dg, "gram", "doc_id", n_bits=8192, n_hashes=3
     )

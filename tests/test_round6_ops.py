@@ -313,3 +313,18 @@ def test_cluster_keyed_split_composition(spark):
     assert got[1][1] == got[2][1] == got[3][1]
     assert got[10][1] == got[11][1]
     assert got[1][0] == 1 and got[10][0] == 10 and got[20][0] == 20
+
+
+def test_md5_certified_ops_drop_null_text(spark):
+    """NULL-text docs produce no shingles on the Spark side (explode
+    of a null array); the certified oracles filter `text IS NOT NULL`
+    so both engines agree by construction — this pins the Spark half
+    of that contract on a fixture the parquet tables don't have."""
+    from big_data_project_implementation_spark.operators import dedup
+
+    rows = [(0, "a b c d"), (1, "a b c d"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = dedup.minhash_md5_pairs(df, num_hashes=8, bands=4, min_agree=6).collect()
+    assert {(r.id_a, r.id_b) for r in mh} == {(0, 1)}
+    sh = dedup.simhash_md5_pairs(df, bits=16, blocks=4, max_hamming=2).collect()
+    assert {(r.id_a, r.id_b) for r in sh} == {(0, 1)}
