@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     # round 6: the remaining stateful-stream family (VERDICT r5 #7)
     "stream_stream_full_join",
     "stream_windowed_distinct",
+    # round 6: Bloom decontamination (3 md5s per corpus gram — the
+    # heavy certified-sketch path) and the stream-static ingest dedup
+    "text_bloom_decontaminate",
+    "stream_dedup_vs_corpus",
 ]
 
 

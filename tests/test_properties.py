@@ -233,3 +233,44 @@ def test_source_quota_is_md5_prefix_per_source(spark, corpus, k):
         ordered = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
         expect += ordered[:k]
     assert got == sorted(expect)
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_bloom_probe_never_false_negative(spark, corpus):
+    """Hypothesis sweep of the Bloom guarantee over random micro-
+    corpora: every inserted item is a member; Python recompute of the
+    md5 bit positions independently predicts EXACTLY which probes hit
+    (the filter is deterministic, false positives included)."""
+    import hashlib
+
+    from big_data_project_implementation_spark.operators import sketch
+
+    n_bits, n_hashes = 512, 3  # small space → false positives likely
+    items = sorted({t for _, t in corpus})
+    if not items:
+        return
+    df = spark.createDataFrame([(t,) for t in items], "item string")
+    bloom = sketch.bloom_build(df, "item", n_bits=n_bits, n_hashes=n_hashes)
+    probes = items + [t + "!" for t in items]
+    got = {
+        r.item: r.bloom_member
+        for r in sketch.bloom_probe(
+            bloom,
+            spark.createDataFrame([(t,) for t in probes], "item string"),
+            "item",
+            n_bits=n_bits,
+            n_hashes=n_hashes,
+        ).collect()
+    }
+
+    def positions(t):
+        return {
+            int(hashlib.md5(f"bf{i}:{t}".encode()).hexdigest()[:15], 16) % n_bits
+            for i in range(n_hashes)
+        }
+
+    bits = set().union(*(positions(t) for t in items))
+    for t in set(probes):
+        assert got[t] == positions(t).issubset(bits)
+    assert all(got[t] for t in items)  # the one-sided guarantee
