@@ -363,6 +363,9 @@ HEAVY_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     "dedup_containment": (11, ("BroadcastHashJoin",) * 3),
     "embedding_semdedup": (5, ("SortMergeJoin",) * 2),
     "graph_label_propagation": (7, ("SortMergeJoin",) * 2),
+    # round 6: single-pass grouped Bloom probe — the filter side must
+    # stay a broadcast (one BHJ), never a shuffled join of the stream
+    "text_bloom_decontaminate": (5, ("BroadcastHashJoin",)),
 }
 
 
