@@ -574,6 +574,171 @@ def dedup_simhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _method_comparison_oracle(
+    k=3, num_hashes=8, bands=4, min_agree=6, bits=16, blocks=4, max_hamming=2
+) -> str:
+    """DuckDB replay of dedup_method_comparison: one shared shingle
+    CTE feeds three pipelines — exact k-gram Jaccard (the reference
+    pair set), the md5-family MinHash banding, and the md5-family
+    SimHash blocking — then counts each approximate method's pair set
+    and its overlap with the exact set. Every stage reuses the
+    certified idioms of _minhash_md5_oracle/_simhash_md5_oracle."""
+    rows_per_band = num_hashes // bands
+    bpb = bits // blocks
+    mh_h = lambda i: (  # noqa: E731
+        f"CAST(('0x' || substr(md5('mh{i}:' || s), 1, 15)) AS BIGINT)"
+    )
+    sig_cols = ", ".join(f"MIN({mh_h(i)}) AS h{i}" for i in range(num_hashes))
+    band_cases = " ".join(
+        f"WHEN {b} THEN "
+        + " || ',' || ".join(
+            f"h{b * rows_per_band + j}" for j in range(rows_per_band)
+        )
+        for b in range(bands - 1)
+    )
+    last_band = " || ',' || ".join(
+        f"h{(bands - 1) * rows_per_band + j}" for j in range(rows_per_band)
+    )
+    agree = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
+    )
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS ws
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT id, s FROM (
+        SELECT id,
+               UNNEST(CASE WHEN len(ws) >= {k}
+                      THEN list_transform(range(1, len(ws) - {k} + 2),
+                                          i -> array_to_string(ws[i:i+{k - 1}],
+                                                               ' '))
+                      ELSE [array_to_string(ws, ' ')] END) AS s
+        FROM w
+      )
+    ),
+    sizes AS MATERIALIZED (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    exact AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b
+      WHERE c / (sa.n + sb.n - c) >= 0.75
+    ),
+    mh_sig AS MATERIALIZED (
+      SELECT id, {sig_cols} FROM sh GROUP BY id
+    ),
+    mh_bnd AS MATERIALIZED (
+      SELECT id, u.b, CASE u.b {band_cases} ELSE {last_band} END AS key
+      FROM mh_sig, unnest([{", ".join(str(b) for b in range(bands))}]) u(b)
+    ),
+    mh_cand AS MATERIALIZED (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM mh_bnd x JOIN mh_bnd y
+        ON x.b = y.b AND x.key = y.key AND x.id < y.id
+    ),
+    mh AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM mh_cand c JOIN mh_sig a ON a.id = c.id_a
+                     JOIN mh_sig b ON b.id = c.id_b
+      WHERE {agree} >= {min_agree}
+    ),
+    sim_hs AS MATERIALIZED (
+      SELECT id, CAST(('0x' || substr(md5('sh:' || s), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sim_votes AS MATERIALIZED (
+      SELECT id, {vote_cols} FROM sim_hs GROUP BY id
+    ),
+    sim_sig AS MATERIALIZED (
+      SELECT id, CAST({fp_expr} AS BIGINT) AS fp FROM sim_votes
+    ),
+    sim_blk AS MATERIALIZED (
+      SELECT id, u.b, (fp >> (u.b * {bpb})) & {(1 << bpb) - 1} AS key
+      FROM sim_sig, unnest([{", ".join(str(b) for b in range(blocks))}]) u(b)
+    ),
+    sim_cand AS MATERIALIZED (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM sim_blk x JOIN sim_blk y
+        ON x.b = y.b AND x.key = y.key AND x.id < y.id
+    ),
+    sim AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM sim_cand c JOIN sim_sig a ON a.id = c.id_a
+                      JOIN sim_sig b ON b.id = c.id_b
+      WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    ),
+    ex_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+    SELECT m.method, m.n_pairs, m.n_true_positive, ex_n.n_exact AS n_exact_pairs
+    FROM (
+      SELECT 'minhash' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(e.id_a) AS BIGINT) AS n_true_positive
+      FROM mh LEFT JOIN exact e USING (id_a, id_b)
+      UNION ALL
+      SELECT 'simhash',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(e.id_a) AS BIGINT)
+      FROM sim LEFT JOIN exact e USING (id_a, id_b)
+    ) m, ex_n
+    ORDER BY method"""
+
+
+@query("dedup_method_comparison", oracle=_method_comparison_oracle())
+def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup method evaluation report: precision/recall inputs for the
+    certified MinHash-banding and SimHash-blocking pipelines against
+    the EXACT k=3 Jaccard pair set (threshold 0.75, matching
+    min_agree 6/8) on the same shingle space — the decision table a
+    pipeline owner reads before picking a method for a corpus. All
+    three pipelines are engine-portable (md5 family / exact sets), so
+    the whole report hash-matches: both the candidate generation AND
+    the cross-method set intersections certify. Restricted to
+    doc_id < 200 like the simhash queries (16-bit fingerprint space)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    exact = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=3, threshold=0.75
+    ).select("id_a", "id_b")
+    mh = dedup.minhash_md5_pairs(
+        d, k=3, num_hashes=8, bands=4, min_agree=6
+    ).select("id_a", "id_b")
+    sim = dedup.simhash_md5_pairs(
+        d, k=3, bits=16, blocks=4, max_hamming=2
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+
+    def _stats(pairs: DataFrame, method: str) -> DataFrame:
+        tp = pairs.join(exact, ["id_a", "id_b"], "left_semi")
+        return pairs.agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        ).crossJoin(
+            tp.agg(F.count("*").cast("bigint").alias("n_true_positive"))
+        )
+
+    return (
+        _stats(mh, "minhash")
+        .unionByName(_stats(sim, "simhash"))
+        .withColumn("n_exact_pairs", F.lit(n_exact).cast("bigint"))
+        .orderBy("method")
+    )
+
+
 @query("dedup_simhash")  # approximate → rows-only; tested in pytest
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit weighted-feature hash, banded
