@@ -1786,7 +1786,14 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within a doc (shingles()), so the grouped probe's n_items IS the
     # per-doc gram count and no separate size()/membership-rejoin scan
     # of the corpus is needed
-    dg = d.select(
+    from big_data_project_implementation_spark.operators.dedup import _spread
+
+    # _spread: the gram explode + 3 md5s per gram is the CPU-bound
+    # chain — a narrow scan (one local file, or a few fat replicas)
+    # must fan out to the cores BEFORE the explode or one task
+    # serializes the whole corpus (measured: the 100x probe's first
+    # run pinned 5/6 tasks idle behind one straggler)
+    dg = _spread(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(shingles(F.col("text"), 5)).alias("gram")
     ).filter(F.col("gram").isNotNull())  # NULL-text docs: no grams (oracle WHERE parity)
     counts = sketch.bloom_probe_count(

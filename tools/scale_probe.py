@@ -76,13 +76,23 @@ KEYED = {
 KEY_STRIDE = 10_000_000
 
 
-def build_scaled(spark, src: str, dst: str, factor: int) -> None:
+def build_scaled(
+    spark, src: str, dst: str, factor: int, only: list[str] | None = None
+) -> None:
     from pyspark.sql import functions as F
 
     from big_data_project_implementation_spark.sources.catalog import TABLES
 
     os.makedirs(dst, exist_ok=True)
     for name in TABLES:
+        if only and name not in only and name in SCALED:
+            # targeted probes (e.g. a documents-only operator at 100x)
+            # symlink the un-scaled table instead of replicating a
+            # fact table the probe queries never read
+            out = f"{dst}/{name}.parquet"
+            if not os.path.exists(out):
+                os.symlink(f"{src}/{name}.parquet", out)
+            continue
         out = f"{dst}/{name}.parquet"
         if os.path.exists(out):
             continue
@@ -132,6 +142,12 @@ def main() -> None:
         "--pipeline", action="store_true", help="probe dedup/text/similarity instead"
     )
     ap.add_argument(
+        "--tables",
+        nargs="*",
+        help="only replicate these tables at --factor; other SCALED "
+        "tables are symlinked un-scaled (targeted heavy-op probes)",
+    )
+    ap.add_argument(
         "--queries",
         nargs="*",
         help="explicit probe list (overrides --pipeline), e.g. the "
@@ -144,7 +160,7 @@ def main() -> None:
     spark = get_session("scale-probe")
     dst = f"/tmp/scaleprobe_x{args.factor}"
     t0 = time.time()
-    build_scaled(spark, args.src, dst, args.factor)
+    build_scaled(spark, args.src, dst, args.factor, only=args.tables)
     print(f"built {args.factor}x copy in {round(time.time() - t0, 1)}s", flush=True)
 
     names = args.queries or (PIPELINE_QUERIES if args.pipeline else PROBE_QUERIES)
