@@ -334,12 +334,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_md5_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
-    """DuckDB replay of dedup.minhash_md5_pairs: identical md5-derived
-    hash family (the count-min `_bucket` idiom), per-doc min-aggregated
-    signatures, banded candidate join, agreement count. The shingle
-    CASE mirrors Spark's `shingles` clamp: docs shorter than k emit one
-    whole-doc shingle, never zero (sequence(0, greatest(n-k, 0)))."""
+def _minhash_pair_ctes(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
+    """CTE block (no WITH) ending in ``mhp(id_a, id_b, n_agree)`` — the
+    md5-family MinHash pair pipeline, shared by the pair-level oracle
+    (_minhash_md5_oracle) and the LSH→clusters composition oracle.
+    The shingle CASE mirrors Spark's `shingles` clamp: docs shorter
+    than k emit one whole-doc shingle, never zero."""
     rows_per_band = num_hashes // bands
     h = lambda i, s: (  # noqa: E731
         f"CAST(('0x' || substr(md5('mh{i}:' || {s}), 1, 15)) AS BIGINT)"
@@ -361,7 +361,7 @@ def _minhash_md5_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
         f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
     )
     return f"""
-    WITH w AS MATERIALIZED (
+    w AS MATERIALIZED (
       SELECT doc_id AS id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                           ' ') AS ws
@@ -394,11 +394,73 @@ def _minhash_md5_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
     cand AS MATERIALIZED (
       SELECT DISTINCT x.id AS id_a, y.id AS id_b
       FROM bnd x JOIN bnd y ON x.b = y.b AND x.key = y.key AND x.id < y.id
+    ),
+    mhp AS MATERIALIZED (
+      SELECT c.id_a, c.id_b, CAST({agree} AS BIGINT) AS n_agree
+      FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+      WHERE {agree} >= {min_agree}
+    )"""
+
+
+def _minhash_md5_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
+    """DuckDB replay of dedup.minhash_md5_pairs (see _minhash_pair_ctes)."""
+    return (
+        "\n    WITH"
+        + _minhash_pair_ctes(k, num_hashes, bands, min_agree)
+        + """
+    SELECT id_a, id_b, n_agree FROM mhp ORDER BY id_a, id_b"""
     )
-    SELECT c.id_a, c.id_b, CAST({agree} AS BIGINT) AS n_agree
-    FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
-    WHERE {agree} >= {min_agree}
-    ORDER BY id_a, id_b"""
+
+
+def _clusters_lsh_certified_oracle(rounds: int = _STAR_ROUNDS) -> str:
+    """The LSH→clusters COMPOSITION oracle: md5-family MinHash pairs
+    (_minhash_pair_ctes) feed the same unrolled large-star/small-star
+    contraction as _dedup_clusters_oracle, poison round included — so
+    the production shape (approximate pairs → transitive closure →
+    survivor assignment) certifies end to end, not just per stage."""
+    body = ",".join(_duckdb_star_round(i) for i in range(1, rounds + 2))
+    return f"""
+    WITH{_minhash_pair_ctes(3, 8, 4, 6)},
+    e0 AS MATERIALIZED (
+      SELECT GREATEST(id_a, id_b) AS big, LEAST(id_a, id_b) AS small FROM mhp
+    ),{body},
+    not_converged AS MATERIALIZED (
+      SELECT (SELECT COUNT(*) FROM
+                (SELECT * FROM e{rounds + 1} EXCEPT SELECT * FROM e{rounds})) +
+             (SELECT COUNT(*) FROM
+                (SELECT * FROM e{rounds} EXCEPT SELECT * FROM e{rounds + 1})) AS delta
+    ),
+    labels AS MATERIALIZED (
+      SELECT big AS id, small AS comp FROM e{rounds}
+      UNION
+      SELECT small, small FROM e{rounds}
+    )
+    SELECT w.id AS doc_id,
+           CAST(COALESCE(l.comp, w.id) AS BIGINT) AS component,
+           COALESCE(l.comp, w.id) = w.id AS is_survivor
+    FROM w LEFT JOIN labels l ON w.id = l.id
+    UNION ALL
+    SELECT -1, -1, FALSE FROM not_converged WHERE delta > 0"""
+
+
+@query("dedup_clusters_certified", oracle=_clusters_lsh_certified_oracle())
+def dedup_clusters_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup composition with a hash-match oracle:
+    certified MinHash banding pairs (md5 family) → star-contraction
+    connected components → per-doc survivor assignment. dedup_clusters
+    certifies clustering over EXACT pairs and dedup_clusters_lsh runs
+    the xxhash64 production pairs rows-only; this closes the gap —
+    the approximate-pairs→closure→survivor COMPOSITION itself
+    hash-matches, poison round guarding oracle depth."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = dedup.minhash_md5_pairs(
+        d, k=3, num_hashes=8, bands=4, min_agree=6
+    )
+    return (
+        dedup.assign_dedup_clusters(d, pairs, id_col="doc_id")
+        .select("doc_id", "component", "is_survivor")
+        .orderBy("doc_id")
+    )
 
 
 @query("dedup_minhash_certified", oracle=_minhash_md5_oracle(3, 8, 4, 6))
