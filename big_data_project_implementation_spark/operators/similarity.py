@@ -1259,3 +1259,106 @@ def ivfpq_topk_from_index(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def lsh_md5_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    threshold_centi: int = 35,
+) -> DataFrame:
+    """Certification variant of the random-hyperplane LSH family
+    (``lsh_bucketed_topk`` / ``embedding_near_dup_pairs``): the
+    identical algorithm — sign-bit bucket per hash table, bucket-join
+    candidates, exact cosine verify — made integer-exact end to end so
+    an external SQL engine replays it bit-for-bit:
+
+    - embeddings quantize to 1e-6 micro-units (the semdedup/IVF
+      convention: widen float32→double FIRST, identical IEEE ops both
+      engines, then one floor);
+    - hyperplane weights are md5-derived INTEGERS in [-1000, 1000]
+      (``int(md5(f"lsh{t}:{p}:{d}")[:15hex], 16) % 2001 - 1000`` —
+      computed here with hashlib, replayed in SQL with the same md5),
+      so every projection is an exact bigint sum, sign ties included;
+    - the cosine test is the square-compare form
+      ``dot > 0 AND dot² · 10000 ≥ t_centi² · |a|²·|b|²`` in
+      decimal(38,0)/HUGEINT — no sqrt, no float anywhere.
+
+    Certifies the bucketing arithmetic, candidate dedup, and verify
+    filter that the production path's recall floor cannot pin; the
+    production path (gaussian hyperplanes + one Arrow matmul per
+    batch, ``lsh_signatures``) remains the scale path.
+
+    Returns (id_a, id_b, dot_q) — dot_q the exact micro-unit² dot."""
+    import hashlib
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("id"), q.alias("q"))
+
+    def plane(t: int, p: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"lsh{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
+            % 2001
+            - 1000
+            for d in range(dim)
+        ]
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            w = F.array(*[F.lit(v).cast("long") for v in plane(t, p)])
+            b = b + F.when(idot(F.col("q"), w) > 0, F.lit(1 << p)).otherwise(0)
+        buckets.append(b)
+    sig = base.select(
+        "id", F.posexplode(F.array(*buckets)).alias("t", "bucket")
+    )
+    cand = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    qa = base.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
+    qb = base.select(F.col("id").alias("id_b"), F.col("q").alias("qb"))
+    dot = idot(F.col("qa"), F.col("qb"))
+    sq = F.transform(F.col("qa"), lambda x: x * x)
+    na = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sqb = F.transform(F.col("qb"), lambda x: x * x)
+    nb = F.aggregate(sqb, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dec = "decimal(38,0)"
+    lhs = (
+        F.col("_dot").cast(dec) * F.col("_dot").cast(dec) * F.lit(10000).cast(dec)
+    )
+    rhs = (
+        F.lit(threshold_centi * threshold_centi).cast(dec)
+        * F.col("_na").cast(dec)
+        * F.col("_nb").cast(dec)
+    )
+    return (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .withColumn("_dot", dot)
+        .withColumn("_na", na)
+        .withColumn("_nb", nb)
+        .filter((F.col("_dot") > 0) & (lhs >= rhs))
+        .select("id_a", "id_b", F.col("_dot").alias("dot_q"))
+    )

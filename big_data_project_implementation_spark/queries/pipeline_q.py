@@ -811,6 +811,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_LSH_MD5_ORACLE = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    ed AS MATERIALIZED (
+      SELECT vec_id, u.d, q[u.d + 1] AS qv
+      FROM e, unnest(range(0, 64)) u(d)
+    ),
+    hp AS MATERIALIZED (
+      SELECT t.t, p.p, d.d,
+             CAST(('0x' || substr(md5('lsh' || t.t || ':' || p.p || ':' || d.d),
+                                  1, 15)) AS BIGINT) % 2001 - 1000 AS w
+      FROM unnest(range(0, 4)) t(t),
+           unnest(range(0, 6)) p(p),
+           unnest(range(0, 64)) d(d)
+    ),
+    proj AS MATERIALIZED (
+      SELECT ed.vec_id, hp.t, hp.p, SUM(ed.qv * hp.w) AS pr
+      FROM ed JOIN hp USING (d)
+      GROUP BY ed.vec_id, hp.t, hp.p
+    ),
+    bkt AS MATERIALIZED (
+      SELECT vec_id, t,
+             SUM(CASE WHEN pr > 0
+                      THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                      ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, t
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bkt x JOIN bkt y
+        ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    nrm AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS n2 FROM ed GROUP BY vec_id),
+    dots AS MATERIALIZED (
+      SELECT c.id_a, c.id_b, SUM(a.qv * b.qv) AS dot
+      FROM cand c
+      JOIN ed a ON a.vec_id = c.id_a
+      JOIN ed b ON b.vec_id = c.id_b AND b.d = a.d
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT d.id_a, d.id_b, CAST(d.dot AS BIGINT) AS dot_q
+    FROM dots d
+    JOIN nrm na ON na.vec_id = d.id_a
+    JOIN nrm nb ON nb.vec_id = d.id_b
+    WHERE d.dot > 0
+      AND CAST(d.dot AS HUGEINT) * d.dot * 10000
+          >= CAST(1225 AS HUGEINT) * na.n2 * nb.n2
+    ORDER BY id_a, id_b
+    """
+
+
+@query("embedding_lsh_certified", oracle=_LSH_MD5_ORACLE)
+def embedding_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH with a hash-match oracle
+    (operators.similarity.lsh_md5_pairs, round 6): sign-bit bucketing,
+    multi-table (4x6-bit) candidate join, and exact cosine verify made
+    integer-exact (micro-unit embeddings, md5-derived INTEGER
+    hyperplanes, square-compare cosine at 0.35 — no sqrt/float
+    anywhere), so the oracle replays the whole pipeline including
+    sign ties. Closes the last approximate family (hyperplane LSH)
+    without certified logic; `similarity_lsh_topk` /
+    `embedding_near_dup_lsh` (gaussian planes + Arrow matmul) remain
+    the production path with their sf0.1 recall floors."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_md5_pairs(
+        emb, dim=64, n_planes=6, n_tables=4, threshold_centi=35
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "similarity_bruteforce_topk",
     oracle="""
