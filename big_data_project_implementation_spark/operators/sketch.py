@@ -29,6 +29,26 @@ def _bucket(col, d: int, width: int):
     )
 
 
+def _cm_coords(df: DataFrame, item_col: str, width: int, depth: int):
+    """(item, d, bucket) sketch coordinates for every (row, hash-row)
+    pair, exploded from one array projection so the source is scanned
+    exactly once regardless of ``depth``."""
+    col = F.col(item_col).cast("string")
+    return df.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _bucket(col, d, width).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select("item", F.col("_c.d").alias("d"), F.col("_c.bucket").alias("bucket"))
+
+
 def count_min_build(
     df: DataFrame, item_col: str, width: int = 1024, depth: int = 4
 ) -> DataFrame:
@@ -39,16 +59,17 @@ def count_min_build(
     at most ``depth × width`` keys — executor state is bounded by the
     sketch size, not by distinct-item cardinality, which is the entire
     point at 100 TB. Merging sketches of two corpora = unionByName +
-    the same groupBy (counts are additive)."""
-    cells = None
-    col = F.col(item_col).cast("string")
-    for d in range(depth):
-        o = df.select(
-            F.lit(d).alias("d"), _bucket(col, d, width).alias("bucket")
-        )
-        cells = o if cells is None else cells.unionByName(o)
-    return cells.groupBy("d", "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt")
+    the same groupBy (counts are additive).
+
+    One scan: the ``depth`` (d, bucket) coordinates explode from a
+    single array projection (the ``_bloom_coords`` shape below) — a
+    union of per-hash projections over the same source re-reads (and
+    for exploded gram streams, re-EXPLODES) the input once per hash
+    row, i.e. ``depth×`` the corpus work."""
+    return (
+        _cm_coords(df, item_col, width, depth)
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
 
 
@@ -67,16 +88,10 @@ def count_min_estimate(
     Scale shape: items hash to their (d, bucket) coordinates and join
     the sketch — ``depth × width`` rows, always broadcastable — then
     one groupBy(item).min. Absent cells mean count 0 (no occurrence
-    hashed there), restored via coalesce after a left join."""
-    col = F.col(item_col).cast("string")
-    coords = None
-    for d in range(depth):
-        o = items.select(
-            F.col(item_col).alias("item"),
-            F.lit(d).alias("d"),
-            _bucket(col, d, width).alias("bucket"),
-        )
-        coords = o if coords is None else coords.unionByName(o)
+    hashed there), restored via coalesce after a left join. Like the
+    build, coordinates explode from one array projection — single scan
+    of ``items``."""
+    coords = _cm_coords(items, item_col, width, depth)
     return (
         coords.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy("item")
@@ -215,9 +230,11 @@ def bloom_probe(
     n_bits: int = 8192,
     n_hashes: int = 3,
 ) -> DataFrame:
-    """Membership test for every DISTINCT item: (item, bloom_member).
-    member = every hash position's bit set (bool_and); an absent word
-    row means those 64 bits are all zero (left join + coalesce).
+    """Membership test for every DISTINCT item (``items`` is deduped
+    here): (item, bloom_member). member = every hash position's bit set
+    (bool_and); an absent word row means those 62 packed bits are all
+    zero (left join + coalesce; words carry ``_BITS_PER_WORD`` = 62
+    bits each, never 64 — see the packing note above).
 
     The filter side is broadcast by construction (≤ ceil(n_bits/62) rows);
     the probe is embarrassingly parallel over the items scan and the
@@ -247,7 +264,10 @@ def bloom_probe_count(
 ) -> DataFrame:
     """Grouped membership counting in ONE pass over the item stream:
     (group, n_items, n_member) — for each ``group_col`` key, how many
-    of its items exist in the filter. The decontamination shape
+    of its DISTINCT items exist in the filter (items are deduplicated
+    within each group by the per-(group, item) bool_and stage, so
+    repeated items count once in both n_items and n_member). The
+    decontamination shape
     (group = document, items = its grams) without materializing the
     distinct-item membership table and re-joining it against the
     stream: coordinates explode once, meet the broadcast filter, and

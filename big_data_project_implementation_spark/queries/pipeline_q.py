@@ -2990,10 +2990,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lpa_oracle(rounds: int = 4) -> str:
     """Unrolled DuckDB oracle for graph_label_propagation: synchronous
-    LPA with (count desc, label asc) argmax, one CTE pair per round,
-    plus the poison probe round — one extra unrolled sweep whose diff
-    against round ``rounds`` emits the same (-1, -1) sentinel the Spark
-    operator emits when the labeling is not yet a fixed point."""
+    LPA with (count desc, label asc) argmax, one CTE pair per round.
+    The convergence flag replays the operator's free probe: converged
+    iff round ``rounds`` changed no label vs round ``rounds - 1`` —
+    in which case the output IS the previous round's labeling and a
+    fixed point (round 7: out-of-band flag column replaced the in-band
+    (-1, -1) sentinel row)."""
     head = """
     WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
     e AS (
@@ -3015,45 +3017,45 @@ def _lpa_oracle(rounds: int = 4) -> str:
                                   ORDER BY c DESC, label ASC) AS rn
         FROM c{i}) WHERE rn = 1
     )"""
-    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, rounds + 2))
+    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, rounds + 1))
     return (
         head
         + body
         + f"""
-    SELECT node, label FROM (
-      SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
-      FROM l{rounds}
-      UNION ALL
-      SELECT * FROM (
-        SELECT CAST(-1 AS BIGINT) AS node, CAST(-1 AS BIGINT) AS label
-        FROM l{rounds} a JOIN l{rounds + 1} b USING (node)
-        WHERE a.label <> b.label LIMIT 1
-      )
-    ) ORDER BY node"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label,
+           NOT EXISTS (
+             SELECT 1 FROM l{rounds} a JOIN l{rounds - 1} b USING (node)
+             WHERE a.label <> b.label
+           ) AS converged
+    FROM l{rounds} ORDER BY node"""
     )
 
 
-@query("graph_label_propagation", oracle=_lpa_oracle(5))
+@query("graph_label_propagation", oracle=_lpa_oracle(6))
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-purchase graph
-    (operators.graph.label_propagation, 5 synchronous rounds + the
-    poison probe round): deterministic LPA — most-frequent neighbor
-    label, smallest label on ties — the topical-grouping layer between
-    exact connected components (too coarse) and embedding clustering
-    (needs vectors). Integer-exact, so the unrolled oracle checks it
-    round-for-round, probe included. Round-6 finding: the previously
-    certified 4-round labeling was NOT a fixed point at sf0.01 (the
-    probe emits a (-1,-1) sentinel there) — agreement without
-    convergence, exactly what the guard exists to surface; 5 rounds
-    converge at sf0.001/sf0.01, the sf0.1 bench graph needs 6 and now
-    says so loudly via the sentinel row instead of silently certifying."""
+    (operators.graph.label_propagation, 6 synchronous rounds with the
+    free in-sweep convergence probe): deterministic LPA —
+    most-frequent neighbor label, smallest label on ties — the
+    topical-grouping layer between exact connected components (too
+    coarse) and embedding clustering (needs vectors). Integer-exact,
+    so the unrolled oracle checks it round-for-round, converged flag
+    included. History: round 6's probe PROVED the once-certified
+    4-round labeling was not a fixed point (agreement without
+    convergence — exactly what the guard surfaces); 5 rounds reach
+    the fixed point at sf0.001/sf0.01, so 6 registered rounds make
+    the final sweep the no-op witness (converged=true) at the same
+    total edge-sweep cost round 6 paid for 5 rounds + a separate
+    probe sweep. The sf0.1 bench graph reports its own convergence
+    out-of-band via the flag column."""
     from big_data_project_implementation_spark.operators import graph
 
     li = t(spark, sf_dir, "lineitem")
     edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    return graph.label_propagation(edges, iterations=5).select(
+    return graph.label_propagation(edges, iterations=6).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("label"),
+        "converged",
     )
 
 
@@ -4117,14 +4119,13 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     a6 AS MATERIALIZED (SELECT u FROM s5 GROUP BY u HAVING count(*) >= 4),
     s6 AS MATERIALIZED (SELECT s.u, s.v FROM s5 s
            JOIN a6 x ON s.u = x.u JOIN a6 y ON s.v = y.u)
-    SELECT node, degree FROM (
+    SELECT node, degree, converged FROM (
       SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
       FROM s6 GROUP BY u HAVING count(*) >= 4
-      UNION ALL
-      SELECT * FROM (
-        SELECT CAST(-1 AS BIGINT) AS node, CAST(-1 AS BIGINT) AS degree
-        FROM s6 GROUP BY u HAVING count(*) < 4 LIMIT 1
-      )
+    ), (
+      SELECT NOT EXISTS (
+        SELECT 1 FROM s6 GROUP BY u HAVING count(*) < 4
+      ) AS converged
     ) ORDER BY node
     """,
 )
@@ -4132,7 +4133,10 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-core of the part co-purchase graph (operators.graph.k_core,
     6 synchronous peels — oracle unrolls the identical rounds): the
     link-graph denoiser that strips weakly-attached nodes; per round
-    one degree count + endpoint semi-joins on the shrinking edge set."""
+    one degree count + endpoint semi-joins on the shrinking edge set.
+    Round 7: convergence reported via the out-of-band ``converged``
+    flag column (no surviving node under-degree) instead of the old
+    in-band (-1, -1) sentinel row."""
     from big_data_project_implementation_spark.operators import graph
 
     li = t(spark, sf_dir, "lineitem")

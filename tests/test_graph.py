@@ -136,12 +136,12 @@ def test_lpa_every_node_labeled_once(spark):
     )
     out = graph.label_propagation(edges, 3).collect()
     # the path 1-2-3 is bipartite: synchronous LPA 2-cycles on it
-    # forever, so the convergence probe rightly adds its sentinel row —
-    # every REAL node still gets exactly one label
-    real = [r for r in out if r.node != -1]
-    assert (-1, -1) in {(r.node, r.label) for r in out}
-    assert len(real) == 5
-    assert len({r.node for r in real}) == 5
+    # forever, so the convergence probe rightly reports converged=False
+    # (out-of-band flag, round 7) — every node still gets exactly one
+    # label
+    assert all(not r.converged for r in out)
+    assert len(out) == 5
+    assert len({r.node for r in out}) == 5
 
 
 def test_k_core_peels_weak_nodes(spark):
@@ -217,8 +217,8 @@ def test_k_core_poison_round_flags_non_convergence(spark):
     """VERDICT r5 #3: fixed-round peeling on an adversarially deep
     graph used to certify a NON-converged subgraph silently (oracle
     unrolls the same rounds → agreement without correctness). The
-    probe now emits a (-1, -1) sentinel whenever another peel would
-    still delete something."""
+    probe reports converged=False (out-of-band flag, round 7)
+    whenever another peel would still delete something."""
     from big_data_project_implementation_spark.operators import graph
 
     # a long path has an empty 2-core, but peeling strips only the two
@@ -227,20 +227,21 @@ def test_k_core_poison_round_flags_non_convergence(spark):
     edges = spark.createDataFrame(path, "src long, dst long")
 
     shallow = graph.k_core(edges, k=2, rounds=2).collect()
-    assert (-1, -1) in {(r.node, r.degree) for r in shallow}
+    assert shallow and all(not r.converged for r in shallow)
 
     deep = graph.k_core(edges, k=2, rounds=12).collect()
-    assert deep == []  # fully dissolved, converged: no sentinel
+    assert deep == []  # fully dissolved: zero rows (flag rides rows)
 
 
 def test_k_core_no_poison_when_converged(spark):
     from big_data_project_implementation_spark.operators import graph
 
     clique = [(a, b) for a in range(5) for b in range(5) if a < b]
-    out = {r.node: r.degree for r in graph.k_core(
+    rows = graph.k_core(
         spark.createDataFrame(clique, "src long, dst long"), k=3, rounds=2
-    ).collect()}
-    assert out == {n: 4 for n in range(5)}  # no sentinel key
+    ).collect()
+    assert {r.node: r.degree for r in rows} == {n: 4 for n in range(5)}
+    assert all(r.converged for r in rows)
 
 
 def test_lpa_poison_round_flags_non_fixed_point(spark):
@@ -249,8 +250,9 @@ def test_lpa_poison_round_flags_non_fixed_point(spark):
     # triangle: converges to all-0 by round 3; after 1 round labels
     # are still moving, so the probe must fire
     tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
-    shallow = {(r.node, r.label) for r in graph.label_propagation(tri, 1).collect()}
-    assert (-1, -1) in shallow
+    shallow = graph.label_propagation(tri, 1).collect()
+    assert all(not r.converged for r in shallow)
 
-    deep = {(r.node, r.label) for r in graph.label_propagation(tri, 4).collect()}
-    assert deep == {(0, 0), (1, 0), (2, 0)}  # fixed point, no sentinel
+    deep = graph.label_propagation(tri, 4).collect()
+    assert {(r.node, r.label) for r in deep} == {(0, 0), (1, 0), (2, 0)}
+    assert all(r.converged for r in deep)  # fixed point, flag certifies

@@ -362,7 +362,10 @@ HEAVY_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     "dedup_clusters": (4, ("SortMergeJoin",)),
     "dedup_containment": (11, ("BroadcastHashJoin",) * 3),
     "embedding_semdedup": (5, ("SortMergeJoin",) * 2),
-    "graph_label_propagation": (7, ("SortMergeJoin",) * 2),
+    # round 7: the free in-sweep probe moved the per-round argmax
+    # behind the final localCheckpoint; the returned stage is the
+    # (labels x 1-row converged flag) broadcast cross join + sort
+    "graph_label_propagation": (2, ("BroadcastNestedLoopJoin",)),
     # round 6: single-pass grouped Bloom probe — the filter side must
     # stay a broadcast (one BHJ), never a shuffled join of the stream;
     # the _spread repartition keys on doc_id so BOTH downstream
