@@ -1,7 +1,10 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+a JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — followed, when that line outgrows
+the driver's ~2000-byte stdout tail window, by a compact same-schema
+line (slowest queries only, "trimmed": true) so the last JSON line on
+stdout always parses and always carries the headline total.
 
 Each query is executed to completion (count() action — full pipeline,
 no driver materialization of payload rows). A warmup run of the first
@@ -165,17 +168,30 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time at sf" + str(sf),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline query wall time at sf" + str(sf),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    line = json.dumps(payload)
+    print(line)
+    # The driver records only the LAST ~2000 bytes of stdout; when the
+    # full line outgrows that window its HEAD (metric/value + first
+    # queries) is cut and the headline is lost to truncation (r6:
+    # "parsed": null). Guard: follow the full line with a compact line
+    # — same schema, slowest queries kept until a conservative byte
+    # budget — so the final (and therefore surviving) JSON line always
+    # parses and always carries the headline value.
+    if len(line) > 1500:
+        compact = dict(payload, queries={}, trimmed=True)
+        for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
+            compact["queries"][name] = dt
+            if len(json.dumps(compact)) > 1400:
+                del compact["queries"][name]
+                break
+        print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -421,7 +421,7 @@ def ivf_centroids(
             F.row_number()
             .over(Window.orderBy(id_col))
             .alias("cell"),
-            _q6(F.col(vec_col)).alias("centroid"),
+            _q6_checked(F.col(vec_col)).alias("centroid"),
         )
     )
     # the per-iteration argmin pass is pure CPU — spread a narrow scan
@@ -435,7 +435,7 @@ def ivf_centroids(
             .withColumn("_cos", cosine_q("_vec", "centroid"))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
-            .select("cell", _q6(F.col("_vec")).alias("_vq"))
+            .select("cell", _q6_checked(F.col("_vec")).alias("_vq"))
         )
         by_pos = (
             assigned.select("cell", F.posexplode("_vq").alias("pos", "x"))
@@ -730,6 +730,48 @@ def _q6(arr: Column | str) -> Column:
     )
 
 
+def _q6_checked(arr: Column | str, max_micro: Column | None = None) -> Column:
+    """``_q6`` plus a LOUD int64-overflow guard, applied ONCE where raw
+    vectors enter an integer pipeline (ivf_centroids / pq_codebooks /
+    pq_encode / lsh_md5_pairs); the hot inner loops keep the unchecked
+    ``_q6`` over already-validated data.
+
+    Why: downstream bigint sums of per-term products (x*y, (x-y)^2)
+    overflow int64 SILENTLY for large-magnitude or high-dim inputs
+    (components ~1e3 at dim 1024 give per-term squares ~1e18),
+    corrupting centroids/codes with no error. The per-row bound
+    floor(sqrt(2^63/dim)/2) micro-units (~1.9e8 at dim 64, i.e.
+    |x| ≲ 190.0; ~47.0 at dim 1024) is the largest magnitude for which
+    a dim-length product sum of two in-bound arrays provably fits; a
+    violating vector now fails the job with a message naming the bound
+    instead of training on wrapped arithmetic. Callers with tighter
+    arithmetic (decimal(38,0) squares in ``lsh_md5_pairs``) pass their
+    own ``max_micro``."""
+    q = _q6(arr)
+    dim = F.greatest(F.size(q), F.lit(1))
+    bound = (
+        max_micro
+        if max_micro is not None
+        else F.floor(F.sqrt(F.lit(float(2**63)) / dim) / F.lit(2.0)).cast(
+            "long"
+        )
+    )
+    mx = F.array_max(F.transform(q, lambda x: F.abs(x)))
+    ok = mx.isNull() | (mx <= bound)
+    err = F.concat(
+        F.lit("embedding component magnitude "),
+        (mx.cast("double") / F.lit(1e6)).cast("string"),
+        F.lit(" exceeds the integer-exact bound "),
+        (bound.cast("double") / F.lit(1e6)).cast("string"),
+        F.lit(" at dim "),
+        F.size(q).cast("string"),
+        F.lit(" — normalize or scale vectors before indexing"),
+    )
+    # assert_true is NULL on pass and raises on violation, so the WHEN
+    # is identically q for every surviving row — guard stays in codegen
+    return F.when(F.assert_true(ok, err).isNull(), q)
+
+
 def _l2sq(a: Column | str, b: Column | str) -> Column:
     """Exact squared L2 distance between two micro-unit integer arrays
     (codegen-only, bigint arithmetic — no float summation order to
@@ -786,7 +828,9 @@ def pq_codebooks(
     ).select(
         "_id",
         "sub",
-        _q6(F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)).alias("sv"),
+        _q6_checked(
+            F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)
+        ).alias("sv"),
     )
     # seed from DISTINCT subvectors (lowest id per distinct value):
     # duplicate subvectors among the first-k-by-id seeds would create
@@ -874,7 +918,9 @@ def pq_encode(
     ).select(
         "_id",
         "sub",
-        _q6(F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)).alias("sv"),
+        _q6_checked(
+            F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)
+        ).alias("sv"),
     )
     best = (
         subs.join(F.broadcast(books), "sub")
@@ -1292,12 +1338,23 @@ def lsh_md5_pairs(
     production path (gaussian hyperplanes + one Arrow matmul per
     batch, ``lsh_signatures``) remains the scale path.
 
-    Returns (id_a, id_b, dot_q) — dot_q the exact micro-unit² dot."""
+    Returns (id_a, id_b, dot_q) — dot_q the exact micro-unit² dot.
+
+    Magnitude precondition (asserted, not assumed): the square-compare
+    runs in decimal(38,0), so dot² · 10⁴ and t² · |a|²·|b|² must stay
+    under 10³⁸ — a tighter bound than ``_q6_checked``'s int64 default:
+    max |component| ≤ sqrt(10¹⁷/dim) micro-units (≈ 39.5 at dim 64).
+    Violations fail loudly instead of overflowing the decimal compare
+    to NULL and silently dropping pairs."""
     import hashlib
 
-    q = F.transform(
+    q = _q6_checked(
         F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+        max_micro=F.floor(
+            F.sqrt(
+                F.lit(1e17) / F.greatest(F.size(F.col(vec_col)), F.lit(1))
+            )
+        ).cast("long"),
     )
     base = df.select(F.col(id_col).alias("id"), q.alias("q"))
 

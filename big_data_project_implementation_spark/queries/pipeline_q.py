@@ -2117,7 +2117,7 @@ def _bfd_oracle(budget=512):
     WITH RECURSIVE base AS (
       SELECT doc_id, lang,
              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     items AS (
       SELECT lang, doc_id, n,
@@ -2171,9 +2171,13 @@ def text_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a per-shard recursive CTE (_bfd_oracle), so the Arrow-side
     Python is checked item-for-item by an independent engine;
     budget/lower-bound/partitioning invariants remain in
-    tests/test_round4_ops.py."""
-    d = t(spark, sf_dir, "documents").withColumn(
-        "n_tokens", text.token_count("text")
+    tests/test_round4_ops.py. NULL-text docs are excluded on BOTH
+    sides by construction (token_count(NULL) is NULL, which would
+    poison the packing state — the passage_dedup convention)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("n_tokens", text.token_count("text"))
     )
     return text.pack_sequences_bfd(d, budget=512)
 
@@ -3945,9 +3949,17 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-certifies both; recall floor vs bruteforce pinned at
     sf0.1 with the inline path's. The index builds lazily on first use
     per sf_dir (bench's two-pass-min therefore times the serve path
-    alone — the deployment-shape number)."""
+    alone — the deployment-shape number). Cache safety (round 7): the
+    path is keyed per-user, the build lands in a unique staging dir,
+    and publication is a single atomic rename — concurrent runs
+    (bench + correctness driver) race the rename, the loser discards
+    its staging dir and serves the winner's complete index; a partial
+    index is never visible under the final path."""
+    import getpass as _getpass
     import os as _os
+    import shutil as _shutil
     import tempfile as _tempfile
+    import uuid as _uuid
 
     from big_data_project_implementation_spark.operators import similarity as sim
 
@@ -3956,11 +3968,26 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the version segment invalidates indexes built by older code
     path = _os.path.join(
         _tempfile.gettempdir(),
-        "spark_graft_ann_index_v2",
+        "spark_graft_ann_index_v2_" + _getpass.getuser(),
         sf_dir.strip("/").replace("/", "_"),
     )
     if not _os.path.exists(_os.path.join(path, "codes", "_SUCCESS")):
-        sim.build_ann_index(emb, path, n_cells=16, m=8, n_codes=32)
+        stage = f"{path}.build-{_os.getpid()}-{_uuid.uuid4().hex[:8]}"
+        sim.build_ann_index(emb, stage, n_cells=16, m=8, n_codes=32)
+        if _os.path.exists(path):
+            # a dir without _SUCCESS is a dead partial build: claim it
+            # atomically (rename) before deleting so two repairers
+            # never rmtree the same live path
+            try:
+                _os.rename(path, stage + ".stale")
+                _shutil.rmtree(stage + ".stale", ignore_errors=True)
+            except OSError:
+                pass  # someone else claimed/republished it
+        try:
+            _os.rename(stage, path)
+        except OSError:
+            # lost the publication race — serve the winner's index
+            _shutil.rmtree(stage, ignore_errors=True)
     qs = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_topk_from_index(
         qs, emb, path, k=5, nprobe=4, refine=16

@@ -1,0 +1,78 @@
+"""Round-7 additions: overflow guards on the integer-quantized ANN
+entry points, NULL-text safety for the BFD packer, and the
+convergence-flag return contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark.operators import similarity as sim
+from big_data_project_implementation_spark.operators import text
+
+
+def _vecs(spark, comps):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(comps)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_q6_guard_passes_unit_vectors(spark):
+    """Normal (unit-ish) embeddings flow through the guarded quantize
+    unchanged — same values the unchecked _q6 yields."""
+    df = _vecs(spark, [[0.5, -0.25, 1.0, 0.0]] * 3)
+    out = df.select(
+        sim._q6_checked(F.col("embedding")).alias("q")
+    ).collect()
+    assert [r.q for r in out] == [[500000, -250000, 1000000, 0]] * 3
+
+
+def test_q6_guard_rejects_overflow_magnitude(spark):
+    """ADVICE r6: components large enough that int64 dot/norm sums
+    would silently wrap now fail the job LOUDLY at the quantize step.
+    dim 4 bound is sqrt(2^63/4)/2 ≈ 7.6e8 micro-units (|x| ≈ 759) —
+    1e6 is far past it."""
+    df = _vecs(spark, [[1e6, 0.0, 0.0, 0.0]])
+    with pytest.raises(Exception, match="integer-exact bound"):
+        df.select(sim._q6_checked(F.col("embedding")).alias("q")).collect()
+
+
+def test_ivf_centroids_guarded_end_to_end(spark):
+    """The guard fires through the public entry point, not just the
+    helper: ivf_centroids on poisoned vectors raises instead of
+    training on wrapped bigint arithmetic."""
+    bad = _vecs(spark, [[1e7] * 8, [0.1] * 8, [0.2] * 8, [0.3] * 8])
+    with pytest.raises(Exception, match="integer-exact bound"):
+        sim.ivf_centroids(bad, n_cells=2, iters=1).collect()
+
+
+def test_lsh_md5_pairs_decimal_bound(spark):
+    """lsh_md5_pairs carries the tighter decimal(38,0) bound
+    (sqrt(1e17/dim) micro-units ≈ 111 at dim 8): components of ~1000
+    pass the generic int64 bound but must fail here, because the
+    square-compare would overflow the decimal and silently drop
+    pairs."""
+    bad = _vecs(spark, [[1000.0] * 8, [999.0] * 8])
+    with pytest.raises(Exception, match="integer-exact bound"):
+        sim.lsh_md5_pairs(bad, dim=8, n_planes=2, n_tables=1).collect()
+    ok = _vecs(spark, [[0.9] * 8, [0.9] * 8])
+    rows = sim.lsh_md5_pairs(ok, dim=8, n_planes=2, n_tables=1).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]  # identical vecs
+
+
+def test_pack_bfd_null_text_excluded(spark):
+    """ADVICE r6: a NULL-text doc yields NULL n_tokens, which would
+    poison the packing state (int(NaN) in the Arrow loop). The query
+    path excludes NULL text on both sides; the operator itself still
+    packs the non-NULL rows."""
+    d = spark.createDataFrame(
+        [(0, "a b c", "en"), (1, None, "en"), (2, "d e", "en")],
+        "doc_id long, text string, lang string",
+    )
+    packed = text.pack_sequences_bfd(
+        d.filter(F.col("text").isNotNull()).withColumn(
+            "n_tokens", text.token_count("text")
+        ),
+        budget=4,
+    ).collect()
+    assert {r.doc_id for r in packed} == {0, 2}
+    assert all(r.pack_fill <= 4 for r in packed)
