@@ -96,6 +96,33 @@ def get_session(
         # -- scans: make sure pushdown is on (it is by default; pin it)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # -- streaming state: RocksDB, not the default executor-heap
+        #    HDFSBackedStateStore. Heap state is the first thing that
+        #    falls over at 100 TB stream volume (windowed distinct /
+        #    sessionize / stream-stream joins hold state proportional
+        #    to key arrival x watermark delay; the heap store keeps
+        #    EVERY version of it on-heap and GC-thrashes well before
+        #    OOM). RocksDB spills to local disk with bounded block
+        #    cache, changelog-checkpoints incrementally, and is the
+        #    documented provider for large-state production streams.
+        #    All stateful queries + checkpoint/restart exactly-once
+        #    tests run under it (tests/test_streaming.py);
+        #    SPARK_GRAFT_STATE_STORE=hdfs restores the heap store.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+            if os.environ.get("SPARK_GRAFT_STATE_STORE") == "hdfs"
+            else "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        # unmodified state files from past versions are reused, not
+        # re-uploaded, at each RocksDB checkpoint — the incremental
+        # behavior a long-running 100 TB stream needs
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     if master is not None:
         builder = builder.master(master)
