@@ -1307,6 +1307,63 @@ def ivfpq_topk_from_index(
     )
 
 
+def _ilsh_dot(a: Column, b: Column) -> Column:
+    """Exact bigint dot product of two micro-unit integer arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _md5_lsh_sig(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared machinery of the md5-certified hyperplane-LSH family
+    (``lsh_md5_pairs`` / ``lsh_md5_topk``): quantize (guarded by the
+    decimal(38,0)-safe magnitude bound), derive engine-portable integer
+    hyperplanes from md5, and compute the per-table sign-bit bucket.
+    Returns (base = (id, q micro-unit array), sig = (id, t, bucket))."""
+    import hashlib
+
+    q = _q6_checked(
+        F.col(vec_col),
+        max_micro=F.floor(
+            F.sqrt(
+                F.lit(1e17) / F.greatest(F.size(F.col(vec_col)), F.lit(1))
+            )
+        ).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("id"), q.alias("q"))
+
+    def plane(t: int, p: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"lsh{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
+            % 2001
+            - 1000
+            for d in range(dim)
+        ]
+
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            w = F.array(*[F.lit(v).cast("long") for v in plane(t, p)])
+            b = b + F.when(_ilsh_dot(F.col("q"), w) > 0, F.lit(1 << p)).otherwise(
+                0
+            )
+        buckets.append(b)
+    sig = base.select(
+        "id", F.posexplode(F.array(*buckets)).alias("t", "bucket")
+    )
+    return base, sig
+
+
 def lsh_md5_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1346,43 +1403,8 @@ def lsh_md5_pairs(
     max |component| ≤ sqrt(10¹⁷/dim) micro-units (≈ 39.5 at dim 64).
     Violations fail loudly instead of overflowing the decimal compare
     to NULL and silently dropping pairs."""
-    import hashlib
-
-    q = _q6_checked(
-        F.col(vec_col),
-        max_micro=F.floor(
-            F.sqrt(
-                F.lit(1e17) / F.greatest(F.size(F.col(vec_col)), F.lit(1))
-            )
-        ).cast("long"),
-    )
-    base = df.select(F.col(id_col).alias("id"), q.alias("q"))
-
-    def plane(t: int, p: int) -> list[int]:
-        return [
-            int(hashlib.md5(f"lsh{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
-            % 2001
-            - 1000
-            for d in range(dim)
-        ]
-
-    def idot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    buckets = []
-    for t in range(n_tables):
-        b = F.lit(0).cast("bigint")
-        for p in range(n_planes):
-            w = F.array(*[F.lit(v).cast("long") for v in plane(t, p)])
-            b = b + F.when(idot(F.col("q"), w) > 0, F.lit(1 << p)).otherwise(0)
-        buckets.append(b)
-    sig = base.select(
-        "id", F.posexplode(F.array(*buckets)).alias("t", "bucket")
-    )
+    base, sig = _md5_lsh_sig(df, vec_col, id_col, dim, n_planes, n_tables)
+    idot = _ilsh_dot
     cand = (
         sig.alias("x")
         .join(
@@ -1418,4 +1440,77 @@ def lsh_md5_pairs(
         .withColumn("_nb", nb)
         .filter((F.col("_dot") > 0) & (lhs >= rhs))
         .select("id_a", "id_b", F.col("_dot").alias("dot_q"))
+    )
+
+
+def lsh_md5_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Certification variant of the bucketed ANN TOP-K shape
+    (``lsh_bucketed_topk``): the identical pipeline — per-table
+    sign-bit bucket, query↔corpus bucket join, candidate dedup, exact
+    cosine re-rank, per-query row_number top-k — with the md5-derived
+    integer hyperplanes of :func:`lsh_md5_pairs`, so a SQL engine
+    replays every stage bit-for-bit. Completes the round-6 family:
+    ``lsh_md5_pairs`` certified the symmetric NEAR-DUP shape; this
+    certifies the asymmetric query-serving shape (candidate set per
+    query, rank, truncate) that the production ``lsh_bucketed_topk``
+    only covers with a recall floor.
+
+    Numerics: dot/norms are exact bigints over micro-unit arrays; the
+    cosine is one double divide over exact integers (the ``cosine_q``
+    argument — identical IEEE ops on identical inputs on any engine),
+    ranked raw, emitted floor-rounded at 6dp. The query signature side
+    is broadcast (|queries| × n_tables rows); the corpus never
+    shuffles for bucketing — only the candidate pairs do.
+
+    Returns (query_id, neighbor_id, cos_q6, rank), rank ≤ k."""
+    qbase, qsig = _md5_lsh_sig(queries, vec_col, id_col, dim, n_planes, n_tables)
+    cbase, csig = _md5_lsh_sig(corpus, vec_col, id_col, dim, n_planes, n_tables)
+    cand = (
+        csig.alias("c")
+        .join(
+            F.broadcast(qsig.alias("x")),
+            (F.col("x.t") == F.col("c.t"))
+            & (F.col("x.bucket") == F.col("c.bucket"))
+            & (F.col("x.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("x.id").alias("query_id"), F.col("c.id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    qv = qbase.select(F.col("id").alias("query_id"), F.col("q").alias("qv"))
+    cv = cbase.select(F.col("id").alias("neighbor_id"), F.col("q").alias("cv"))
+    dot = _ilsh_dot(F.col("qv"), F.col("cv"))
+    nq = _ilsh_dot(F.col("qv"), F.col("qv"))
+    nc = _ilsh_dot(F.col("cv"), F.col("cv"))
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_nq").cast("double")) * F.sqrt(F.col("_nc").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("_dot", dot)
+        .withColumn("_nq", nq)
+        .withColumn("_nc", nc)
+        .withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(F.col("_cos") * 1e6 + F.lit(0.5)) / 1e6).alias("cos_q6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -885,6 +885,91 @@ def embedding_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_LSH_MD5_TOPK_ORACLE = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    ed AS MATERIALIZED (
+      SELECT vec_id, u.d, q[u.d + 1] AS qv
+      FROM e, unnest(range(0, 64)) u(d)
+    ),
+    hp AS MATERIALIZED (
+      SELECT t.t, p.p, d.d,
+             CAST(('0x' || substr(md5('lsh' || t.t || ':' || p.p || ':' || d.d),
+                                  1, 15)) AS BIGINT) % 2001 - 1000 AS w
+      FROM unnest(range(0, 4)) t(t),
+           unnest(range(0, 6)) p(p),
+           unnest(range(0, 64)) d(d)
+    ),
+    proj AS MATERIALIZED (
+      SELECT ed.vec_id, hp.t, hp.p, SUM(ed.qv * hp.w) AS pr
+      FROM ed JOIN hp USING (d)
+      GROUP BY ed.vec_id, hp.t, hp.p
+    ),
+    bkt AS MATERIALIZED (
+      SELECT vec_id, t,
+             SUM(CASE WHEN pr > 0
+                      THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                      ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, t
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bkt x JOIN bkt c
+        ON x.t = c.t AND x.bucket = c.bucket AND x.vec_id <> c.vec_id
+      WHERE x.vec_id < 5
+    ),
+    nrm AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS n2 FROM ed GROUP BY vec_id),
+    scored AS MATERIALIZED (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cos
+      FROM (
+        SELECT cd.query_id, cd.neighbor_id, SUM(a.qv * b.qv) AS dot
+        FROM cand cd
+        JOIN ed a ON a.vec_id = cd.query_id
+        JOIN ed b ON b.vec_id = cd.neighbor_id AND b.d = a.d
+        GROUP BY cd.query_id, cd.neighbor_id
+      ) d
+      JOIN nrm na ON na.vec_id = d.query_id
+      JOIN nrm nb ON nb.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           floor(cos * 1000000 + 0.5) / 1000000 AS cos_q6, rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id)
+                         AS INT) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("similarity_lsh_topk_certified", oracle=_LSH_MD5_TOPK_ORACLE)
+def similarity_lsh_topk_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN TOP-K with a hash-match oracle
+    (operators.similarity.lsh_md5_topk, round 7 — VERDICT r6 #4):
+    the asymmetric query-serving shape — per-table sign-bit buckets,
+    broadcast query↔corpus bucket join, candidate dedup, exact-integer
+    cosine re-rank, per-query top-k truncation — replayed stage for
+    stage in SQL via md5-derived integer hyperplanes. Together with
+    ``embedding_lsh_certified`` (the symmetric near-dup-pairs shape,
+    round 6) this closes the hyperplane-LSH family: both production
+    compositions (`similarity_lsh_topk`, `embedding_near_dup_lsh` —
+    gaussian planes + Arrow matmul) now have their LOGIC certified by
+    an independent engine, while keeping their sf0.1 recall floors."""
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_md5_topk(
+        qs, emb, dim=64, k=5, n_planes=6, n_tables=4
+    ).orderBy("query_id", "rank")
+
+
 @query(
     "similarity_bruteforce_topk",
     oracle="""
