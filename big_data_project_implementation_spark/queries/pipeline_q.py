@@ -4150,6 +4150,52 @@ def text_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_classifier_step_certified",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, w
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents WHERE text IS NOT NULL)
+      WHERE w <> ''
+    ),
+    counts AS MATERIALIZED (
+      SELECT doc_id, y,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS pos,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, y, pos
+    ),
+    feat AS (
+      SELECT doc_id, y, pos,
+             (c * 1000000) // SUM(c) OVER (PARTITION BY doc_id) AS fq
+      FROM counts
+      UNION ALL
+      SELECT DISTINCT doc_id, y, CAST(64 AS BIGINT), CAST(1000000 AS BIGINT)
+      FROM counts
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM counts)
+    SELECT pos, CAST(SUM(fq * (1 - 2 * y)) AS BIGINT) AS g2n_q6, nd.n_docs
+    FROM feat, nd GROUP BY pos, nd.n_docs ORDER BY pos
+    """,
+)
+def text_classifier_step_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One integer-exact logistic gradient step (operators.text
+    .classifier_gradient_step_q, round 7 — VERDICT r6 #7): at w = 0
+    the sigmoid is exactly 0.5, so the first full-batch gradient is a
+    rational with an exact bigint numerator once features are md5-
+    hashed integer micro-unit relative frequencies — the one step of
+    the trainer's treeAggregate loop an external engine can replay
+    bit-for-bit, no libm anywhere. Certifies the tokenize → hash →
+    normalize → map-side-combined component aggregation logic that
+    `text_train_classifier`'s fp iterations (rows-only; numpy-parity
+    + monotone-loss pytests) cannot hash-match."""
+    d = t(spark, sf_dir, "documents")
+    return text.classifier_gradient_step_q(
+        d, label=F.col("lang") == "en", n_features=64
+    )
+
+
+@query(
     "text_unicode_nfc",
     oracle="""
     SELECT doc_id,
