@@ -343,41 +343,99 @@ TPCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
 }
 
 
-# Same machinery for the heavy pipeline queries (VERDICT r5 #1): the
-# r5 bench showed dedup_word_jaccard +60% with no implicating commit —
-# exactly the r4 TPC-H pattern that fingerprints proved was JVM
-# contention. With these pinned (verified identical at sf0.001 and
-# sf0.1), a wall-time move on these rows can only be contention.
-# NB: for the iterative queries (clusters, LPA) the physical plan of
-# the returned DF covers the final stage only — the per-round segments
-# execute eagerly behind localCheckpoints — so their fingerprints pin
-# the closure/argmax stage, and the round structure is pinned by the
-# operators' unrolled oracles instead.
-HEAVY_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
-    "dedup_word_jaccard": (
-        24,
-        ("BroadcastHashJoin",) * 5 + ("BroadcastNestedLoopJoin",),
-    ),
-    "dedup_minhash_lsh": (33, ("BroadcastHashJoin",) * 6),
-    "dedup_clusters": (4, ("SortMergeJoin",)),
-    "dedup_containment": (11, ("BroadcastHashJoin",) * 3),
-    "embedding_semdedup": (5, ("SortMergeJoin",) * 2),
+# Same machinery for EVERY non-TPC-H bench row (VERDICT r6 #1): three
+# rounds running, the driver's shared-box bench manufactured phantom
+# regressions (r4: five TPC-H rows; r5: dedup_word_jaccard 8.35s; r6:
+# text_pmi_topk 7.98s vs judge-clean 1.86s) that each cost an
+# investigation. With the full bench set pinned — every fingerprint
+# verified IDENTICAL at sf0.001 and sf0.1 (tools/gen_plan_fingerprints
+# .py, 2026-08-15) — a wall-time move on ANY bench row with an
+# unchanged fingerprint can only be contention, never silent plan
+# drift. PLAN_AUDIT.md's table is generated from these dicts
+# (tools/gen_plan_audit.py), so doc and test cannot diverge.
+# NB: for the iterative queries (clusters, LPA, BPE, IVF-PQ) the
+# physical plan of the returned DF covers the final stage only — the
+# per-round segments execute eagerly behind localCheckpoints — so
+# their fingerprints pin the closure/argmax/consumer stage, and the
+# round structure is pinned by the operators' unrolled oracles.
+BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
+    "join_inner_shuffle": (1, ('BroadcastHashJoin',)),
+    "agg_function_library": (3, ()),
+    "window_running_agg": (2, ()),
+    "text_stats": (1, ()),
+    "dedup_exact_prefix": (2, ('BroadcastHashJoin',)),
+    "dedup_spans": (4, ('BroadcastHashJoin',)),
+    # r5 regression investigation row: pinned so a wall-time move can
+    # only be contention (exact all-pairs verify over canonical sets)
+    "dedup_word_jaccard": (24, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin')),
+    "dedup_clusters": (4, ('SortMergeJoin',)),
+    "dedup_minhash_lsh": (33, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    "similarity_bruteforce_topk": (2, ('BroadcastNestedLoopJoin',)),
+    "similarity_lsh_topk": (2, ('BroadcastHashJoin',)),
+    "events_funnel": (2, ()),
+    "events_rolling_active": (5, ('BroadcastHashJoin', 'BroadcastHashJoin')),
+    "text_tfidf_topk": (6, ('BroadcastHashJoin', 'BroadcastNestedLoopJoin')),
+    "dedup_mass": (4, ('BroadcastHashJoin', 'BroadcastHashJoin')),
+    "text_bm25_search": (6, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin')),
+    "pipeline_curate_end_to_end": (8, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    "text_repetition_signals": (4, ('BroadcastHashJoin',)),
+    "text_ngram_novelty": (4, ('BroadcastHashJoin', 'BroadcastHashJoin')),
+    "embedding_semdedup": (5, ('SortMergeJoin', 'SortMergeJoin')),
+    "text_classifier_score": (1, ()),
+    "join_band_self": (2, ('BroadcastHashJoin',)),
+    "pipeline_curate_v2": (7, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    "sketch_bitmap_distinct": (4, ()),
+    "text_vocab_coverage": (4, ('BroadcastHashJoin',)),
+    "data_temperature_mixture": (4, ('BroadcastHashJoin', 'BroadcastNestedLoopJoin')),
+    "relational_zip_with_index": (6, ('BroadcastHashJoin',)),
+    "data_dsir_weights": (3, ('BroadcastHashJoin',)),
+    "sql_recursive_cte": (2, ()),
+    "text_bpe_merges": (5, ()),
+    "text_bigram_logprob": (7, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin')),
     # round 7: the free in-sweep probe moved the per-round argmax
     # behind the final localCheckpoint; the returned stage is the
     # (labels x 1-row converged flag) broadcast cross join + sort
-    "graph_label_propagation": (2, ("BroadcastNestedLoopJoin",)),
-    # round 6: single-pass grouped Bloom probe — the filter side must
-    # stay a broadcast (one BHJ), never a shuffled join of the stream;
-    # the _spread repartition keys on doc_id so BOTH downstream
-    # groupBys reuse its partitioning (5.6x measured: 6.3s -> 1.1s)
-    "text_bloom_decontaminate": (4, ("BroadcastHashJoin",)),
+    "graph_label_propagation": (2, ('BroadcastNestedLoopJoin',)),
+    "events_anomaly_mad": (4, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    "audit_table_fingerprint": (1, ()),
+    "window_time_range_frame": (2, ()),
+    "pipeline_curate_v3": (20, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
+    "dedup_containment": (11, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    "events_attribution": (2, ()),
+    "embedding_covariance": (7, ('BroadcastHashJoin', 'BroadcastHashJoin')),
+    "sample_weighted_es": (0, ()),
+    "text_passage_dedup": (6, ('BroadcastHashJoin', 'BroadcastHashJoin')),
+    "text_pmi_topk": (9, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin')),
+    "events_attribution_multitouch": (2, ('BroadcastHashJoin',)),
+    "text_bpe_encode": (3, ('BroadcastHashJoin',)),
+    "text_train_classifier": (1, ()),
+    # the inline-training composition oracle: Lloyd rounds execute
+    # eagerly behind localCheckpoints, so this pins the encode+ADC+
+    # re-rank consumer stage
+    "similarity_ivfpq_topk": (7, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'SortMergeJoin')),
+    # the deployment shape: training-free serve plan over the
+    # persisted cell-partitioned index (DPP on the cell key)
+    "similarity_ivfpq_serve": (5, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
+    # stream_* rows: the query fns run their stream to completion and
+    # return the memory-sink table, so these pin the post-sink rank/
+    # presentation plan; the in-stream plan is pinned by the streaming
+    # tests (watermark/state assertions), not fingerprintable statically
+    "stream_sessionize": (1, ()),
+    "stream_stream_left_join": (1, ()),
+    "stream_stream_full_join": (1, ()),
+    "stream_windowed_distinct": (1, ()),
+    # round 6: single-pass grouped Bloom probe - the filter side must
+    # stay a broadcast (one BHJ), never a shuffled join of the stream
+    "text_bloom_decontaminate": (4, ('BroadcastHashJoin',)),
+    "stream_dedup_vs_corpus": (2, ()),
 }
 
 
-def test_heavy_pipeline_plan_fingerprints_pinned(spark):
-    """The heavy dedup/ANN/graph bench rows keep their shuffle count
-    and join-operator multiset — so a bench regression on them can be
-    attributed to contention, never silent plan drift."""
+def test_bench_plan_fingerprints_pinned(spark):
+    """EVERY non-TPC-H bench row keeps its shuffle count and
+    join-operator multiset — so a bench regression on any row can be
+    attributed to contention, never silent plan drift (VERDICT r6 #1:
+    the full bench set, not just the previously-flagged heavy rows)."""
     import re
 
     join_re = re.compile(
@@ -385,16 +443,24 @@ def test_heavy_pipeline_plan_fingerprints_pinned(spark):
         r"|BroadcastNestedLoopJoin|CartesianProduct)"
     )
     got = {}
-    for name, _want in HEAVY_PLAN_FINGERPRINTS.items():
+    for name, _want in BENCH_PLAN_FINGERPRINTS.items():
         df = REGISTRY[name].fn(spark, SF_DIR)
         plan = plans.physical_plan(df)
         got[name] = (plans.count_shuffles(df), tuple(sorted(join_re.findall(plan))))
+        spark.catalog.clearCache()
     mismatches = {
-        n: {"expected": HEAVY_PLAN_FINGERPRINTS[n], "got": got[n]}
+        n: {"expected": BENCH_PLAN_FINGERPRINTS[n], "got": got[n]}
         for n in got
-        if got[n] != HEAVY_PLAN_FINGERPRINTS[n]
+        if got[n] != BENCH_PLAN_FINGERPRINTS[n]
     }
     assert not mismatches, mismatches
+    # completeness: the pinned set IS the bench set (new bench rows
+    # must arrive with a fingerprint)
+    import bench
+
+    assert set(BENCH_PLAN_FINGERPRINTS) | set(TPCH_PLAN_FINGERPRINTS) == set(
+        bench.BENCH_QUERIES
+    )
 
 
 def test_tpch_plan_fingerprints_pinned(spark):
@@ -419,3 +485,30 @@ def test_tpch_plan_fingerprints_pinned(spark):
         if got[n] != TPCH_PLAN_FINGERPRINTS[n]
     }
     assert not mismatches, mismatches
+
+
+def test_plan_audit_table_matches_fingerprints():
+    """PLAN_AUDIT.md's benched table is generated from the fingerprint
+    dicts (tools/gen_plan_audit.py); this asserts the committed doc
+    matches a regeneration, closing the doc-drift class for good
+    (VERDICT r6 #8: the hand-kept table had drifted 34 vs pinned 33)."""
+    import io
+    import os
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    import gen_plan_audit
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gen_plan_audit.main()
+    generated = [l for l in buf.getvalue().splitlines() if l.startswith("|")]
+    doc = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLAN_AUDIT.md")
+    ).read()
+    for line in generated:
+        assert line in doc, f"PLAN_AUDIT.md is stale; regenerate: {line}"
