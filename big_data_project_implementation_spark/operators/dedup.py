@@ -406,6 +406,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int = 2000,
     min_band_collisions: int = 1,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, then verified
     with the estimated Jaccard (signature agreement rate).
@@ -434,8 +435,27 @@ def minhash_lsh_pairs(
       near-threshold impostors by construction; true high-J pairs
       still collide in their other bands). Skipped buckets are
       LOGGED via big_data_project_implementation_spark.operators.dedup logger — a capped run is
-      visible, never silent."""
+      visible, never silent.
+
+    ``mode``: ``"pairs"`` (default) enumerates every verified pair —
+    the REPORT shape (dup-pair listings, method-comparison metrics).
+    ``"star"`` emits a verified SPANNING set instead — per (band,
+    bucket) only (hub = min sid, other sid) edges, one edge per
+    colliding sid pair, one member edge per doc — for the CLUSTERING
+    consumer (``assign_dedup_clusters``), which needs connectivity,
+    not enumeration. The difference is the 100 TB wall: a true
+    near-dup family of f docs costs C(f,2) rows in pairs mode (the
+    round-7 100× probe measured 749M verified pairs from ~40k-doc
+    families — output-size quadratic by nature, OOMing the downstream
+    closure) but O(f · bands) in star mode, at the price of dropping
+    borderline member↔member links whose hub edge fails the estimate
+    verify (hub→member estimates of true families sit at the family's
+    true J, so connectivity loss is confined to near-threshold
+    stragglers; the sf0.1 recall floor is pinned in pytest)."""
     import logging
+
+    if mode not in ("pairs", "star"):
+        raise ValueError(f"mode must be 'pairs' or 'star', got {mode!r}")
 
     rows_per_band = num_hashes // bands
     all_sig = minhash_signatures(
@@ -476,16 +496,26 @@ def minhash_lsh_pairs(
         bands_df = bands_df.join(
             F.broadcast(flooded.select("band", "bucket")), ["band", "bucket"], "left_anti"
         )
-    cand = (
-        bands_df.alias("x")
-        .join(
-            bands_df.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.sid") < F.col("y.sid")),
+    if mode == "star":
+        # spanning edges only: every colliding sid links to its
+        # bucket's min sid — O(bucket) rows, never O(bucket²)
+        hub_w = Window.partitionBy("band", "bucket")
+        cand = (
+            bands_df.withColumn("_hub", F.min("sid").over(hub_w))
+            .filter(F.col("sid") != F.col("_hub"))
+            .select(F.col("_hub").alias("sid_a"), F.col("sid").alias("sid_b"))
         )
-        .select(F.col("x.sid").alias("sid_a"), F.col("y.sid").alias("sid_b"))
-    )
+    else:
+        cand = (
+            bands_df.alias("x")
+            .join(
+                bands_df.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.sid") < F.col("y.sid")),
+            )
+            .select(F.col("x.sid").alias("sid_a"), F.col("y.sid").alias("sid_b"))
+        )
     if min_band_collisions > 1:
         # one join row per shared (band, bucket) → count distinct bands
         cand = (
@@ -511,29 +541,44 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("sid_a", "sid_b", "est_jaccard")
     )
-    intra = (
-        member.alias("x")
-        .join(
-            member.alias("y"),
-            (F.col("x.sid") == F.col("y.sid")) & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
+    if mode == "star":
+        # sid IS its group's min member id: one member edge per doc,
+        # one edge per verified sid pair — the spanning set, no
+        # member-product expansion anywhere
+        intra = member.filter(F.col("id") != F.col("sid")).select(
+            F.col("sid").alias("id_a"),
+            F.col("id").alias("id_b"),
             F.lit(1.0).alias("est_jaccard"),
         )
-    )
-    ma = member.select(F.col("sid").alias("sid_a"), F.col("id").alias("ida"))
-    mb = member.select(F.col("sid").alias("sid_b"), F.col("id").alias("idb"))
-    inter = (
-        set_pairs.join(ma, "sid_a")
-        .join(mb, "sid_b")
-        .select(
-            F.least("ida", "idb").alias("id_a"),
-            F.greatest("ida", "idb").alias("id_b"),
+        inter = set_pairs.select(
+            F.col("sid_a").alias("id_a"),
+            F.col("sid_b").alias("id_b"),
             "est_jaccard",
         )
-    )
+    else:
+        intra = (
+            member.alias("x")
+            .join(
+                member.alias("y"),
+                (F.col("x.sid") == F.col("y.sid")) & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.lit(1.0).alias("est_jaccard"),
+            )
+        )
+        ma = member.select(F.col("sid").alias("sid_a"), F.col("id").alias("ida"))
+        mb = member.select(F.col("sid").alias("sid_b"), F.col("id").alias("idb"))
+        inter = (
+            set_pairs.join(ma, "sid_a")
+            .join(mb, "sid_b")
+            .select(
+                F.least("ida", "idb").alias("id_a"),
+                F.greatest("ida", "idb").alias("id_b"),
+                "est_jaccard",
+            )
+        )
     return (
         intra.unionByName(inter)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
@@ -934,7 +979,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sig = _edge_signature(edges)
-    for _ in range(max_iterations):
+    import logging
+
+    for _round in range(max_iterations):
         # large-star: for each node u, link every strictly-larger
         # neighbor v to m = min(N(u) ∪ {u}).
         sym = edges.select(
@@ -966,6 +1013,12 @@ def connected_components(
         )
         sig = _edge_signature(new_edges)
         edges = new_edges
+        # the count is already paid for by the convergence signature;
+        # logging it gives the O(log n) edge-decay evidence per run
+        # (SCALING.md's rounds-x-decay probes read these lines)
+        logging.getLogger(__name__).info(
+            "connected_components round %d: %d edges", _round + 1, sig[0]
+        )
         if sig == prev_sig:
             break
         prev_sig = sig

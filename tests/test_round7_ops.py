@@ -259,3 +259,34 @@ def test_classifier_step_certified_matches_python_recompute(spark):
         ).collect()
     }
     assert got == {pos: (g, n_docs) for pos, g in agg.items()}
+
+
+def test_minhash_star_mode_matches_pairs_mode_components(spark):
+    """mode="star" emits a spanning SUBSET of mode="pairs" whose
+    transitive closure is the same wherever hub edges pass the verify
+    (round 7: the 100× probe measured 749M verified pairs under
+    all-pairs family enumeration — the clustering consumer needs
+    connectivity, not enumeration). On this corpus of exact + near
+    dup families the components must be identical, and the star edge
+    count must be linear in family size, not quadratic."""
+    from big_data_project_implementation_spark.operators import dedup
+
+    fam = [
+        (i, "the quick brown fox jumps over the lazy dog " + ("extra" if i % 2 else ""))
+        for i in range(10)
+    ]
+    other = [(20 + i, f"document number {i} about completely distinct topic {i}") for i in range(5)]
+    df = spark.createDataFrame(fam + other, "doc_id long, text string")
+    kw = dict(text_col="text", id_col="doc_id", k=1, num_hashes=32, bands=8, threshold=0.7)
+
+    pairs = dedup.minhash_lsh_pairs(df, **kw)
+    star = dedup.minhash_lsh_pairs(df, mode="star", **kw)
+    n_pairs, n_star = pairs.count(), star.count()
+    assert n_star <= n_pairs
+    assert n_star <= 10 * 9  # linear-ish: ≤ (docs × bands), not C(10,2)×dups
+
+    def comps(edges):
+        out = dedup.assign_dedup_clusters(df, edges, id_col="doc_id")
+        return {(r.doc_id, r.component) for r in out.collect()}
+
+    assert comps(star) == comps(pairs)
