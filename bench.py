@@ -134,6 +134,15 @@ def main() -> None:
         # caches are per-query working state (e.g. dedup membership);
         # drop them so queries are measured independently
         spark.catalog.clearCache()
+        # localCheckpoint blocks are NOT in the catalog cache and
+        # otherwise accumulate for the JVM's lifetime — 70 queries in,
+        # iterative rows (LPA, clusters, PQ) were paying GC debt from
+        # every predecessor's checkpoints (~25% wall inflation
+        # measured on graph_label_propagation: 7.9s in-bench vs 5-6s
+        # solo). Queries are independent, so dropping them between
+        # measurements is safe and measures the plan, not the debt.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     # warmup: JVM + codegen + parquet footer caches
     run("q1_pricing_summary")
