@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     # heavy certified-sketch path) and the stream-static ingest dedup
     "text_bloom_decontaminate",
     "stream_dedup_vs_corpus",
+    # round 7: the stateless streaming NEAR-dup ingest gate (minhash
+    # signature as one projection + stream-static banding joins)
+    "stream_neardup_vs_corpus",
 ]
 
 

@@ -594,6 +594,51 @@ def _md5long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def minhash_md5_signature(
+    text: Column | str, k: int = 3, num_hashes: int = 8
+) -> Column:
+    """md5-family MinHash signature as ONE projection (array<long> of
+    ``num_hashes`` minima over the doc's distinct k-shingles) — value-
+    identical to ``minhash_md5_pairs``' explode+groupBy signature
+    (pinned by pytest), but expressible where aggregation is not:
+    per-row on a STREAM (the ingest near-dup gate computes arriving
+    docs' signatures statelessly inside the micro-batch projection)
+    and inside any codegen pipeline without an exchange. NULL text
+    yields a NULL signature — callers filter, as the md5 family's
+    NULL-contract requires."""
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh, lambda s: _md5long(F.concat(F.lit(f"mh{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_md5_band_keys(sig: Column | str, bands: int, num_hashes: int) -> Column:
+    """Band keys of an md5 MinHash signature as an array<string> —
+    the same comma-joined row groups ``minhash_md5_pairs`` buckets on,
+    as a pure projection for stream-side banding."""
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig, b * rows_per_band + j + 1).cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_md5_pairs(
     df: DataFrame,
     text_col: str = "text",

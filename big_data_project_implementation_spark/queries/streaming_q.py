@@ -691,6 +691,100 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_ingest_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
+    """Batch DuckDB replay of the streaming NEAR-dup ingest gate:
+    md5-family MinHash signatures for every doc, banded collision of
+    arriving docs (all) against the historical corpus (even doc_ids),
+    signature-agreement verify — the asymmetric twin of
+    pipeline_q._minhash_pair_ctes' symmetric cand."""
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        _minhash_pair_ctes,
+    )
+
+    agree = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH{_minhash_pair_ctes(k, num_hashes, bands, min_agree)},
+    candx AS MATERIALIZED (
+      SELECT DISTINCT x.id AS arriving_id, c.id AS corpus_id
+      FROM bnd x JOIN bnd c ON x.b = c.b AND x.key = c.key
+      WHERE c.id % 2 = 0
+    )
+    SELECT cx.arriving_id, cx.corpus_id, CAST({agree} AS BIGINT) AS n_agree
+    FROM candx cx
+    JOIN sig a ON a.id = cx.arriving_id
+    JOIN sig b ON b.id = cx.corpus_id
+    WHERE {agree} >= {min_agree}
+    ORDER BY arriving_id, corpus_id"""
+
+
+@query("stream_neardup_vs_corpus", oracle=_neardup_ingest_oracle())
+def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest gate (round 7): arriving documents
+    are MinHash-banded per micro-batch against a HISTORICAL corpus
+    index (even doc_ids stand in for already-ingested data) — the
+    approximate twin of `stream_dedup_vs_corpus`'s exact fingerprint
+    gate, and the shape a crawl-ingest pipeline actually needs (exact
+    dedup misses boilerplate variants arriving reworded).
+
+    Stateless by construction, which is the 100 TB stream story: the
+    arriving side's signature is ONE projection
+    (dedup.minhash_md5_signature — array_min over shingle hashes, no
+    explode+groupBy, so no stream state), banding is a generator, and
+    both the postings match and the verify join are stream-STATIC
+    joins (the index re-broadcasts per micro-batch; no watermark, no
+    state store growth). Hash-certified: the md5 family makes the
+    whole gate replayable in the batch oracle, including which bands
+    collide; self-matches (an even doc re-arriving) verify at
+    n_agree = num_hashes — the primary "already ingested" signal."""
+    from big_data_project_implementation_spark.operators import dedup
+    from big_data_project_implementation_spark.queries.registry import (
+        documents_stream,
+    )
+
+    k, num_hashes, bands, min_agree = 3, 8, 4, 6
+    sig = dedup.minhash_md5_signature("text", k=k, num_hashes=num_hashes)
+    keys = dedup.minhash_md5_band_keys("sig", bands=bands, num_hashes=num_hashes)
+
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("corpus_id"), sig.alias("csig"))
+    )
+    postings = corpus.select(
+        "corpus_id",
+        F.posexplode(
+            dedup.minhash_md5_band_keys("csig", bands=bands, num_hashes=num_hashes)
+        ).alias("band", "key"),
+    )
+    n_agree = sum(
+        F.when(
+            F.element_at("sig", i + 1) == F.element_at("csig", i + 1), 1
+        ).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("bigint")
+
+    out = _run_stream_to_table(
+        lambda s: (
+            documents_stream(s, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .select(F.col("doc_id").alias("arriving_id"), sig.alias("sig"))
+            .select("arriving_id", "sig", F.posexplode(keys).alias("band", "key"))
+            .join(postings, ["band", "key"])
+            .join(corpus, "corpus_id")
+            .withColumn("n_agree", n_agree)
+            .filter(F.col("n_agree") >= min_agree)
+            .select("arriving_id", "corpus_id", "n_agree")
+        ),
+        spark,
+        output_mode="append",
+    )
+    # multi-band collisions emit the verified pair once per band;
+    # the sink-side distinct is batch post-processing, not stream state
+    return out.distinct().orderBy("arriving_id", "corpus_id")
+
+
 @query(
     "stream_dedup_vs_corpus",
     oracle="""

@@ -428,6 +428,7 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # stay a broadcast (one BHJ), never a shuffled join of the stream
     "text_bloom_decontaminate": (4, ('BroadcastHashJoin',)),
     "stream_dedup_vs_corpus": (2, ()),
+    "stream_neardup_vs_corpus": (2, ()),
 }
 
 

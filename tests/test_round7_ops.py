@@ -290,3 +290,44 @@ def test_minhash_star_mode_matches_pairs_mode_components(spark):
         return {(r.doc_id, r.component) for r in out.collect()}
 
     assert comps(star) == comps(pairs)
+
+
+def test_minhash_signature_projection_matches_aggregation(spark):
+    """dedup.minhash_md5_signature (the stream-safe single-projection
+    form) must be value-identical to minhash_md5_pairs' explode+groupBy
+    signature on every doc — including the short-doc whole-text shingle
+    clamp — or the streaming near-dup gate silently diverges from the
+    certified batch family."""
+    from big_data_project_implementation_spark.operators import dedup
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "short doc"),  # < k tokens: whole-doc shingle clamp
+        (3, "Tabs\tand   space   runs normalize\nidentically"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k, nh = 3, 8
+    proj = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", dedup.minhash_md5_signature("text", k=k, num_hashes=nh).alias("sig")
+        ).collect()
+    }
+    agg = {
+        r.id: [r[f"h{i}"] for i in range(nh)]
+        for r in (
+            df.select(F.col("doc_id").alias("id"), F.explode(dedup.shingles("text", k)).alias("s"))
+            .groupBy("id")
+            .agg(
+                *[
+                    F.min(
+                        dedup._md5long(F.concat(F.lit(f"mh{i}:"), F.col("s")))
+                    ).alias(f"h{i}")
+                    for i in range(nh)
+                ]
+            )
+            .collect()
+        )
+    }
+    assert proj == agg
