@@ -60,45 +60,59 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the documents table (file source) — same
-    symlinked-dir trick as events_stream, no timestamp conversion."""
+def _stream_table_dir(sf_dir: str, name: str) -> str:
+    """Expose a fixture table to the file streaming source, which
+    requires a flat *directory of files*. Two fixture shapes exist:
+    the testdata tables are single parquet FILES (symlink the file in)
+    and scale-probe replicas are Spark-written parquet DIRECTORIES
+    (symlink each part file in — a symlinked subdirectory is invisible
+    to the source's non-recursive listing, which silently streamed
+    ZERO rows from scaled dirs until round 7)."""
     import os
     import tempfile
 
     stream_dir = os.path.join(
-        tempfile.gettempdir(), "docs_stream_" + sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        f"{name}_stream_" + sf_dir.strip("/").replace("/", "_"),
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(src):
+        for fname in os.listdir(src):
+            if fname.endswith(".parquet"):
+                link = os.path.join(stream_dir, fname)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, fname), link)
+    else:
+        link = os.path.join(stream_dir, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    return stream_dir
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents table (file source) — same
+    symlinked-dir trick as events_stream, no timestamp conversion."""
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return spark.readStream.schema(raw_schema).parquet(stream_dir)
+    return spark.readStream.schema(raw_schema).parquet(
+        _stream_table_dir(sf_dir, "documents")
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source), with the same
     nanos→µs conversion as the batch path.
 
-    The file streaming source requires a *directory*; the fixture is a
-    single parquet file, so expose it through a symlinked temp dir."""
-    import os
-    import tempfile
-
+    The file streaming source requires a *directory* of files; see
+    _stream_table_dir for the single-file vs parquet-dir handling."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), "events_stream_" + sf_dir.strip("/").replace("/", "_")
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sdf = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    sdf = spark.readStream.schema(raw_schema).parquet(
+        _stream_table_dir(sf_dir, "events")
+    )
     if isinstance(raw_schema["ts"].dataType, LongType):
         # legacy TIMESTAMP(NANOS) fixture decoded as raw nanos
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -747,10 +747,22 @@ def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_md5_signature("text", k=k, num_hashes=num_hashes)
     keys = dedup.minhash_md5_band_keys("sig", bands=bands, num_hashes=num_hashes)
 
+    from big_data_project_implementation_spark.operators.dedup import _spread
+
+    # the signature projection is the CPU (8 md5 per shingle): spread
+    # the single-file corpus scan across cores BEFORE computing it,
+    # and checkpoint so the postings and verify consumers (and every
+    # micro-batch) reuse the computed signatures instead of re-hashing
+    # the corpus per subtree per batch (48s -> ~8s at sf0.1)
     corpus = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        _spread(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+                (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+            ),
+            "doc_id",
+        )
         .select(F.col("doc_id").alias("corpus_id"), sig.alias("csig"))
+        .localCheckpoint(eager=True)
     )
     postings = corpus.select(
         "corpus_id",
@@ -765,10 +777,15 @@ def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(num_hashes)
     ).cast("bigint")
 
+    n_cores = spark.sparkContext.defaultParallelism
     out = _run_stream_to_table(
         lambda s: (
             documents_stream(s, sf_dir)
             .filter(F.col("text").isNotNull())
+            # fan the arriving batch across cores before the md5-heavy
+            # signature projection — a single arriving file otherwise
+            # hashes on one core (the _spread lesson, stream-side)
+            .repartition(n_cores)
             .select(F.col("doc_id").alias("arriving_id"), sig.alias("sig"))
             .select("arriving_id", "sig", F.posexplode(keys).alias("band", "key"))
             .join(postings, ["band", "key"])
