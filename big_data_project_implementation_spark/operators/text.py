@@ -1947,6 +1947,129 @@ def train_quality_classifier(
     return out
 
 
+def classifier_auc(
+    df: DataFrame,
+    score_col: Column | str,
+    label: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact Mann-Whitney AUC of a classifier score against binary
+    labels — THE metric a curation team reads before trusting a
+    quality filter — with average-rank tie handling, computed in the
+    grouped-rank formulation so it scales:
+
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻), R⁺ = Σ avg-rank of positives.
+
+    Scale shape: one groupBy on the QUANTIZED score (state bounded by
+    distinct score values — ≤ 2·scale+1 cells, never corpus rows),
+    then one window + final aggregate over that small grouped table.
+    The corpus is scanned once; no global row-level sort ever happens.
+
+    Integer-exact: scores quantize to ``scale`` units (the input is
+    already floor-rounded at 6dp, so this is lossless); ranks live in
+    2× units to stay integral under averaging. Returns ONE row
+    (n_pos, n_neg, auc_num, auc_den, auc_q6) where auc_num/auc_den is
+    the EXACT rational 2(R⁺ − n⁺(n⁺+1)/2) / 2n⁺n⁻ — the certifiable
+    contract — and auc_q6 its 6dp floor-rounding (exact-integer-valued
+    doubles below 2^53, so the division is engine-identical at any
+    gate scale)."""
+    score_col = F.col(score_col) if isinstance(score_col, str) else score_col
+    s = df.select(
+        F.floor(score_col * F.lit(float(scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("sq"),
+        label.cast("int").alias("y"),
+    )
+    g = s.groupBy("sq").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+    )
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("cum", F.coalesce(F.sum("n").over(w), F.lit(0).cast("long")))
+    stats = r.agg(
+        # 2·R⁺ = Σ over score groups: np · (2·cum_before + n + 1)
+        F.sum(F.col("np") * (2 * F.col("cum") + F.col("n") + 1))
+        .cast("long")
+        .alias("r2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+    )
+    return (
+        stats.withColumn(
+            "auc_num",
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("bigint"),
+        )
+        .withColumn(
+            "auc_den", (2 * F.col("n_pos") * F.col("n_neg")).cast("bigint")
+        )
+        .select(
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            "auc_num",
+            "auc_den",
+            (
+                F.floor(
+                    F.col("auc_num").cast("double")
+                    / F.col("auc_den").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("auc_q6"),
+        )
+    )
+
+
+def classifier_reliability(
+    df: DataFrame,
+    score_col: Column | str,
+    label: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration/reliability table: bucket the corpus by predicted
+    score and compare each bucket's mean score against its empirical
+    positive rate — the standard companion plot to AUC (a filter can
+    rank well and still be badly calibrated, which matters when its
+    score becomes a sampling WEIGHT downstream).
+
+    Scale shape: one map-side-combined groupBy on the bin key (state =
+    ``bins`` cells). Integer-exact: scores arrive 4dp-rounded, so they
+    scale to exact 1e-4 integers; the bin comes from INTEGER
+    arithmetic on that scaled value (floor of score·bins on a double
+    misrounds exactly at bin boundaries — 0.3·10 is 2.999…96), and
+    the per-bin means are floor integer divisions. Returns
+    (bin, n, n_pos, mean_score_q6, pos_rate_q6) ordered by bin."""
+    score_col = F.col(score_col) if isinstance(score_col, str) else score_col
+    s = df.select(
+        F.floor(score_col * F.lit(1e4) + F.lit(0.5)).cast("long").alias("s4"),
+        label.cast("int").alias("y"),
+    ).select(
+        F.least(
+            F.expr(f"s4 * {bins} div 10000"), F.lit(bins - 1).cast("bigint")
+        )
+        .cast("int")
+        .alias("bin"),
+        "s4",
+        "y",
+    )
+    return (
+        s.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum("s4").cast("long").alias("_ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.expr("_ssum * 100 div n") / 1e6).alias("mean_score_q6"),
+            (F.expr("n_pos * 1000000 div n") / 1e6).alias("pos_rate_q6"),
+        )
+        .orderBy("bin")
+    )
+
+
 def classifier_gradient_step_q(
     df: DataFrame,
     label: Column,

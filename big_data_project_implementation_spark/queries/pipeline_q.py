@@ -2780,6 +2780,100 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_linear_quality_score(t(spark, sf_dir, "documents"))
 
 
+_CLS_MARGIN_CTE = """
+    m AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(FLOOR(CAST(total AS DOUBLE) / 1000.0 / GREATEST(n, 1) * 1e6
+                        + 0.5) AS BIGINT) AS mq,
+             CAST(FLOOR(1.0 / (1.0 + exp(-(CAST(total AS DOUBLE) / 1000.0
+                                           / GREATEST(n, 1)))) * 1e4 + 0.5)
+                  AS BIGINT) AS s4
+      FROM (SELECT doc_id, lang, len(t) AS n,
+                   CAST(list_sum(list_transform(t, tok ->
+                     (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1000)
+                     - 500)) AS BIGINT) AS total
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL))
+    )"""
+
+
+@query(
+    "text_classifier_auc",
+    oracle="""
+    WITH"""
+    + _CLS_MARGIN_CTE
+    + """,
+    g AS (SELECT mq, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS np
+          FROM m GROUP BY mq),
+    r AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY mq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM g),
+    st AS (SELECT CAST(SUM(np * (2 * cum + n + 1)) AS BIGINT) AS r2,
+                  CAST(SUM(np) AS BIGINT) AS n_pos,
+                  CAST(SUM(n - np) AS BIGINT) AS n_neg
+           FROM r)
+    SELECT n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+           FLOOR(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS auc_q6
+    FROM st
+    """,
+)
+def text_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of the hashed-linear quality score
+    against the weak language label (operators.text.classifier_auc,
+    round 7) — the metric a curation team reads before trusting a
+    quality filter. Grouped-rank formulation: state bounded by
+    distinct quantized margins, one corpus scan, no row-level global
+    sort; the exact rational auc_num/auc_den is the hash-matched
+    contract (average-rank tie handling included), auc_q6 its 6dp
+    rendering. Ranks on the 6dp MARGIN (pure md5 integer arithmetic,
+    no libm), which is rank-equivalent to the sigmoid score."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = text.hashed_linear_quality_score(d, ordered=False).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return text.classifier_auc(
+        scored, score_col="margin", label=F.col("lang") == "en"
+    )
+
+
+@query(
+    "text_classifier_reliability",
+    oracle="""
+    WITH"""
+    + _CLS_MARGIN_CTE
+    + """
+    SELECT CAST(LEAST(s4 * 10 // 10000, 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           (SUM(s4) * 100 // count(*)) / 1e6 AS mean_score_q6,
+           (SUM(y) * 1000000 // count(*)) / 1e6 AS pos_rate_q6
+    FROM m GROUP BY 1 ORDER BY bin
+    """,
+)
+def text_classifier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table of the hashed-linear quality score vs the
+    weak language label (operators.text.classifier_reliability,
+    round 7): per score decile, mean predicted score against empirical
+    positive rate — the companion to AUC when the score becomes a
+    sampling weight. One ``bins``-cell groupBy; bin assignment and
+    per-bin means are integer arithmetic on the 4dp-scaled score, so
+    the whole table hash-matches (a double floor(score·bins) misrounds
+    exactly at bin boundaries — 0.3·10 is 2.999…96)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = text.hashed_linear_quality_score(d, ordered=False).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return text.classifier_reliability(
+        scored, score_col="score", label=F.col("lang") == "en", bins=10
+    )
+
+
 @query(
     "pipeline_curate_v2",
     oracle="""

@@ -331,3 +331,60 @@ def test_minhash_signature_projection_matches_aggregation(spark):
         )
     }
     assert proj == agg
+
+
+def test_classifier_auc_matches_reference_with_ties(spark):
+    """classifier_auc's grouped-rank formulation must equal the
+    textbook Mann-Whitney AUC with average-rank ties, recomputed in
+    pure Python on data with heavy ties and unsorted arrival order."""
+    rows = [
+        # (score, label): ties across and within classes
+        (0.1, 0), (0.1, 1), (0.4, 0), (0.4, 0), (0.4, 1),
+        (0.7, 1), (0.7, 1), (0.2, 0), (0.9, 1), (0.9, 0),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = text.classifier_auc(
+        df, score_col="s", label=F.col("y") == 1
+    ).collect()[0]
+
+    # pure-python reference: average ranks
+    scores = sorted(range(len(rows)), key=lambda i: rows[i][0])
+    ranks = [0.0] * len(rows)
+    i = 0
+    while i < len(scores):
+        j = i
+        while j < len(scores) and rows[scores[j]][0] == rows[scores[i]][0]:
+            j += 1
+        avg = (i + 1 + j) / 2  # average of ranks i+1..j
+        for t_ in range(i, j):
+            ranks[scores[t_]] = avg
+        i = j
+    n_pos = sum(y for _, y in rows)
+    n_neg = len(rows) - n_pos
+    r_pos = sum(r for r, (_, y) in zip(ranks, rows) if y)
+    auc = (r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+    assert (got.n_pos, got.n_neg) == (n_pos, n_neg)
+    assert got.auc_num / got.auc_den == auc
+    assert abs(got.auc_q6 - auc) < 1e-6
+    # sanity: a perfect ranking scores 1.0 and a random one ~0.5
+    perfect = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], "s double, y int"
+    )
+    assert text.classifier_auc(
+        perfect, "s", F.col("y") == 1
+    ).collect()[0].auc_q6 == 1.0
+
+
+def test_classifier_reliability_bins_are_integer_exact(spark):
+    """Bin boundaries come from integer arithmetic on the 4dp-scaled
+    score: 0.3 lands in bin 3, not bin 2 (floor(0.3*10) on a double is
+    2 — the misrounding the operator exists to avoid)."""
+    df = spark.createDataFrame(
+        [(0.3, 1), (0.2999, 0), (0.9999, 1), (1.0, 1), (0.0, 0)],
+        "s double, y int",
+    )
+    out = {r.bin: (r.n, r.n_pos) for r in text.classifier_reliability(
+        df, "s", F.col("y") == 1, bins=10
+    ).collect()}
+    assert out == {0: (1, 0), 2: (1, 0), 3: (1, 1), 9: (2, 2)}
