@@ -2394,6 +2394,120 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_curate_attrition",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, text, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / GREATEST(length(text), 1), 6) AS punct_ratio,
+             ROUND(1.0 - len(list_distinct(string_split(text, ' ')))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS repetition_ratio,
+             ROUND(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, lang FROM stats
+      WHERE n_tokens >= 3 AND n_tokens <= 100000
+        AND mean_token_len >= 2 AND mean_token_len <= 12
+        AND punct_ratio <= 0.3 AND repetition_ratio <= 0.5
+    ),
+    surv_ids AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept
+      GROUP BY array_to_string(
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ')[1:5], ' ')
+    ),
+    survd AS (SELECT k.* FROM kept k JOIN surv_ids USING (doc_id)),
+    w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM survd
+    ),
+    posts AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(ws) - 4, 1) + 1),
+               i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+      FROM w
+    ),
+    ew AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS ws
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    eg AS (
+      SELECT DISTINCT UNNEST(list_distinct(list_transform(
+               range(1, GREATEST(len(ws) - 4, 1) + 1),
+               i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+      FROM ew
+    ),
+    contaminated AS (SELECT DISTINCT p.doc_id FROM posts p JOIN eg USING (gram)),
+    stg(stage_id, stage, n_docs, n_tokens) AS (
+      SELECT 0, 'raw', CAST(count(*) AS BIGINT),
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents
+      UNION ALL
+      SELECT 1, 'quality', CAST(count(*) AS BIGINT),
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM kept
+      UNION ALL
+      SELECT 2, 'dedup', CAST(count(*) AS BIGINT),
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM survd
+      UNION ALL
+      SELECT 3, 'decontaminated', CAST(count(*) AS BIGINT),
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      FROM survd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CAST(stage_id AS INT) AS stage_id, stage, n_docs, n_tokens
+    FROM stg ORDER BY stage_id
+    """,
+)
+def pipeline_curate_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attrition funnel of the flagship curation pipeline
+    (round 7): docs and tokens surviving each stage — raw → Gopher
+    quality → exact-prefix dedup → decontamination — the first report
+    a curation team asks of any pipeline run ("where did my tokens
+    go?"). Same operators and parameters as
+    pipeline_curate_end_to_end, so the funnel IS that query's
+    accounting; four map-side-combined count/sum aggregates union into
+    one plan and Catalyst shares the scan + stage subtrees. Stage
+    rows hash-match the unrolled oracle per stage."""
+    from big_data_project_implementation_spark.operators import dedup
+    from big_data_project_implementation_spark.operators.dedup import _spread
+
+    d0 = _spread(t(spark, sf_dir, "documents"))
+    kept = (
+        text.quality_filter(d0).filter("keep").select("doc_id", "text", "lang")
+    )
+    pref = F.array_join(F.slice(dedup.norm_tokens(F.col("text")), 1, 5), " ")
+    surv = dedup.exact_dedup(
+        kept.withColumn("prefix", pref), text_col="prefix", id_col="doc_id"
+    ).drop("prefix")
+    bad = text.contaminated_ids(d0, d0.filter(F.col("doc_id") % 97 == 0), k=5)
+    final = surv.join(bad, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, sid: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(text.token_count("text")).cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(d0, 0, "raw")
+        .unionByName(stage(kept, 1, "quality"))
+        .unionByName(stage(surv, 2, "dedup"))
+        .unionByName(stage(final, 3, "decontaminated"))
+        .orderBy("stage_id")
+    )
+
+
+@query(
     "graph_triangle_count",
     oracle="""
     WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
