@@ -2070,6 +2070,69 @@ def classifier_reliability(
     )
 
 
+def filter_agreement(
+    df: DataFrame, pred_a: Column, pred_b: Column
+) -> DataFrame:
+    """Agreement between two binary filters — contingency counts plus
+    Cohen's kappa (chance-corrected agreement), the standard check
+    before swapping one quality gate for another (raw accuracy is
+    meaningless when both filters keep ~everything).
+
+    kappa = (p_o − p_e) / (1 − p_e) with p_o the observed agreement
+    and p_e the marginal-product chance agreement. Returned as the
+    EXACT integer rational over the contingency table:
+
+      kappa_num = n·(n00+n11) − [(n00+n01)(n00+n10) + (n10+n11)(n01+n11)]
+      kappa_den = n² − [same bracket]
+
+    plus ``kappa_q6``, its 6dp floor-rounding (exact-integer-valued
+    doubles: bit-identical on any engine for n below 2^26.5 ≈ 9.4e7;
+    at larger corpora read the exact pair). ONE map-side-combined
+    aggregate over the scan — zero shuffles of data rows."""
+    s = df.select(
+        pred_a.cast("int").alias("a"), pred_b.cast("int").alias("b")
+    )
+    c = s.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+    )
+    bracket = (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10")) + (
+        F.col("n10") + F.col("n11")
+    ) * (F.col("n01") + F.col("n11"))
+    return (
+        c.withColumn(
+            "kappa_num",
+            (F.col("n") * (F.col("n00") + F.col("n11")) - bracket).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "kappa_den", (F.col("n") * F.col("n") - bracket).cast("bigint")
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n00").cast("bigint").alias("n00"),
+            F.col("n01").cast("bigint").alias("n01"),
+            F.col("n10").cast("bigint").alias("n10"),
+            F.col("n11").cast("bigint").alias("n11"),
+            "kappa_num",
+            "kappa_den",
+            (
+                F.floor(
+                    F.col("kappa_num").cast("double")
+                    / F.col("kappa_den").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("kappa_q6"),
+        )
+    )
+
+
 def classifier_gradient_step_q(
     df: DataFrame,
     label: Column,

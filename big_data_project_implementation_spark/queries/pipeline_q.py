@@ -2394,6 +2394,83 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_filter_agreement",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / GREATEST(length(text), 1), 6) AS punct_ratio,
+             ROUND(1.0 - len(list_distinct(string_split(text, ' ')))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS repetition_ratio,
+             ROUND(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                   / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+      FROM documents WHERE text IS NOT NULL
+    ),
+    preds AS (
+      SELECT s.doc_id,
+             CASE WHEN n_tokens >= 3 AND n_tokens <= 100000
+                   AND mean_token_len >= 2 AND mean_token_len <= 12
+                   AND punct_ratio <= 0.3 AND repetition_ratio <= 0.5
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN m.s4 >= 5000 THEN 1 ELSE 0 END AS b
+      FROM stats s JOIN (
+        SELECT doc_id,
+               CAST(FLOOR(1.0 / (1.0 + exp(-(CAST(total AS DOUBLE) / 1000.0
+                                             / GREATEST(n, 1)))) * 1e4 + 0.5)
+                    AS BIGINT) AS s4
+        FROM (SELECT doc_id, len(t) AS n,
+                     CAST(list_sum(list_transform(t, tok ->
+                       (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1000)
+                       - 500)) AS BIGINT) AS total
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE text IS NOT NULL))
+      ) m ON m.doc_id = s.doc_id
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM(a * b) AS BIGINT) AS n11
+      FROM preds
+    )
+    SELECT n, n00, n01, n10, n11,
+           CAST(n * (n00 + n11)
+                - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n
+                - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                AS BIGINT) AS kappa_den,
+           FLOOR(CAST(n * (n00 + n11)
+                      - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                      AS DOUBLE)
+                 / CAST(n * n
+                        - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11))
+                        AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kappa_q6
+    FROM c
+    """,
+)
+def text_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two quality gates the engine ships —
+    the Gopher rule filter and the hashed-linear classifier at the 0.5
+    operating point (operators.text.filter_agreement, round 7): the
+    chance-corrected check a curation team runs before swapping one
+    gate for another. Exact integer contingency + rational kappa in
+    ONE map-side-combined aggregate; the classifier side thresholds
+    the INTEGER 4dp score (s4 >= 5000), never a float compare."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = text.quality_filter(d).join(
+        text.hashed_linear_quality_score(d, ordered=False).select(
+            "doc_id",
+            (F.floor(F.col("score") * 1e4 + F.lit(0.5)) >= 5000).alias("_b"),
+        ),
+        "doc_id",
+    )
+    return text.filter_agreement(scored, F.col("keep"), F.col("_b"))
+
+
+@query(
     "pipeline_curate_attrition",
     oracle="""
     WITH stats AS (

@@ -388,3 +388,29 @@ def test_classifier_reliability_bins_are_integer_exact(spark):
         df, "s", F.col("y") == 1, bins=10
     ).collect()}
     assert out == {0: (1, 0), 2: (1, 0), 3: (1, 1), 9: (2, 2)}
+
+
+def test_filter_agreement_kappa_matches_reference(spark):
+    """filter_agreement's exact rational must equal the textbook
+    Cohen's kappa on a hand-checkable contingency table."""
+    rows = [(1, 1)] * 40 + [(0, 0)] * 30 + [(1, 0)] * 20 + [(0, 1)] * 10
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = text.filter_agreement(
+        df, F.col("a") == 1, F.col("b") == 1
+    ).collect()[0]
+    from fractions import Fraction
+
+    n, n11, n00, n10, n01 = 100, 40, 30, 20, 10
+    po = Fraction(n11 + n00, n)
+    pe = Fraction(
+        (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10), n**2
+    )
+    kappa = (po - pe) / (1 - pe)
+    assert (got.n, got.n00, got.n01, got.n10, got.n11) == (n, n00, n01, n10, n11)
+    assert Fraction(got.kappa_num, got.kappa_den) == kappa
+    assert abs(got.kappa_q6 - float(kappa)) < 1e-6
+    # degenerate guards: perfect agreement is exactly 1
+    same = spark.createDataFrame([(1, 1)] * 3 + [(0, 0)] * 2, "a int, b int")
+    assert text.filter_agreement(
+        same, F.col("a") == 1, F.col("b") == 1
+    ).collect()[0].kappa_q6 == 1.0
