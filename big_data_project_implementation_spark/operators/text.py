@@ -2133,6 +2133,89 @@ def filter_agreement(
     )
 
 
+def score_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    score_col: Column | str = "score",
+    bins: int = 10,
+) -> DataFrame:
+    """Distribution drift of a classifier score between two corpus
+    slices (old crawl vs new crawl, source A vs source B) — the check
+    that catches a quality model silently mis-scoring a new snapshot
+    before it skews the training mix. Reports the per-decile counts
+    and the total-variation distance
+
+        TV = ½ Σ_i |a_i/n_a − b_i/n_b| = Σ_i |a_i·n_b − b_i·n_a| / (2·n_a·n_b)
+
+    as an EXACT integer rational (tv_num / tv_den) — deliberately TV
+    and not PSI/KL: those need ln(), whose last-ulp behavior differs
+    across engines, while TV is pure integer arithmetic over the bin
+    counts and therefore hash-certifiable. Binning reuses the
+    integer-exact rule of :func:`classifier_reliability`.
+
+    Returns (bin, n_a, n_b, tv_num, tv_den, tv_q6) — one row per
+    occupied bin, the TV columns constant (1-row broadcast, the
+    converged-flag idiom). Scale shape: two ``bins``-cell groupBys +
+    scalar broadcasts; the corpora are scanned once each."""
+    score_col = F.col(score_col) if isinstance(score_col, str) else score_col
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.floor(score_col * F.lit(1e4) + F.lit(0.5))
+                .cast("long")
+                .alias("s4")
+            )
+            .select(
+                F.least(
+                    F.expr(f"s4 * {bins} div 10000"),
+                    F.lit(bins - 1).cast("bigint"),
+                )
+                .cast("int")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    j = (
+        binned(df_a, "na")
+        .join(binned(df_b, "nb"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("na", F.lit(0).cast("long")).alias("na"),
+            F.coalesce("nb", F.lit(0).cast("long")).alias("nb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+    )
+    per = j.crossJoin(F.broadcast(tot))
+    tv = per.agg(
+        F.sum(
+            F.abs(F.col("na") * F.col("n_b") - F.col("nb") * F.col("n_a"))
+        )
+        .cast("bigint")
+        .alias("tv_num"),
+        F.max(2 * F.col("n_a") * F.col("n_b")).cast("bigint").alias("tv_den"),
+    ).withColumn(
+        "tv_q6",
+        F.floor(
+            F.col("tv_num").cast("double")
+            / F.col("tv_den").cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    )
+    return (
+        per.select("bin", F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
+        .crossJoin(F.broadcast(tv))
+        .orderBy("bin")
+    )
+
+
 def classifier_gradient_step_q(
     df: DataFrame,
     label: Column,

@@ -2394,6 +2394,63 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_score_drift",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(FLOOR(1.0 / (1.0 + exp(-(CAST(total AS DOUBLE) / 1000.0
+                                           / GREATEST(n, 1)))) * 1e4 + 0.5)
+                  AS BIGINT) AS s4
+      FROM (SELECT doc_id, len(t) AS n,
+                   CAST(list_sum(list_transform(t, tok ->
+                     (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1000)
+                     - 500)) AS BIGINT) AS total
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL))
+    ),
+    binned AS (
+      SELECT CAST(LEAST(s4 * 10 // 10000, 9) AS INT) AS bin,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM s GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM binned),
+    tv AS (
+      SELECT CAST(SUM(ABS(n_a * tb - n_b * ta)) AS BIGINT) AS tv_num,
+             CAST(2 * MAX(ta) * MAX(tb) AS BIGINT) AS tv_den
+      FROM binned, tot
+    )
+    SELECT bin, n_a, n_b, tv_num, tv_den,
+           FLOOR(CAST(tv_num AS DOUBLE) / CAST(tv_den AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS tv_q6
+    FROM binned, tv ORDER BY bin
+    """,
+)
+def text_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution drift between two corpus slices
+    (operators.text.score_drift, round 7; even doc_ids stand in for
+    the previous crawl, odd for the new one): per-decile counts plus
+    the exact-rational total-variation distance — TV instead of
+    PSI/KL deliberately, because ln()'s last ulp is engine-dependent
+    while TV is pure integer arithmetic over bin counts and therefore
+    hash-certifiable. Two 10-cell groupBys + scalar broadcasts; the
+    drift verdict ships as constant columns (the converged-flag
+    idiom)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = text.hashed_linear_quality_score(d, ordered=False).join(
+        d.select("doc_id"), "doc_id"
+    )
+    return text.score_drift(
+        scored.filter(F.col("doc_id") % 2 == 0),
+        scored.filter(F.col("doc_id") % 2 == 1),
+        score_col="score",
+        bins=10,
+    )
+
+
+@query(
     "text_filter_agreement",
     oracle="""
     WITH stats AS (

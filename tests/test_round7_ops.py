@@ -414,3 +414,26 @@ def test_filter_agreement_kappa_matches_reference(spark):
     assert text.filter_agreement(
         same, F.col("a") == 1, F.col("b") == 1
     ).collect()[0].kappa_q6 == 1.0
+
+
+def test_score_drift_tv_matches_reference(spark):
+    """score_drift's exact rational TV must equal the hand-computed
+    total-variation distance on disjoint and identical slices."""
+    from fractions import Fraction
+
+    a = spark.createDataFrame([(0.05,), (0.15,), (0.15,), (0.95,)], "s double")
+    b = spark.createDataFrame([(0.15,), (0.85,), (0.95,), (0.95,)], "s double")
+    rows = text.score_drift(a, b, score_col="s", bins=10).collect()
+    got_tv = Fraction(rows[0].tv_num, rows[0].tv_den)
+    # bins: a -> {0:1, 1:2, 9:1}; b -> {1:1, 8:1, 9:2}; n=4 each
+    expect = Fraction(1, 2) * (
+        Fraction(1, 4) + abs(Fraction(2, 4) - Fraction(1, 4))
+        + Fraction(1, 4) + abs(Fraction(1, 4) - Fraction(2, 4))
+    )
+    assert got_tv == expect
+    assert {(r.bin, r.n_a, r.n_b) for r in rows} == {
+        (0, 1, 0), (1, 2, 1), (8, 0, 1), (9, 1, 2)
+    }
+    # identical slices: TV exactly 0
+    same = text.score_drift(a, a, score_col="s", bins=10).collect()
+    assert same[0].tv_num == 0 and same[0].tv_q6 == 0.0
