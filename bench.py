@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # headline set: the queries a 100 TB deployment actually runs hot
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    # round 8: the full 22-query TPC-H sweep (VERDICT r7 #5 — q2/q11/
+    # q15/q20/q22 were gate-green but unbenched; their scalar-subquery
+    # broadcasts are exactly the shapes worth pinning)
+    "q2_min_price_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -32,14 +36,18 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q11_important_value",
     "q12_priority_shipping",
     "q13_customer_distribution",
     "q14_promo_effect",
+    "q15_top_supplier",
     "q16_supplier_cnt",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_join",
+    "q20_potential_promotion",
     "q21_waiting_orders",
+    "q22_global_sales",
     "join_inner_shuffle",
     "agg_function_library",
     "window_running_agg",
@@ -108,6 +116,24 @@ BENCH_QUERIES = [
     # round 7: the stateless streaming NEAR-dup ingest gate (minhash
     # signature as one projection + stream-static banding joins)
     "stream_neardup_vs_corpus",
+    # round 8: the per-doc VERDICT shape of the same gate — output
+    # bounded by arriving volume, the 100 TB ingest contract
+    # (VERDICT r7 #1)
+    "stream_neardup_verdict",
+]
+
+# localCheckpoint-heavy iterative rows: same-box wall times on these
+# swung ±30% across three harnesses in round 7 WITH provably identical
+# plans (fingerprints green) — JVM/GC noise, not regression. They get
+# a third in-session pass so the reported min is a steadier floor
+# (VERDICT r7 #4).
+ITERATIVE_ROWS = [
+    "dedup_clusters",
+    "graph_label_propagation",
+    "similarity_ivfpq_topk",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "dedup_word_jaccard",
 ]
 
 
@@ -171,13 +197,20 @@ def main() -> None:
     # single-shot wall times by 2-3x; the min is the steady-state cost
     # of the plan, which is what the engine controls
     timings: dict[str, float] = {}
+
+    def measure(name: str) -> None:
+        t0 = time.time()
+        run(name)
+        dt = round(time.time() - t0, 3)
+        if name not in timings or dt < timings[name]:
+            timings[name] = dt
+
     for _pass in range(2):
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            run(name)
-            dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            measure(name)
+    # third pass for the GC-noise-prone iterative rows (min-of-3)
+    for name in ITERATIVE_ROWS:
+        measure(name)
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -407,9 +407,21 @@ def minhash_lsh_pairs(
     max_bucket: int = 2000,
     min_band_collisions: int = 1,
     mode: str = "pairs",
+    flood_observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, then verified
     with the estimated Jaccard (signature agreement rate).
+
+    ``flood_observation``: optional ``pyspark.sql.Observation`` — when
+    given, the first action on the result reports ``flooded_postings``
+    (rows dropped by the ``max_bucket`` cap) and ``total_postings``
+    without any extra job; when None (default) the plan carries no
+    CollectMetrics node. Construction itself NEVER launches a job
+    (round 8 — the cap is an in-plan window, not an eager count).
+    Caveat: if the WHOLE result collapses to empty, AQE's
+    empty-relation propagation may drop the CollectMetrics node and
+    ``Observation.get`` fails — read the metrics only from non-empty
+    runs (tests/test_plans.py pins the working shape).
 
     ``min_band_collisions`` is the precision knob for near-threshold-
     dense corpora (SCALING.md): requiring a pair to collide in ≥m bands
@@ -452,10 +464,18 @@ def minhash_lsh_pairs(
     verify (hub→member estimates of true families sit at the family's
     true J, so connectivity loss is confined to near-threshold
     stragglers; the sf0.1 recall floor is pinned in pytest)."""
-    import logging
-
     if mode not in ("pairs", "star"):
         raise ValueError(f"mode must be 'pairs' or 'star', got {mode!r}")
+    if mode == "star" and min_band_collisions > 1:
+        # star candidates are (hub, sid) per band-bucket where the hub
+        # is that BUCKET's min sid — the hub differs across bands, so a
+        # per-pair band count no longer means "shared bands" and the
+        # filter would silently under-count and over-prune (ADVICE r7)
+        raise ValueError(
+            "min_band_collisions > 1 is unsupported in star mode: hub "
+            "identity varies per band, so per-pair collision counts do "
+            "not measure shared bands; use mode='pairs' for that filter"
+        )
 
     rows_per_band = num_hashes // bands
     all_sig = minhash_signatures(
@@ -483,31 +503,41 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    sizes = bands_df.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-    flooded = sizes.filter(F.col("_bsz") > max_bucket)
-    n_flooded = flooded.count()  # agg-only job; also the cap visibility
-    if n_flooded:
-        logging.getLogger(__name__).warning(
-            "minhash_lsh_pairs: skipping %d flooded band-buckets (> %d sigs); "
-            "recall for near-threshold pairs inside them relies on other bands",
-            n_flooded,
-            max_bucket,
-        )
-        bands_df = bands_df.join(
-            F.broadcast(flooded.select("band", "bucket")), ["band", "bucket"], "left_anti"
-        )
+    # LAZY flood cap (VERDICT r7 #3): an in-plan window count over
+    # (band, bucket) replaces the old eager `flooded.count()` job —
+    # building the DataFrame now launches ZERO Spark jobs, and the
+    # postings scan is no longer double-counted. The window shares its
+    # partitioning with the star-mode hub window and the pairs-mode
+    # self-join key, so AQE plans ONE exchange on (band, bucket) for
+    # both. Flood visibility moved from a log line to the optional
+    # ``flood_observation`` post-action metric below.
+    flood_w = Window.partitionBy("band", "bucket")
+    sized = bands_df.withColumn("_bsz", F.count("*").over(flood_w))
+    bands_df = sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    bands_obs = bands_df
+    if flood_observation is not None:
+        # attach to ONE plan position only: a CollectMetrics node in a
+        # self-joined subtree appears twice and fails the run, so the
+        # pairs-mode join observes its left side only (same rows)
+        bands_obs = sized.observe(
+            flood_observation,
+            F.sum((F.col("_bsz") > max_bucket).cast("long")).alias(
+                "flooded_postings"
+            ),
+            F.count("*").alias("total_postings"),
+        ).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
     if mode == "star":
         # spanning edges only: every colliding sid links to its
         # bucket's min sid — O(bucket) rows, never O(bucket²)
         hub_w = Window.partitionBy("band", "bucket")
         cand = (
-            bands_df.withColumn("_hub", F.min("sid").over(hub_w))
+            bands_obs.withColumn("_hub", F.min("sid").over(hub_w))
             .filter(F.col("sid") != F.col("_hub"))
             .select(F.col("_hub").alias("sid_a"), F.col("sid").alias("sid_b"))
         )
     else:
         cand = (
-            bands_df.alias("x")
+            bands_obs.alias("x")
             .join(
                 bands_df.alias("y"),
                 (F.col("x.band") == F.col("y.band"))

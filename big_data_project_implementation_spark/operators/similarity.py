@@ -435,7 +435,13 @@ def ivf_centroids(
             .withColumn("_cos", cosine_q("_vec", "centroid"))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
-            .select("cell", _q6_checked(F.col("_vec")).alias("_vq"))
+            # plain _q6: the overflow guard ran on the seed/entry
+            # projection above, and hot inner loops keep the unchecked
+            # form per _q6_checked's own contract (ADVICE r7 — the
+            # checked form here re-validated the corpus every Lloyd
+            # iteration); full-corpus validation for the PQ compositions
+            # happens once at pq_encode's entry
+            .select("cell", _q6(F.col("_vec")).alias("_vq"))
         )
         by_pos = (
             assigned.select("cell", F.posexplode("_vq").alias("pos", "x"))

@@ -1994,6 +1994,17 @@ def classifier_auc(
         F.sum("np").cast("long").alias("n_pos"),
         F.sum(F.col("n") - F.col("np")).cast("long").alias("n_neg"),
     )
+    # single-class input makes the Mann-Whitney denominator zero — a
+    # silently-NaN auc_q6 is garbage a hash gate would happily certify,
+    # so fail loudly per the _q6_checked convention (ADVICE r7)
+    auc_ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    auc_err = F.concat(
+        F.lit("classifier_auc undefined: n_pos="),
+        F.col("n_pos").cast("string"),
+        F.lit(", n_neg="),
+        F.col("n_neg").cast("string"),
+        F.lit(" — AUC needs at least one example of EACH class"),
+    )
     return (
         stats.withColumn(
             "auc_num",
@@ -2007,14 +2018,15 @@ def classifier_auc(
             F.col("n_neg").cast("bigint").alias("n_neg"),
             "auc_num",
             "auc_den",
-            (
+            F.when(
+                F.assert_true(auc_ok, auc_err).isNull(),
                 F.floor(
                     F.col("auc_num").cast("double")
                     / F.col("auc_den").cast("double")
                     * 1e6
                     + F.lit(0.5)
                 )
-                / 1e6
+                / 1e6,
             ).alias("auc_q6"),
         )
     )
@@ -2199,16 +2211,33 @@ def score_drift(
         .cast("bigint")
         .alias("tv_num"),
         F.max(2 * F.col("n_a") * F.col("n_b")).cast("bigint").alias("tv_den"),
+        F.max("n_a").cast("bigint").alias("_na"),
+        F.max("n_b").cast("bigint").alias("_nb"),
     ).withColumn(
         "tv_q6",
-        F.floor(
-            F.col("tv_num").cast("double")
-            / F.col("tv_den").cast("double")
-            * 1e6
-            + F.lit(0.5)
-        )
-        / 1e6,
-    )
+        # an empty slice zeroes tv_den and a silent-NaN tv_q6 would
+        # hash-certify garbage — fail loudly per the _q6_checked
+        # convention (ADVICE r7)
+        F.when(
+            F.assert_true(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.concat(
+                    F.lit("score_drift undefined: n_a="),
+                    F.col("_na").cast("string"),
+                    F.lit(", n_b="),
+                    F.col("_nb").cast("string"),
+                    F.lit(" — both slices must be non-empty"),
+                ),
+            ).isNull(),
+            F.floor(
+                F.col("tv_num").cast("double")
+                / F.col("tv_den").cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ),
+    ).drop("_na", "_nb")
     return (
         per.select("bin", F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
         .crossJoin(F.broadcast(tv))

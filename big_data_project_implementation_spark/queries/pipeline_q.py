@@ -4407,20 +4407,27 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(_os.path.join(path, "codes", "_SUCCESS")):
         stage = f"{path}.build-{_os.getpid()}-{_uuid.uuid4().hex[:8]}"
         sim.build_ann_index(emb, stage, n_cells=16, m=8, n_codes=32)
-        if _os.path.exists(path):
-            # a dir without _SUCCESS is a dead partial build: claim it
-            # atomically (rename) before deleting so two repairers
-            # never rmtree the same live path
-            try:
-                _os.rename(path, stage + ".stale")
-                _shutil.rmtree(stage + ".stale", ignore_errors=True)
-            except OSError:
-                pass  # someone else claimed/republished it
-        try:
-            _os.rename(stage, path)
-        except OSError:
-            # lost the publication race — serve the winner's index
+        if _os.path.exists(_os.path.join(path, "codes", "_SUCCESS")):
+            # a concurrent run published a COMPLETE index while we were
+            # building (TOCTOU re-check, ADVICE r7): it may already be
+            # serving readers — never claim-and-delete a live index;
+            # discard our duplicate and serve theirs
             _shutil.rmtree(stage, ignore_errors=True)
+        else:
+            if _os.path.exists(path):
+                # a dir without _SUCCESS is a dead partial build: claim
+                # it atomically (rename) before deleting so two
+                # repairers never rmtree the same live path
+                try:
+                    _os.rename(path, stage + ".stale")
+                    _shutil.rmtree(stage + ".stale", ignore_errors=True)
+                except OSError:
+                    pass  # someone else claimed/republished it
+            try:
+                _os.rename(stage, path)
+            except OSError:
+                # lost the publication race — serve the winner's index
+                _shutil.rmtree(stage, ignore_errors=True)
     qs = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_topk_from_index(
         qs, emb, path, k=5, nprobe=4, refine=16

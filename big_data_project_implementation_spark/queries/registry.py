@@ -75,18 +75,34 @@ def _stream_table_dir(sf_dir: str, name: str) -> str:
         tempfile.gettempdir(),
         f"{name}_stream_" + sf_dir.strip("/").replace("/", "_"),
     )
-    os.makedirs(stream_dir, exist_ok=True)
     src = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(src):
-        for fname in os.listdir(src):
-            if fname.endswith(".parquet"):
-                link = os.path.join(stream_dir, fname)
-                if not os.path.exists(link):
-                    os.symlink(os.path.join(src, fname), link)
+        wanted = {
+            f: os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        }
     else:
-        link = os.path.join(stream_dir, f"{name}.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        wanted = {f"{name}.parquet": src}
+    # regeneration safety (ADVICE r7): if the source dir was rewritten
+    # with new part names, stale links would double-count/phantom rows
+    # and broken links defeat os.path.exists — compare the link SET
+    # (lexists + readlink) and rebuild the dir on any mismatch.
+    if os.path.isdir(stream_dir):
+        have = {
+            f: os.readlink(os.path.join(stream_dir, f))
+            for f in os.listdir(stream_dir)
+            if os.path.islink(os.path.join(stream_dir, f))
+        }
+        if have != wanted:
+            import shutil
+
+            shutil.rmtree(stream_dir)
+    os.makedirs(stream_dir, exist_ok=True)
+    for fname, target in wanted.items():
+        link = os.path.join(stream_dir, fname)
+        if not os.path.lexists(link):
+            os.symlink(target, link)
     return stream_dir
 
 

@@ -719,35 +719,27 @@ def _neardup_ingest_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
     ORDER BY arriving_id, corpus_id"""
 
 
-@query("stream_neardup_vs_corpus", oracle=_neardup_ingest_oracle())
-def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming NEAR-dup ingest gate (round 7): arriving documents
-    are MinHash-banded per micro-batch against a HISTORICAL corpus
-    index (even doc_ids stand in for already-ingested data) — the
-    approximate twin of `stream_dedup_vs_corpus`'s exact fingerprint
-    gate, and the shape a crawl-ingest pipeline actually needs (exact
-    dedup misses boilerplate variants arriving reworded).
-
-    Stateless by construction, which is the 100 TB stream story: the
-    arriving side's signature is ONE projection
+def _neardup_match_stream(
+    spark: SparkSession, sf_dir: str, k=3, num_hashes=8, bands=4, min_agree=6
+):
+    """Shared plan of the streaming near-dup gate: a builder
+    ``session -> streaming DF of verified (arriving_id, corpus_id,
+    n_agree) match rows`` (one row per colliding band — consumers
+    dedup). Stateless by construction, which is the 100 TB stream
+    story: the arriving side's signature is ONE projection
     (dedup.minhash_md5_signature — array_min over shingle hashes, no
     explode+groupBy, so no stream state), banding is a generator, and
     both the postings match and the verify join are stream-STATIC
     joins (the index re-broadcasts per micro-batch; no watermark, no
-    state store growth). Hash-certified: the md5 family makes the
-    whole gate replayable in the batch oracle, including which bands
-    collide; self-matches (an even doc re-arriving) verify at
-    n_agree = num_hashes — the primary "already ingested" signal."""
+    state store growth)."""
     from big_data_project_implementation_spark.operators import dedup
+    from big_data_project_implementation_spark.operators.dedup import _spread
     from big_data_project_implementation_spark.queries.registry import (
         documents_stream,
     )
 
-    k, num_hashes, bands, min_agree = 3, 8, 4, 6
     sig = dedup.minhash_md5_signature("text", k=k, num_hashes=num_hashes)
     keys = dedup.minhash_md5_band_keys("sig", bands=bands, num_hashes=num_hashes)
-
-    from big_data_project_implementation_spark.operators.dedup import _spread
 
     # the signature projection is the CPU (8 md5 per shingle): spread
     # the single-file corpus scan across cores BEFORE computing it,
@@ -778,8 +770,9 @@ def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
 
     n_cores = spark.sparkContext.defaultParallelism
-    out = _run_stream_to_table(
-        lambda s: (
+
+    def build(s: SparkSession) -> DataFrame:
+        return (
             documents_stream(s, sf_dir)
             .filter(F.col("text").isNotNull())
             # fan the arriving batch across cores before the md5-heavy
@@ -793,13 +786,141 @@ def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_agree", n_agree)
             .filter(F.col("n_agree") >= min_agree)
             .select("arriving_id", "corpus_id", "n_agree")
-        ),
+        )
+
+    return build
+
+
+@query("stream_neardup_vs_corpus", oracle=_neardup_ingest_oracle())
+def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup REPORT (round 7): arriving documents are
+    MinHash-banded per micro-batch against a HISTORICAL corpus index
+    (even doc_ids stand in for already-ingested data) — the
+    approximate twin of `stream_dedup_vs_corpus`'s exact fingerprint
+    gate (exact dedup misses boilerplate variants arriving reworded).
+    This is the PAIR-enumeration shape — dup-pair listings for audit /
+    method-comparison — whose output is inherently match-volume-bound;
+    the INGEST-GATE shape with per-arriving-doc output is
+    `stream_neardup_verdict` below (VERDICT r7 #1). See
+    _neardup_match_stream for the stateless plan. Hash-certified: the
+    md5 family makes the whole gate replayable in the batch oracle,
+    including which bands collide; self-matches (an even doc
+    re-arriving) verify at n_agree = num_hashes — the primary
+    "already ingested" signal."""
+    out = _run_stream_to_table(
+        _neardup_match_stream(spark, sf_dir),
         spark,
         output_mode="append",
     )
     # multi-band collisions emit the verified pair once per band;
     # the sink-side distinct is batch post-processing, not stream state
     return out.distinct().orderBy("arriving_id", "corpus_id")
+
+
+def _neardup_verdict_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
+    """Batch replay of the per-doc verdict: collapse the verified pair
+    set to one row per arriving doc — best match = min corpus_id among
+    the max-agreement matches (deterministic tie-break)."""
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        _minhash_pair_ctes,
+    )
+
+    agree = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH{_minhash_pair_ctes(k, num_hashes, bands, min_agree)},
+    candx AS MATERIALIZED (
+      SELECT DISTINCT x.id AS arriving_id, c.id AS corpus_id
+      FROM bnd x JOIN bnd c ON x.b = c.b AND x.key = c.key
+      WHERE c.id % 2 = 0
+    ),
+    verified AS (
+      SELECT cx.arriving_id, cx.corpus_id, CAST({agree} AS BIGINT) AS n_agree
+      FROM candx cx
+      JOIN sig a ON a.id = cx.arriving_id
+      JOIN sig b ON b.id = cx.corpus_id
+      WHERE {agree} >= {min_agree}
+    ),
+    mx AS (
+      SELECT arriving_id, MAX(n_agree) AS max_agree,
+             CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM verified GROUP BY arriving_id
+    )
+    SELECT v.arriving_id,
+           CAST(MIN(v.corpus_id) AS BIGINT) AS best_match,
+           CAST(m.max_agree AS BIGINT) AS max_agree,
+           m.n_matches
+    FROM verified v
+    JOIN mx m ON v.arriving_id = m.arriving_id AND v.n_agree = m.max_agree
+    GROUP BY v.arriving_id, m.max_agree, m.n_matches
+    ORDER BY v.arriving_id"""
+
+
+@query("stream_neardup_verdict", oracle=_neardup_verdict_oracle())
+def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest GATE, per-doc verdict shape
+    (round 8, VERDICT r7 #1): same stateless banded match plan as
+    `stream_neardup_vs_corpus`, but each micro-batch collapses its
+    verified matches to ONE ROW PER ARRIVING DOC —
+    ``groupBy(arriving_id).agg(best corpus match, max agreement,
+    match count)`` — so output scales with ARRIVING volume, never
+    with corpus dup-family size (the r7 100× probe measured the pair
+    shape growing ~5,400×; a gate must not). The aggregation is
+    batch-LOCAL (foreachBatch): a file-source doc belongs to exactly
+    one micro-batch, so batch-local grouping IS the global answer and
+    adds zero stream state. Each batch's verdicts land in a
+    ``batch_id=N`` parquet partition via dynamic overwrite — replaying
+    a batch after restart overwrites its own partition, keeping the
+    sink exactly-once (pinned by the restart pytest). Tie-break is
+    deterministic (max n_agree, then min corpus_id) so the md5 family
+    yields a full hash-match oracle. Docs with no verified match emit
+    nothing — absence IS the pass verdict; the gate's decision column
+    is n_matches > 0."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="neardup_verdict_")
+    ckpt = tempfile.mkdtemp(prefix="neardup_verdict_ckpt_")
+    build = _neardup_match_stream(spark, sf_dir)
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.dropDuplicates(["arriving_id", "corpus_id"])
+            .groupBy("arriving_id")
+            .agg(
+                F.max_by(
+                    "corpus_id",
+                    F.struct(
+                        F.col("n_agree").alias("a"),
+                        (-F.col("corpus_id")).alias("b"),
+                    ),
+                )
+                .cast("bigint")
+                .alias("best_match"),
+                F.max("n_agree").cast("bigint").alias("max_agree"),
+                F.count("*").cast("bigint").alias("n_matches"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        build(sub)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(f"{out_dir}/batch_id=*")
+        .select("arriving_id", "best_match", "max_agree", "n_matches")
+        .orderBy("arriving_id")
+    )
 
 
 @query(

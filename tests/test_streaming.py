@@ -589,3 +589,114 @@ def test_state_store_is_rocksdb(spark):
         }
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_neardup_verdict_restart_is_exactly_once(spark):
+    """The per-doc near-dup verdict gate survives a checkpointed
+    restart without duplicate verdicts (VERDICT r7 #6): the gate is
+    stateless, so exactly-once rests on (a) the file source's
+    checkpointed offsets — the second run replays nothing — and (b)
+    the batch_id-partitioned dynamic-overwrite sink — a REPLAYED batch
+    overwrites its own partition instead of appending. Cheap by
+    design: replay run 2 from the same checkpoint, assert the verdict
+    set is byte-identical."""
+    import os
+
+    from big_data_project_implementation_spark.queries.streaming_q import (
+        _neardup_match_stream,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="verdict_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="verdict_restart_ckpt_")
+
+    def gate(batch, batch_id):
+        (
+            batch.dropDuplicates(["arriving_id", "corpus_id"])
+            .groupBy("arriving_id")
+            .agg(
+                F.max("n_agree").cast("bigint").alias("max_agree"),
+                F.count("*").cast("bigint").alias("n_matches"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    def run_once():
+        build = _neardup_match_stream(spark, SF_DIR)
+        sub = spark.newSession()
+        sub.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            build(sub)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_once()
+        first = sorted(
+            (r.arriving_id, r.max_agree, r.n_matches)
+            for r in spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch_id=*")
+            .collect()
+        )
+        assert first, "gate emitted no verdicts"
+        # one verdict row per arriving doc — never per match pair
+        assert len(first) == len({t[0] for t in first})
+        run_once()  # restart from the same checkpoint: replays nothing
+        second = sorted(
+            (r.arriving_id, r.max_agree, r.n_matches)
+            for r in spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch_id=*")
+            .collect()
+        )
+        assert second == first, "restart duplicated or altered verdicts"
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_exact_ingest_gate_restart_is_exactly_once(spark):
+    """stream_dedup_vs_corpus's exact fingerprint gate, restart
+    semantics (VERDICT r7 #6): second run from the same checkpoint
+    admits zero rows — the stream-static anti join is stateless, so
+    the only exactly-once machinery is the source offset log."""
+    from big_data_project_implementation_spark.operators.dedup import _norm
+    from big_data_project_implementation_spark.queries.registry import (
+        documents_stream,
+    )
+
+    static_fps = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(_norm(F.col("text"))).alias("fp"))
+        .distinct()
+    )
+    admitted: list[int] = []
+
+    def sink(batch, batch_id):
+        admitted.append(batch.count())
+
+    ckpt = tempfile.mkdtemp(prefix="exact_gate_ckpt_")
+
+    def run_once():
+        sdf = (
+            documents_stream(spark, SF_DIR)
+            .select(F.md5(_norm(F.col("text"))).alias("fp"))
+            .join(static_fps, "fp", "left_anti")
+        )
+        q = streaming.foreach_batch_sink(sdf, sink, ckpt, "append")
+        q.awaitTermination()
+
+    try:
+        run_once()
+        first_total = sum(admitted)
+        assert first_total > 0
+        admitted.clear()
+        run_once()
+        assert sum(admitted) == 0, "restart re-admitted ingested docs"
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
