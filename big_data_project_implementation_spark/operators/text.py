@@ -1984,8 +1984,34 @@ def classifier_auc(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("np"),
     )
-    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
-    r = g.withColumn("cum", F.coalesce(F.sum("n").over(w), F.lit(0).cast("long")))
+    # two-level cumulative count (round 8, VERDICT r7 #7): the old
+    # Window.orderBy("sq") collapsed the grouped margin table to ONE
+    # partition. Bounded (≤ 2·scale+1 rows) but needless — coarse
+    # buckets give the same exact ranks with no SinglePartition window:
+    # per-bucket totals → cross-bucket offsets via a broadcast
+    # theta-join over the tiny bucket table (≤ ~scale/B rows), then a
+    # bucket-PARTITIONED window for the within-bucket remainder.
+    B = 4096
+    g = g.withColumn(
+        "c", F.floor(F.col("sq") / F.lit(float(B))).cast("long")
+    )
+    bt = g.groupBy("c").agg(F.sum("n").cast("long").alias("bn"))
+    off = (
+        bt.alias("a")
+        .join(F.broadcast(bt.alias("b")), F.col("b.c") < F.col("a.c"), "left")
+        .groupBy(F.col("a.c").alias("c"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).cast("long").alias("boff"))
+    )
+    w_in = (
+        Window.partitionBy("c")
+        .orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.join(off, "c").withColumn(
+        "cum",
+        F.col("boff")
+        + F.coalesce(F.sum("n").over(w_in), F.lit(0).cast("long")),
+    )
     stats = r.agg(
         # 2·R⁺ = Σ over score groups: np · (2·cum_before + n + 1)
         F.sum(F.col("np") * (2 * F.col("cum") + F.col("n") + 1))

@@ -449,6 +449,23 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
 }
 
 
+def test_classifier_auc_has_no_single_partition_window(spark):
+    """The AUC rank accumulation must never collapse to a one-partition
+    window (VERDICT r7 #7): the two-level form (bucket offsets via
+    broadcast theta-join + bucket-partitioned window) keeps every
+    Window hash-partitioned. The only SinglePartition exchange allowed
+    is the final scalar aggregate's 32-partial-rows funnel."""
+    df = REGISTRY["text_classifier_auc"].fn(spark, SF_DIR)
+    plan = plans.physical_plan(df)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "windowspecdefinition" in ln.lower():
+            ctx = "\n".join(lines[i : i + 4])
+            assert "SinglePartition" not in ctx, ctx
+    # the global-agg funnel is the only SinglePartition left
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:2000]
+
+
 def test_lsh_construction_launches_no_jobs(spark):
     """Building an LSH pairs DataFrame is pure plan construction —
     ZERO Spark jobs (VERDICT r7 #3: the old flood cap ran an eager
