@@ -340,12 +340,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pair_ctes(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
-    """CTE block (no WITH) ending in ``mhp(id_a, id_b, n_agree)`` — the
-    md5-family MinHash pair pipeline, shared by the pair-level oracle
-    (_minhash_md5_oracle) and the LSH→clusters composition oracle.
-    The shingle CASE mirrors Spark's `shingles` clamp: docs shorter
-    than k emit one whole-doc shingle, never zero."""
+def _minhash_sig_ctes(k=3, num_hashes=8, bands=4) -> str:
+    """CTE block (no WITH) ending in ``sig(id, h0..hN)`` and
+    ``bnd(id, b, key)`` — the md5-family MinHash signature + banding
+    pipeline shared by the pair oracles and the streaming verdict
+    oracle (which collapses the corpus side by signature instead of
+    enumerating pairs). The shingle CASE mirrors Spark's `shingles`
+    clamp: docs shorter than k emit one whole-doc shingle, never
+    zero."""
     rows_per_band = num_hashes // bands
     h = lambda i, s: (  # noqa: E731
         f"CAST(('0x' || substr(md5('mh{i}:' || {s}), 1, 15)) AS BIGINT)"
@@ -362,9 +364,6 @@ def _minhash_pair_ctes(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
     )
     last_band = " || ',' || ".join(
         f"h{(bands - 1) * rows_per_band + j}" for j in range(rows_per_band)
-    )
-    agree = " + ".join(
-        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
     )
     return f"""
     w AS MATERIALIZED (
@@ -396,7 +395,18 @@ def _minhash_pair_ctes(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
            ELSE {last_band}
          END AS key
       FROM sig, unnest([{", ".join(str(b) for b in range(bands))}]) u(b)
-    ),
+    )"""
+
+
+def _minhash_pair_ctes(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
+    """CTE block (no WITH) ending in ``mhp(id_a, id_b, n_agree)`` — the
+    md5-family MinHash pair pipeline (_minhash_sig_ctes + symmetric
+    candidate join + agreement verify), shared by the pair-level oracle
+    (_minhash_md5_oracle) and the LSH→clusters composition oracle."""
+    agree = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"""{_minhash_sig_ctes(k, num_hashes, bands)},
     cand AS MATERIALIZED (
       SELECT DISTINCT x.id AS id_a, y.id AS id_b
       FROM bnd x JOIN bnd y ON x.b = y.b AND x.key = y.key AND x.id < y.id

@@ -817,92 +817,222 @@ def stream_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.distinct().orderBy("arriving_id", "corpus_id")
 
 
-def _neardup_verdict_oracle(k=3, num_hashes=8, bands=4, min_agree=6) -> str:
-    """Batch replay of the per-doc verdict: collapse the verified pair
-    set to one row per arriving doc — best match = min corpus_id among
-    the max-agreement matches (deterministic tie-break)."""
+def _neardup_verdict_oracle(
+    k=3, num_hashes=8, bands=4, min_agree=6, cap=64
+) -> str:
+    """Batch replay of the per-doc verdict INCLUDING the gate's two
+    scale disciplines, so the hash gate certifies exactly what the
+    stream computes: (1) the corpus collapses to one representative
+    per DISTINCT signature (sid = min member id, gsz = member count) —
+    identical signatures verify identically, so per-rep verification
+    loses nothing; (2) per arriving doc, only the top-``cap``
+    candidates by (colliding bands DESC, sid ASC) are verified — a
+    DETERMINISTIC rank both engines replay bit-for-bit. best_match =
+    min corpus_id among max-agreement docs (= min sid among
+    max-agreement reps, since sid is its group's min member);
+    n_matches = total matched corpus DOCS (sum of matched groups'
+    sizes)."""
     from big_data_project_implementation_spark.queries.pipeline_q import (
-        _minhash_pair_ctes,
+        _minhash_sig_ctes,
     )
 
+    hcols = ", ".join(f"h{i}" for i in range(num_hashes))
     agree = " + ".join(
-        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
+        f"CAST(a.h{i} = g.h{i} AS INT)" for i in range(num_hashes)
     )
     return f"""
-    WITH{_minhash_pair_ctes(k, num_hashes, bands, min_agree)},
-    candx AS MATERIALIZED (
-      SELECT DISTINCT x.id AS arriving_id, c.id AS corpus_id
-      FROM bnd x JOIN bnd c ON x.b = c.b AND x.key = c.key
-      WHERE c.id % 2 = 0
+    WITH{_minhash_sig_ctes(k, num_hashes, bands)},
+    grp AS MATERIALIZED (
+      SELECT MIN(id) AS sid, CAST(COUNT(*) AS BIGINT) AS gsz, {hcols}
+      FROM sig WHERE id % 2 = 0 GROUP BY {hcols}
     ),
-    verified AS (
-      SELECT cx.arriving_id, cx.corpus_id, CAST({agree} AS BIGINT) AS n_agree
-      FROM candx cx
-      JOIN sig a ON a.id = cx.arriving_id
-      JOIN sig b ON b.id = cx.corpus_id
+    gbnd AS (
+      SELECT g.sid, b.b, b.key FROM grp g JOIN bnd b ON b.id = g.sid
+    ),
+    cand AS (
+      SELECT x.id AS arriving_id, gb.sid, COUNT(*) AS n_bands
+      FROM bnd x JOIN gbnd gb ON x.b = gb.b AND x.key = gb.key
+      GROUP BY x.id, gb.sid
+    ),
+    capped AS (
+      SELECT arriving_id, sid FROM (
+        SELECT arriving_id, sid,
+               row_number() OVER (PARTITION BY arriving_id
+                                  ORDER BY n_bands DESC, sid) AS rk
+        FROM cand
+      ) WHERE rk <= {cap}
+    ),
+    ver AS (
+      SELECT c.arriving_id, c.sid, g.gsz,
+             CAST({agree} AS BIGINT) AS n_agree
+      FROM capped c
+      JOIN grp g ON g.sid = c.sid
+      JOIN sig a ON a.id = c.arriving_id
       WHERE {agree} >= {min_agree}
     ),
     mx AS (
       SELECT arriving_id, MAX(n_agree) AS max_agree,
-             CAST(COUNT(*) AS BIGINT) AS n_matches
-      FROM verified GROUP BY arriving_id
+             CAST(SUM(gsz) AS BIGINT) AS n_matches
+      FROM ver GROUP BY arriving_id
     )
     SELECT v.arriving_id,
-           CAST(MIN(v.corpus_id) AS BIGINT) AS best_match,
+           CAST(MIN(v.sid) AS BIGINT) AS best_match,
            CAST(m.max_agree AS BIGINT) AS max_agree,
            m.n_matches
-    FROM verified v
+    FROM ver v
     JOIN mx m ON v.arriving_id = m.arriving_id AND v.n_agree = m.max_agree
     GROUP BY v.arriving_id, m.max_agree, m.n_matches
     ORDER BY v.arriving_id"""
 
 
-@query("stream_neardup_verdict", oracle=_neardup_verdict_oracle())
-def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming NEAR-dup ingest GATE, per-doc verdict shape
-    (round 8, VERDICT r7 #1): same stateless banded match plan as
-    `stream_neardup_vs_corpus`, but each micro-batch collapses its
-    verified matches to ONE ROW PER ARRIVING DOC —
-    ``groupBy(arriving_id).agg(best corpus match, max agreement,
-    match count)`` — so output scales with ARRIVING volume, never
-    with corpus dup-family size (the r7 100× probe measured the pair
-    shape growing ~5,400×; a gate must not). The aggregation is
-    batch-LOCAL (foreachBatch): a file-source doc belongs to exactly
-    one micro-batch, so batch-local grouping IS the global answer and
-    adds zero stream state. Each batch's verdicts land in a
-    ``batch_id=N`` parquet partition via dynamic overwrite — replaying
-    a batch after restart overwrites its own partition, keeping the
-    sink exactly-once (pinned by the restart pytest). Tie-break is
-    deterministic (max n_agree, then min corpus_id) so the md5 family
-    yields a full hash-match oracle. Docs with no verified match emit
-    nothing — absence IS the pass verdict; the gate's decision column
-    is n_matches > 0."""
-    import tempfile
+def _neardup_verdict_machinery(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    k=3,
+    num_hashes=8,
+    bands=4,
+    min_agree=6,
+    cap=64,
+):
+    """(stream builder, foreachBatch gate) for the per-doc verdict
+    ingest gate — shared by the registry query and the restart pytest.
 
-    out_dir = tempfile.mkdtemp(prefix="neardup_verdict_")
-    ckpt = tempfile.mkdtemp(prefix="neardup_verdict_ckpt_")
-    build = _neardup_match_stream(spark, sf_dir)
+    Scale disciplines that bound WORK (not just output) by arriving
+    volume (VERDICT r7 #1 — the pair shape's 100× wall grew with match
+    volume because every (arriving, corpus-family-member) pair paid a
+    verify): (1) the corpus collapses to one representative per
+    DISTINCT signature (sid = min member id), computed once and
+    checkpointed — identical signatures verify identically, so the
+    verdict loses nothing and giant exact-dup families cost ONE verify;
+    (2) per arriving doc at most ``cap`` candidates are verified,
+    ranked deterministically (colliding bands DESC, sid ASC) so the
+    DuckDB oracle replays the exact same pruning. All matching is
+    batch-LOCAL inside foreachBatch — the streaming plan is just the
+    signature projection, so candidate dedup/rank/groupBy are ordinary
+    batch ops with ZERO stream state."""
+    from big_data_project_implementation_spark.operators import dedup
+    from big_data_project_implementation_spark.operators.dedup import _spread
+    from big_data_project_implementation_spark.queries.registry import (
+        documents_stream,
+    )
+
+    sig = dedup.minhash_md5_signature("text", k=k, num_hashes=num_hashes)
+
+    # corpus reps: one row per distinct signature; postings from the
+    # rep's band keys (identical for every member). Checkpointed once —
+    # every micro-batch reuses the computed signatures.
+    reps = (
+        _spread(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+                (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
+            ),
+            "doc_id",
+        )
+        .select(F.col("doc_id").alias("corpus_id"), sig.alias("csig"))
+        .groupBy("csig")
+        .agg(
+            F.min("corpus_id").alias("sid"),
+            F.count("*").cast("bigint").alias("gsz"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    postings = reps.select(
+        "sid",
+        F.posexplode(
+            dedup.minhash_md5_band_keys(
+                "csig", bands=bands, num_hashes=num_hashes
+            )
+        ).alias("band", "key"),
+    )
+    n_agree = sum(
+        F.when(
+            F.element_at("sig", i + 1) == F.element_at("csig", i + 1), 1
+        ).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("bigint")
+    keys = dedup.minhash_md5_band_keys(
+        "sig", bands=bands, num_hashes=num_hashes
+    )
+    n_cores = spark.sparkContext.defaultParallelism
+
+    def build(s: SparkSession) -> DataFrame:
+        # the STREAM plan is only the signature projection (spread
+        # across cores first — the _spread lesson, stream-side)
+        return (
+            documents_stream(s, sf_dir)
+            .filter(F.col("text").isNotNull())
+            .repartition(n_cores)
+            .select(F.col("doc_id").alias("arriving_id"), sig.alias("sig"))
+        )
 
     def gate(batch: DataFrame, batch_id: int) -> None:
+        cand = (
+            batch.select(
+                "arriving_id", F.posexplode(keys).alias("band", "key")
+            )
+            .join(postings, ["band", "key"])
+            .groupBy("arriving_id", "sid")
+            .agg(F.count("*").alias("n_bands"))
+        )
+        w = Window.partitionBy("arriving_id").orderBy(
+            F.desc("n_bands"), F.asc("sid")
+        )
+        capped = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= cap)
+            .select("arriving_id", "sid")
+        )
+        ver = (
+            capped.join(reps, "sid")
+            .join(batch, "arriving_id")
+            .withColumn("n_agree", n_agree)
+            .filter(F.col("n_agree") >= min_agree)
+        )
         (
-            batch.dropDuplicates(["arriving_id", "corpus_id"])
-            .groupBy("arriving_id")
+            ver.groupBy("arriving_id")
             .agg(
                 F.max_by(
-                    "corpus_id",
+                    "sid",
                     F.struct(
                         F.col("n_agree").alias("a"),
-                        (-F.col("corpus_id")).alias("b"),
+                        (-F.col("sid")).alias("b"),
                     ),
                 )
                 .cast("bigint")
                 .alias("best_match"),
                 F.max("n_agree").cast("bigint").alias("max_agree"),
-                F.count("*").cast("bigint").alias("n_matches"),
+                F.sum("gsz").cast("bigint").alias("n_matches"),
             )
             .write.mode("overwrite")
             .parquet(f"{out_dir}/batch_id={batch_id}")
         )
+
+    return build, gate
+
+
+@query("stream_neardup_verdict", oracle=_neardup_verdict_oracle())
+def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest GATE, per-doc verdict shape
+    (round 8, VERDICT r7 #1): one output row per arriving doc with a
+    verified match — ``(best_match, max_agree, n_matches)`` — so BOTH
+    output and per-batch work scale with ARRIVING volume, never with
+    corpus dup-family size (the r7 100× probe measured the pair shape
+    growing ~5,400×; a gate must not). See _neardup_verdict_machinery
+    for the two scale disciplines (corpus signature collapse;
+    deterministic top-``cap`` candidate rank) — both replayed by the
+    DuckDB oracle, so the hash gate certifies exactly what the stream
+    computes, pruning included. Each batch's verdicts land in a
+    ``batch_id=N`` parquet partition via overwrite — replaying a batch
+    after restart overwrites its own partition, keeping the sink
+    exactly-once (pinned by the restart pytest). Docs with no verified
+    match emit nothing — absence IS the pass verdict; the gate's
+    decision column is n_matches > 0."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="neardup_verdict_")
+    ckpt = tempfile.mkdtemp(prefix="neardup_verdict_ckpt_")
+    build, gate = _neardup_verdict_machinery(spark, sf_dir, out_dir)
 
     sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", "8")

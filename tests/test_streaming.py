@@ -600,29 +600,15 @@ def test_neardup_verdict_restart_is_exactly_once(spark):
     overwrites its own partition instead of appending. Cheap by
     design: replay run 2 from the same checkpoint, assert the verdict
     set is byte-identical."""
-    import os
-
     from big_data_project_implementation_spark.queries.streaming_q import (
-        _neardup_match_stream,
+        _neardup_verdict_machinery,
     )
 
     out_dir = tempfile.mkdtemp(prefix="verdict_restart_out_")
     ckpt = tempfile.mkdtemp(prefix="verdict_restart_ckpt_")
-
-    def gate(batch, batch_id):
-        (
-            batch.dropDuplicates(["arriving_id", "corpus_id"])
-            .groupBy("arriving_id")
-            .agg(
-                F.max("n_agree").cast("bigint").alias("max_agree"),
-                F.count("*").cast("bigint").alias("n_matches"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/batch_id={batch_id}")
-        )
+    build, gate = _neardup_verdict_machinery(spark, SF_DIR, out_dir)
 
     def run_once():
-        build = _neardup_match_stream(spark, SF_DIR)
         sub = spark.newSession()
         sub.conf.set("spark.sql.shuffle.partitions", "8")
         q = (
@@ -638,7 +624,7 @@ def test_neardup_verdict_restart_is_exactly_once(spark):
     try:
         run_once()
         first = sorted(
-            (r.arriving_id, r.max_agree, r.n_matches)
+            (r.arriving_id, r.best_match, r.max_agree, r.n_matches)
             for r in spark.read.option("basePath", out_dir)
             .parquet(f"{out_dir}/batch_id=*")
             .collect()
@@ -648,7 +634,7 @@ def test_neardup_verdict_restart_is_exactly_once(spark):
         assert len(first) == len({t[0] for t in first})
         run_once()  # restart from the same checkpoint: replays nothing
         second = sorted(
-            (r.arriving_id, r.max_agree, r.n_matches)
+            (r.arriving_id, r.best_match, r.max_agree, r.n_matches)
             for r in spark.read.option("basePath", out_dir)
             .parquet(f"{out_dir}/batch_id=*")
             .collect()
