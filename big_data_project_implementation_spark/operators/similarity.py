@@ -1520,3 +1520,107 @@ def lsh_md5_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def int_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT integer-cosine top-k (round 8): the ground-truth side of
+    :func:`topk_eval` — brute-force broadcast-queries × corpus scan
+    with the SAME micro-unit numerics as ``lsh_md5_topk``'s re-rank
+    (exact bigint dot/norms via ``_q6``, one double divide), so the
+    approximate and exact sides of an evaluation are rank-comparable
+    bit-for-bit and a SQL engine replays both. ``brute_force_topk``
+    keeps the float-double path (its own oracle contract).
+
+    Returns (query_id, neighbor_id, cos_q6, rank), rank ≤ k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _q6_checked(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _q6(F.col(vec_col)).alias("cv")
+    )
+    cos = _ilsh_dot(F.col("qv"), F.col("cv")).cast("double") / (
+        F.sqrt(_ilsh_dot(F.col("qv"), F.col("qv")).cast("double"))
+        * F.sqrt(_ilsh_dot(F.col("cv"), F.col("cv")).cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(F.col("_cos") * 1e6 + F.lit(0.5)) / 1e6).alias("cos_q6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def topk_eval(approx: DataFrame, truth: DataFrame, k: int) -> DataFrame:
+    """Retrieval-quality evaluation of an ANN result against exact
+    ground truth — THE numbers a similarity deployment reads before
+    trusting an index: per-query recall@k and the reciprocal rank of
+    the exact nearest neighbor, both EXACT rationals (integer hit
+    counts, integer first_rank), so the metric itself is
+    hash-certifiable when both inputs are (e.g. ``lsh_md5_topk`` vs
+    ``int_cosine_topk``).
+
+    Inputs carry (query_id, neighbor_id, rank). Returns one row per
+    truth query: (query_id, n_hits, first_rank, recall_q6, rr_q6)
+    where first_rank is the approx rank of the TRUE top-1 neighbor
+    (0 = missed) and rr_q6 = 1/first_rank floor-rounded at 6dp.
+
+    Scale shape: two broadcastable joins on (query_id, neighbor_id) —
+    both sides are top-k tables (|queries| × k rows), never corpus-
+    sized; the expensive part of an evaluation is producing the truth
+    table, which is the caller's sampling decision."""
+    a = approx.select("query_id", "neighbor_id", "rank")
+    t = truth.select("query_id", "neighbor_id", "rank")
+    hits = (
+        a.join(t.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    top1 = t.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("_top1")
+    )
+    fr = (
+        a.join(top1, "query_id")
+        .filter(F.col("neighbor_id") == F.col("_top1"))
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("bigint").alias("first_rank"))
+    )
+    return (
+        t.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .join(fr, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("first_rank", F.lit(0)).cast("bigint").alias("first_rank"),
+            (
+                F.floor(
+                    F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("recall_q6"),
+            F.when(F.col("first_rank").isNull(), F.lit(0.0))
+            .otherwise(
+                F.floor(F.lit(1e6) / F.col("first_rank") + F.lit(0.5)) / 1e6
+            )
+            .alias("rr_q6"),
+        )
+    )

@@ -901,7 +901,9 @@ def embedding_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_LSH_MD5_TOPK_ORACLE = """
+# CTE block through `scored` (query_id, neighbor_id, cos) — shared by
+# the certified top-k oracle and the round-8 ANN-evaluation oracle
+_LSH_MD5_CTES = """
     WITH e AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding,
@@ -954,7 +956,9 @@ _LSH_MD5_TOPK_ORACLE = """
       ) d
       JOIN nrm na ON na.vec_id = d.query_id
       JOIN nrm nb ON nb.vec_id = d.neighbor_id
-    )
+    )"""
+
+_LSH_MD5_TOPK_ORACLE = _LSH_MD5_CTES + """
     SELECT query_id, neighbor_id,
            floor(cos * 1000000 + 0.5) / 1000000 AS cos_q6, rank
     FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -963,6 +967,71 @@ _LSH_MD5_TOPK_ORACLE = """
           FROM scored)
     WHERE rank <= 5
     ORDER BY query_id, rank
+    """
+
+# Round 8: retrieval-quality evaluation of the certified LSH top-k
+# against EXACT integer-cosine ground truth — recall@5 and the
+# reciprocal rank of the true nearest neighbor, per query, as exact
+# rationals. Both sides share `ed`/`nrm` (identical micro-unit
+# numerics), so the whole evaluation — approx index, exact truth, and
+# the metric arithmetic — is replayed by DuckDB and hash-matched.
+_ANN_EVAL_ORACLE = _LSH_MD5_CTES + """,
+    approx AS (
+      SELECT query_id, neighbor_id, rank
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id)
+                           AS INT) AS rank
+            FROM scored)
+      WHERE rank <= 5
+    ),
+    truth_scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cos
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               SUM(a.qv * b.qv) AS dot
+        FROM ed a JOIN ed b ON b.d = a.d AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 5
+        GROUP BY 1, 2
+      ) d
+      JOIN nrm na ON na.vec_id = d.query_id
+      JOIN nrm nb ON nb.vec_id = d.neighbor_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id, rank
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id)
+                           AS INT) AS rank
+            FROM truth_scored)
+      WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT a.query_id, COUNT(*) AS n_hits
+      FROM approx a JOIN truth t
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY a.query_id
+    ),
+    fr AS (
+      SELECT a.query_id, MIN(a.rank) AS first_rank
+      FROM approx a
+      JOIN (SELECT query_id, neighbor_id FROM truth WHERE rank = 1) t1
+        ON a.query_id = t1.query_id AND a.neighbor_id = t1.neighbor_id
+      GROUP BY a.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(f.first_rank, 0) AS BIGINT) AS first_rank,
+           floor(COALESCE(h.n_hits, 0) / 5.0 * 1000000 + 0.5) / 1000000
+             AS recall_q6,
+           CASE WHEN f.first_rank IS NULL THEN 0.0
+                ELSE floor(1000000.0 / f.first_rank + 0.5) / 1000000
+           END AS rr_q6
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    LEFT JOIN fr f ON f.query_id = q.query_id
+    ORDER BY q.query_id
     """
 
 
@@ -984,6 +1053,26 @@ def similarity_lsh_topk_certified(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.lsh_md5_topk(
         qs, emb, dim=64, k=5, n_planes=6, n_tables=4
     ).orderBy("query_id", "rank")
+
+
+@query("similarity_ann_recall_eval", oracle=_ANN_EVAL_ORACLE)
+def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval-quality evaluation (round 8): recall@5 and the
+    reciprocal rank of the TRUE nearest neighbor, per query, for the
+    certified LSH top-k (operators.similarity.lsh_md5_topk) against
+    exact integer-cosine ground truth (int_cosine_topk — the SAME
+    micro-unit numerics, so ranks are comparable bit-for-bit). The
+    numbers a similarity deployment reads before trusting an index;
+    exact rationals end to end (integer hit counts, integer
+    first_rank), hash-matched against a DuckDB replay of the full
+    composition — index, truth, and metric. The production
+    gaussian-plane pipelines keep their sf0.1 recall-floor pytests;
+    this row certifies the EVALUATION logic itself."""
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = similarity.lsh_md5_topk(qs, emb, dim=64, k=5, n_planes=6, n_tables=4)
+    truth = similarity.int_cosine_topk(qs, emb, k=5)
+    return similarity.topk_eval(approx, truth, k=5).orderBy("query_id")
 
 
 @query(

@@ -592,3 +592,48 @@ def audit_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.table_fingerprint(
         li, ["l_orderkey", "l_linenumber", "l_quantity"]
     )
+
+
+@query(
+    "io_xml_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, text
+    FROM documents
+    WHERE text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (round 8; native in Spark 4 — the
+    reference era needed the external spark-xml package): write the
+    documents table as element-per-row XML, read it back with the
+    DECLARED schema (inference would re-type numeric-looking strings),
+    and emit the rows — the oracle reads the ORIGINAL parquet, so the
+    hash match certifies byte-exact escaping round-trip of real
+    multi-line text through the XML reader/writer pair. NULL-text docs
+    are excluded on both sides (an absent element and an empty element
+    are indistinguishable to XML, the format's own documented
+    limitation, not the engine's). Scale shape: format conversion is a
+    pure per-partition map — no shuffle either way beyond the
+    presentation sort."""
+    import tempfile
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "source", "text")
+    )
+    out = tempfile.mkdtemp(prefix="xml_rt_") + "/docs"
+    (
+        d.write.format("xml")
+        .option("rowTag", "doc")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(d.schema)
+        .load(out)
+    )
+    return back.orderBy("doc_id")
