@@ -4487,6 +4487,29 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bench + correctness driver) race the rename, the loser discards
     its staging dir and serves the winner's complete index; a partial
     index is never visible under the final path."""
+    from big_data_project_implementation_spark.operators import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = _ann_index_cached(emb, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk_from_index(
+        qs, emb, path, k=5, nprobe=4, refine=16
+    ).orderBy("query_id", "rank")
+
+
+def _ann_index_cached(emb, sf_dir: str) -> str:
+    """Per-user cached IVF-PQ index path for ``sf_dir``, built lazily
+    on first use (shared by the batch serve query and the round-8
+    streaming serve query — same hyper-parameters, same oracle).
+
+    v2: integer micro-unit centroids (round-6 cosine_q conversion) —
+    the version segment invalidates indexes built by older code.
+    Cache safety (round 7 + ADVICE r7 TOCTOU re-check): the build
+    lands in a unique staging dir and publication is a single atomic
+    rename; a COMPLETE concurrent index (codes/_SUCCESS present at
+    claim time) is served, never claimed-and-deleted mid-read; only a
+    dead partial build (no _SUCCESS) is claimed via rename before
+    deletion so two repairers never rmtree the same live path."""
     import getpass as _getpass
     import os as _os
     import shutil as _shutil
@@ -4495,9 +4518,6 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from big_data_project_implementation_spark.operators import similarity as sim
 
-    emb = t(spark, sf_dir, "embeddings")
-    # v2: integer micro-unit centroids (round-6 cosine_q conversion) —
-    # the version segment invalidates indexes built by older code
     path = _os.path.join(
         _tempfile.gettempdir(),
         "spark_graft_ann_index_v2_" + _getpass.getuser(),
@@ -4507,16 +4527,9 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = f"{path}.build-{_os.getpid()}-{_uuid.uuid4().hex[:8]}"
         sim.build_ann_index(emb, stage, n_cells=16, m=8, n_codes=32)
         if _os.path.exists(_os.path.join(path, "codes", "_SUCCESS")):
-            # a concurrent run published a COMPLETE index while we were
-            # building (TOCTOU re-check, ADVICE r7): it may already be
-            # serving readers — never claim-and-delete a live index;
-            # discard our duplicate and serve theirs
             _shutil.rmtree(stage, ignore_errors=True)
         else:
             if _os.path.exists(path):
-                # a dir without _SUCCESS is a dead partial build: claim
-                # it atomically (rename) before deleting so two
-                # repairers never rmtree the same live path
                 try:
                     _os.rename(path, stage + ".stale")
                     _shutil.rmtree(stage + ".stale", ignore_errors=True)
@@ -4525,12 +4538,8 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 _os.rename(stage, path)
             except OSError:
-                # lost the publication race — serve the winner's index
                 _shutil.rmtree(stage, ignore_errors=True)
-    qs = emb.filter(F.col("vec_id") < 5)
-    return sim.ivfpq_topk_from_index(
-        qs, emb, path, k=5, nprobe=4, refine=16
-    ).orderBy("query_id", "rank")
+    return path
 
 
 @query(

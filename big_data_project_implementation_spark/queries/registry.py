@@ -115,6 +115,16 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the embeddings table (file source) — arriving
+    QUERY VECTORS for the online ANN-serving query; same symlinked-dir
+    plumbing as documents_stream."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return spark.readStream.schema(raw_schema).parquet(
+        _stream_table_dir(sf_dir, "embeddings")
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source), with the same
     nanos→µs conversion as the batch path.

@@ -1112,3 +1112,73 @@ def stream_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_arrivals"))
         .orderBy("content_fp")
     )
+
+
+def _stream_ann_serve_oracle() -> str:
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        _ivfpq_oracle,
+    )
+
+    return _ivfpq_oracle(16, 2, 8, 32, 2, 4, 16, 5)
+
+
+@query("stream_ann_serve", oracle=_stream_ann_serve_oracle())
+def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ANN serving (round 8): arriving query vectors answered
+    per micro-batch from the PERSISTED IVF-PQ index — the streaming
+    twin of `similarity_ivfpq_serve`, and the shape a real similarity
+    service runs (index trained offline; queries arrive continuously).
+    The index is the same per-user cached build (pipeline_q
+    ._ann_index_cached — same hyper-parameters), the per-batch serve
+    is the same `ivfpq_topk_from_index` plan (two broadcast model
+    scans, DPP on the cell key, ADC LUT, exact re-rank), so the same
+    unrolled _ivfpq_oracle hash-certifies the whole streaming
+    composition. Stream-static by construction: the batch side joins
+    the static index/corpus each micro-batch — ZERO stream state; the
+    sink is the exactly-once batch_id-partitioned overwrite of the
+    verdict gate. Queries are the vec_id<5 arrivals (the serve query's
+    contract); at deployment the filter is the arriving stream
+    itself."""
+    import tempfile
+
+    from big_data_project_implementation_spark.operators import (
+        similarity as sim,
+    )
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        _ann_index_cached,
+    )
+    from big_data_project_implementation_spark.queries.registry import (
+        embeddings_stream,
+        t,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = _ann_index_cached(emb, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="ann_serve_")
+    ckpt = tempfile.mkdtemp(prefix="ann_serve_ckpt_")
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        (
+            sim.ivfpq_topk_from_index(
+                batch, emb, path, k=5, nprobe=4, refine=16
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        embeddings_stream(sub, sf_dir)
+        .filter(F.col("vec_id") < 5)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    served = spark.read.option("basePath", out_dir).parquet(
+        f"{out_dir}/batch_id=*"
+    )
+    return served.drop("batch_id").orderBy("query_id", "rank")
