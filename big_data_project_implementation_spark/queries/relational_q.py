@@ -637,3 +637,40 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
     )
     return back.orderBy("doc_id")
+
+
+@query(
+    "io_avro_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink round-trip (round 8) through the PURE-PYTHON
+    ``pyavro`` DataSource (sources/avro_format.py) — the spark-avro
+    jar the reference era shipped externally is absent here, so the
+    format is implemented against the public Avro 1.11 container spec
+    (zigzag varints, deflate blocks, sync markers) and wired in via
+    the Spark 4 Python DataSource SPI. The oracle reads the ORIGINAL
+    parquet, so the hash match certifies the wire codec end-to-end:
+    every long/string/null of real multi-line text survives
+    encode→deflate→decode byte-exactly, INCLUDING the NULL-text docs
+    XML cannot represent (Avro's [null, T] union can). Scale shape:
+    one container file per task on write, one input partition per
+    file on read — no driver funnel either way; the per-row Python
+    codec makes this the availability path, parquet stays the perf
+    path (documented in the module header)."""
+    import tempfile
+
+    from big_data_project_implementation_spark.sources import avro_format
+
+    avro_format.register(spark)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="avro_rt_") + "/docs"
+    d.write.format("pyavro").mode("overwrite").save(out)
+    back = spark.read.format("pyavro").load(out)
+    return back.orderBy("doc_id")

@@ -1,0 +1,547 @@
+"""Avro source/sink as a pure-stdlib Python DataSource (round 8).
+
+The reference ships Avro support via the external ``spark-avro``
+package (reference `external/avro` era; modern Spark loads it as the
+``org.apache.spark:spark-avro`` jar). That jar is absent in this
+environment, so instead of documenting the row as blocked, the format
+is implemented directly against the PUBLIC Apache Avro 1.11
+specification (Object Container Files): magic ``Obj\\x01``, file
+metadata map (``avro.schema`` JSON + ``avro.codec``), 16-byte sync
+marker, and per-block ``(row count, byte length, payload, sync)``
+framing with zigzag-varint longs — wired into Spark through the
+Python DataSource SPI (SPARK-44076), the same extension point as
+``SyntheticDocsDataSource``.
+
+Scale shape: one input partition per ``.avro`` part file (files decode
+independently on executors — no driver funnel), and the writer emits
+one container file per task with commit/abort handled by the driver
+(_SUCCESS on commit, staged parts removed on abort). The codec is
+row-at-a-time Python — this is an AVAILABILITY connector for Avro
+interchange; parquet remains the performance path (documented, like
+the deliberate ``udf_classic_python`` parity row).
+
+Supported type subset (the engine's table surface): long/int,
+double/float, string, bytes, boolean, date (logical ``date``),
+timestamp (logical ``timestamp-micros``), array<T>, and nullable
+fields as ``["null", T]`` unions. Deflate blocks are raw RFC-1951
+(``zlib`` with a -15 window), per the spec.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob as _glob
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator, List, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_TS = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+# ---------------------------------------------------------------- schema
+
+def avro_schema_of(schema: StructType, name: str = "row") -> dict:
+    """Spark StructType → Avro record schema (JSON-able dict)."""
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": (
+                    ["null", _avro_type(f.dataType)]
+                    if f.nullable
+                    else _avro_type(f.dataType)
+                ),
+                **({"default": None} if f.nullable else {}),
+            }
+            for f in schema.fields
+        ],
+    }
+
+
+def _avro_type(dt: DataType) -> Any:
+    if isinstance(dt, LongType):
+        return "long"
+    if isinstance(dt, IntegerType):
+        return "int"
+    if isinstance(dt, DoubleType):
+        return "double"
+    if isinstance(dt, FloatType):
+        return "float"
+    if isinstance(dt, StringType):
+        return "string"
+    if isinstance(dt, BinaryType):
+        return "bytes"
+    if isinstance(dt, BooleanType):
+        return "boolean"
+    if isinstance(dt, DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, ArrayType):
+        if dt.containsNull:
+            items: Any = ["null", _avro_type(dt.elementType)]
+        else:
+            items = _avro_type(dt.elementType)
+        return {"type": "array", "items": items}
+    raise TypeError(f"unsupported Spark type for Avro: {dt}")
+
+
+def spark_schema_of(avro: dict) -> StructType:
+    """Avro record schema → Spark StructType (inverse of the above)."""
+    if avro.get("type") != "record":
+        raise TypeError(f"top-level Avro schema must be a record: {avro}")
+    fields = []
+    for f in avro["fields"]:
+        t = f["type"]
+        nullable = isinstance(t, list)
+        if nullable:
+            branches = [b for b in t if b != "null"]
+            if len(branches) != 1:
+                raise TypeError(f"only [null, T] unions supported: {t}")
+            t = branches[0]
+        fields.append(StructField(f["name"], _spark_type(t), nullable))
+    return StructType(fields)
+
+
+def _spark_type(t: Any) -> DataType:
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "date":
+            return DateType()
+        if lt == "timestamp-micros":
+            return TimestampType()
+        if t.get("type") == "array":
+            items = t["items"]
+            contains_null = isinstance(items, list)
+            if contains_null:
+                items = [b for b in items if b != "null"][0]
+            return ArrayType(_spark_type(items), contains_null)
+        t = t.get("type")
+    return {
+        "long": LongType(),
+        "int": IntegerType(),
+        "double": DoubleType(),
+        "float": FloatType(),
+        "string": StringType(),
+        "bytes": BinaryType(),
+        "boolean": BooleanType(),
+    }[t]
+
+
+# -------------------------------------------------------- wire encoding
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(n)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes((b | 0x80,)))
+        else:
+            buf.write(bytes((b,)))
+            return
+
+
+def read_long(buf: io.BufferedIOBase) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("truncated varint")
+        b = raw[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc)
+        shift += 7
+
+
+def _enc_bytes(buf: io.BytesIO, v: bytes) -> None:
+    write_long(buf, len(v))
+    buf.write(v)
+
+
+def _dec_bytes(buf: io.BufferedIOBase) -> bytes:
+    n = read_long(buf)
+    v = buf.read(n)
+    if len(v) != n:
+        raise EOFError("truncated bytes")
+    return v
+
+
+def _encoder_for(dt: DataType) -> Callable[[io.BytesIO, Any], None]:
+    """Value encoder for one non-null Spark-typed value."""
+    if isinstance(dt, (LongType, IntegerType)):
+        return write_long
+    if isinstance(dt, DoubleType):
+        return lambda buf, v: buf.write(struct.pack("<d", v))
+    if isinstance(dt, FloatType):
+        return lambda buf, v: buf.write(struct.pack("<f", v))
+    if isinstance(dt, StringType):
+        return lambda buf, v: _enc_bytes(buf, v.encode("utf-8"))
+    if isinstance(dt, BinaryType):
+        return lambda buf, v: _enc_bytes(buf, bytes(v))
+    if isinstance(dt, BooleanType):
+        return lambda buf, v: buf.write(b"\x01" if v else b"\x00")
+    if isinstance(dt, DateType):
+        return lambda buf, v: write_long(buf, (v - _EPOCH_DATE).days)
+    if isinstance(dt, TimestampType):
+        # Spark hands TimestampType to Python as naive datetimes in the
+        # session zone; for epoch math they are interpreted as UTC
+        # (this container pins UTC). Roundtrip through this pair is
+        # exact regardless.
+        return lambda buf, v: write_long(
+            buf,
+            int(
+                (
+                    v.replace(tzinfo=_dt.timezone.utc) - _EPOCH_TS
+                ).total_seconds()
+                * 1_000_000
+            )
+            if v.tzinfo is None
+            else int((v - _EPOCH_TS).total_seconds() * 1_000_000),
+        )
+    if isinstance(dt, ArrayType):
+        enc_item = _encoder_for(dt.elementType)
+        nullable_items = dt.containsNull
+
+        def enc_array(buf: io.BytesIO, v: Any) -> None:
+            # one positive-count block, then the 0 terminator (the
+            # simple writer form the spec allows)
+            if len(v) > 0:
+                write_long(buf, len(v))
+                for item in v:
+                    if nullable_items:
+                        if item is None:
+                            write_long(buf, 0)
+                            continue
+                        write_long(buf, 1)
+                    enc_item(buf, item)
+            write_long(buf, 0)
+
+        return enc_array
+    raise TypeError(f"unsupported Spark type for Avro: {dt}")
+
+
+def _decoder_for(dt: DataType) -> Callable[[io.BufferedIOBase], Any]:
+    if isinstance(dt, (LongType, IntegerType)):
+        return read_long
+    if isinstance(dt, DoubleType):
+        return lambda buf: struct.unpack("<d", buf.read(8))[0]
+    if isinstance(dt, FloatType):
+        return lambda buf: struct.unpack("<f", buf.read(4))[0]
+    if isinstance(dt, StringType):
+        return lambda buf: _dec_bytes(buf).decode("utf-8")
+    if isinstance(dt, BinaryType):
+        return _dec_bytes
+    if isinstance(dt, BooleanType):
+        return lambda buf: buf.read(1) == b"\x01"
+    if isinstance(dt, DateType):
+        return lambda buf: _EPOCH_DATE + _dt.timedelta(days=read_long(buf))
+    if isinstance(dt, TimestampType):
+        return lambda buf: (
+            _EPOCH_TS + _dt.timedelta(microseconds=read_long(buf))
+        ).replace(tzinfo=None)
+    if isinstance(dt, ArrayType):
+        dec_item = _decoder_for(dt.elementType)
+        nullable_items = dt.containsNull
+
+        def dec_array(buf: io.BufferedIOBase) -> list:
+            out: list = []
+            while True:
+                count = read_long(buf)
+                if count == 0:
+                    return out
+                if count < 0:
+                    # block with byte-size prefix (spec fast-skip form)
+                    read_long(buf)
+                    count = -count
+                for _ in range(count):
+                    if nullable_items and read_long(buf) == 0:
+                        out.append(None)
+                        continue
+                    out.append(dec_item(buf))
+
+        return dec_array
+    raise TypeError(f"unsupported Spark type for Avro: {dt}")
+
+
+# ------------------------------------------------------- container file
+
+def write_container(
+    path: str,
+    schema: StructType,
+    rows: Iterator[Any],
+    codec: str = "deflate",
+    block_rows: int = 4096,
+) -> int:
+    """Write one Avro Object Container File; returns rows written."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    sync = uuid.uuid4().bytes
+    encoders = [
+        (_encoder_for(f.dataType), f.nullable) for f in schema.fields
+    ]
+    n_fields = len(encoders)
+    total = 0
+    with open(path, "wb") as out:
+        out.write(MAGIC)
+        meta = io.BytesIO()
+        write_long(meta, 2)
+        _enc_bytes(meta, b"avro.schema")
+        _enc_bytes(
+            meta,
+            json.dumps(avro_schema_of(schema), separators=(",", ":")).encode(),
+        )
+        _enc_bytes(meta, b"avro.codec")
+        _enc_bytes(meta, codec.encode())
+        write_long(meta, 0)
+        out.write(meta.getvalue())
+        out.write(sync)
+
+        block = io.BytesIO()
+        n_block = 0
+
+        def flush() -> None:
+            nonlocal n_block
+            if not n_block:
+                return
+            payload = block.getvalue()
+            if codec == "deflate":
+                c = zlib.compressobj(6, zlib.DEFLATED, -15)
+                payload = c.compress(payload) + c.flush()
+            head = io.BytesIO()
+            write_long(head, n_block)
+            write_long(head, len(payload))
+            out.write(head.getvalue())
+            out.write(payload)
+            out.write(sync)
+            block.seek(0)
+            block.truncate()
+            n_block = 0
+
+        for row in rows:
+            for i in range(n_fields):
+                enc, nullable = encoders[i]
+                v = row[i]
+                if nullable:
+                    if v is None:
+                        write_long(block, 0)
+                        continue
+                    write_long(block, 1)
+                enc(block, v)
+            n_block += 1
+            total += 1
+            if n_block >= block_rows:
+                flush()
+        flush()
+    return total
+
+
+def read_container_schema(path: str) -> tuple[StructType, dict]:
+    """Driver-side metadata read: (Spark schema, raw file metadata)."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"not an Avro container file: {path}")
+        meta = _read_meta_map(f)
+    avro = json.loads(meta[b"avro.schema"].decode())
+    return spark_schema_of(avro), meta
+
+
+def _read_meta_map(f: io.BufferedIOBase) -> dict:
+    meta: dict = {}
+    while True:
+        count = read_long(f)
+        if count == 0:
+            return meta
+        if count < 0:
+            read_long(f)
+            count = -count
+        for _ in range(count):
+            k = _dec_bytes(f)
+            meta[k] = _dec_bytes(f)
+
+
+def read_container(path: str, schema: StructType) -> Iterator[tuple]:
+    """Decode every row of one container file (executor-side)."""
+    decoders = [
+        (_decoder_for(f.dataType), f.nullable) for f in schema.fields
+    ]
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"not an Avro container file: {path}")
+        meta = _read_meta_map(f)
+        codec = meta.get(b"avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported avro codec: {codec}")
+        sync = f.read(SYNC_SIZE)
+        while True:
+            try:
+                n_rows = read_long(f)
+            except EOFError:
+                return
+            n_bytes = read_long(f)
+            payload = f.read(n_bytes)
+            if len(payload) != n_bytes:
+                raise EOFError(f"truncated block in {path}")
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            block = io.BytesIO(payload)
+            for _ in range(n_rows):
+                row = []
+                for dec, nullable in decoders:
+                    if nullable and read_long(block) == 0:
+                        row.append(None)
+                        continue
+                    row.append(dec(block))
+                yield tuple(row)
+            if f.read(SYNC_SIZE) != sync:
+                raise ValueError(f"sync-marker mismatch in {path}")
+
+
+# ------------------------------------------------------ DataSource SPI
+
+def _part_files(path: str) -> List[str]:
+    return sorted(_glob.glob(os.path.join(path, "part-*.avro")))
+
+
+class AvroDataSource(DataSource):
+    """``spark.read.format("pyavro").load(dir)`` /
+    ``df.write.format("pyavro").option("codec", ...).save(dir)``.
+
+    Read schema comes from the first part file's ``avro.schema``
+    metadata (driver-side header read only) unless the user declares
+    one; each part file is one input partition.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyavro"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pyavro requires a path")
+        files = _part_files(path)
+        if not files:
+            raise FileNotFoundError(f"no part-*.avro files under {path}")
+        schema, _ = read_container_schema(files[0])
+        return schema
+
+    def reader(self, schema: StructType) -> "AvroReader":
+        return AvroReader(self.options["path"], schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "AvroWriter":
+        return AvroWriter(
+            self.options["path"],
+            schema,
+            overwrite,
+            codec=self.options.get("codec", "deflate"),
+        )
+
+
+class AvroReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType) -> None:
+        self.files = _part_files(path)
+        if not self.files:
+            raise FileNotFoundError(f"no part-*.avro files under {path}")
+        self.schema_struct = schema
+
+    def partitions(self) -> List[InputPartition]:
+        return [InputPartition(f) for f in self.files]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return read_container(partition.value, self.schema_struct)
+
+
+@dataclass
+class AvroCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class AvroWriter(DataSourceWriter):
+    def __init__(
+        self, path: str, schema: StructType, overwrite: bool, codec: str
+    ) -> None:
+        self.path = path
+        self.schema_struct = schema
+        self.codec = codec
+        if overwrite and os.path.isdir(path):
+            for f in _part_files(path):
+                os.remove(f)
+            marker = os.path.join(path, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator: Iterator[Any]) -> AvroCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # stage under a dotted name (invisible to _part_files) and
+        # publish via atomic rename in commit — a failed task never
+        # leaves a half-written part visible to readers
+        base = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro"
+        stage = os.path.join(self.path, "." + base)
+        n = write_container(stage, self.schema_struct, iterator, self.codec)
+        return AvroCommit(file=stage, rows=n)
+
+    def commit(self, messages: List[Optional[AvroCommit]]) -> None:
+        for m in messages:
+            if m is not None:
+                d, b = os.path.split(m.file)
+                os.rename(m.file, os.path.join(d, b.lstrip(".")))
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages: List[Optional[AvroCommit]]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the pyavro format."""
+    spark.dataSource.register(AvroDataSource)
