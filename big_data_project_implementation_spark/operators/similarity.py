@@ -1210,6 +1210,47 @@ def _ivfpq_serve(
     )
 
 
+def ivfpq_encode_with_model(
+    df: DataFrame,
+    cents: DataFrame,
+    books: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a FROZEN IVF-PQ model: route each vector
+    to its nearest coarse centroid (broadcast argmax, same tie rule as
+    training) and PQ-encode it with the given codebooks — NO training
+    anywhere in the plan. This is the index-maintenance primitive: the
+    initial build runs it over the corpus, and the round-8 streaming
+    index update runs it per micro-batch over arriving vectors (new
+    data joins the inverted lists without retraining; re-training is
+    a rebuild policy decision, versioned by index path). Returns
+    ``(cell, neighbor_id, codes)`` — the codes-table row shape."""
+    codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine_q("c_vec", "centroid"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.desc("_cos"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("cell", "neighbor_id")
+        .join(codes, "neighbor_id")
+        .select("cell", "neighbor_id", "codes")
+    )
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -1245,31 +1286,49 @@ def build_ann_index(
     books = pq_codebooks(
         corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
-    codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
-    )
-    assigned = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        )
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine_q("c_vec", "centroid"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.desc("_cos"), F.asc("cell")
-                )
-            ),
-        )
-        .filter(F.col("_rk") == 1)
-        .select("cell", "neighbor_id")
-        .join(codes, "neighbor_id")
-        .select("cell", "neighbor_id", "codes")
+    assigned = ivfpq_encode_with_model(
+        corpus, cents, books, m=m, id_col=id_col, vec_col=vec_col
     )
     writers.write(cents, f"{path}/centroids", mode="overwrite")
     writers.write(books, f"{path}/codebooks", mode="overwrite")
     writers.write(assigned, f"{path}/codes", mode="overwrite", partition_by=["cell"])
+
+
+def ivfpq_compact(spark, path: str, delta_path: str) -> None:
+    """Compact delta code segments into the base inverted lists
+    (round 8) — the merge half of the LSM shape: the union of
+    ``codes/`` and the flat delta segments is rewritten as ONE
+    cell-partitioned codes table (restoring DPP pruning for every
+    vector) and swapped in with directory renames, so a concurrent
+    reader sees either the old base or the new one, never a partial.
+    No retraining anywhere — compaction moves bytes, the model stays
+    frozen; when drift warrants retraining, that is a rebuild
+    (:func:`build_ann_index`) under a NEW index path, versioned by the
+    caller. When to compact is the caller's policy (segment count or
+    delta/base size ratio at deployment scale)."""
+    import os
+    import shutil
+    import uuid
+
+    from big_data_project_implementation_spark.sources import writers
+
+    base = spark.read.parquet(f"{path}/codes").select(
+        "cell", "neighbor_id", "codes"
+    )
+    delta = spark.read.parquet(delta_path).select(
+        "cell", "neighbor_id", "codes"
+    )
+    stage = f"{path}/codes.compact-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    writers.write(
+        base.unionByName(delta),
+        stage,
+        mode="overwrite",
+        partition_by=["cell"],
+    )
+    old = stage + ".old"
+    os.rename(f"{path}/codes", old)
+    os.rename(stage, f"{path}/codes")
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def ivfpq_topk_from_index(
@@ -1281,6 +1340,7 @@ def ivfpq_topk_from_index(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    delta_path: str | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a PERSISTED IVF-PQ index
     (:func:`build_ann_index`) — the hot path a deployment actually
@@ -1289,13 +1349,27 @@ def ivfpq_topk_from_index(
     the ``refine * k`` exact re-rank against ``corpus`` (the vector
     fetch-by-id side). ``m`` is read off the codebook table (model
     metadata, m*n_codes rows), not re-specified — the index is
-    self-describing."""
+    self-describing.
+
+    ``delta_path`` (round 8) unions in incrementally-appended code
+    segments (:func:`ivfpq_encode_with_model` output written per
+    micro-batch by the streaming index update) — the LSM/segment
+    shape: the base ``codes/`` stays hive-partitioned by cell (DPP
+    prunes it to nprobe/n_cells on disk), deltas are small flat
+    segments scanned whole until a rebuild compacts them into the
+    base (rebuild-on-threshold is the caller's compaction policy)."""
     spark = queries.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     books = spark.read.parquet(f"{path}/codebooks")
     assigned = spark.read.parquet(f"{path}/codes").select(
         "cell", "neighbor_id", "codes"
     )
+    if delta_path is not None:
+        assigned = assigned.unionByName(
+            spark.read.parquet(delta_path).select(
+                "cell", "neighbor_id", "codes"
+            )
+        )
     # model metadata from the model table itself (m*n_codes rows)
     m = books.agg(F.max("sub")).first()[0] + 1
     return _ivfpq_serve(

@@ -4290,7 +4290,7 @@ def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle(n_cells=16, ivf_iters=2, m=8, n_codes=32, pq_iters=2,
-                  nprobe=4, refine=16, k=5):
+                  nprobe=4, refine=16, k=5, train_pred=None):
     """Unrolled DuckDB oracle for the COMPOSED IVF-PQ pipeline
     (round 6): integer-exact IVF training (the _ivf_oracle blocks),
     integer-exact PQ training with empty-code retention (the
@@ -4300,6 +4300,13 @@ def _ivfpq_oracle(n_cells=16, ivf_iters=2, m=8, n_codes=32, pq_iters=2,
     stage is bit-identical across engines thanks to the micro-unit
     quantization convention, so the flagship ANN query carries a real
     hash-match oracle instead of a recall floor alone."""
+    # round 8 (stream_ann_index_update): when train_pred is given, the
+    # MODEL-TRAINING CTEs (IVF seeds + Lloyd assignments, PQ seeds +
+    # Lloyd assignments) see only rows matching it — the frozen-model
+    # split; ENCODING and serving still cover every vector, exactly
+    # like an index whose base was trained once and whose arrivals are
+    # encoded with the frozen model.
+    tw = f" WHERE {train_pred}" if train_pred else ""
     cosq = ("list_dot_product(s.qv, b.centroid) / "
             "(sqrt(list_dot_product(s.qv, s.qv)) * "
             "sqrt(list_dot_product(b.centroid, b.centroid)))")
@@ -4317,7 +4324,7 @@ def _ivfpq_oracle(n_cells=16, ivf_iters=2, m=8, n_codes=32, pq_iters=2,
     c0 AS (
       SELECT cell, qv AS centroid FROM (
         SELECT CAST(row_number() OVER (ORDER BY id) AS INT) AS cell, qv, id
-        FROM v) WHERE cell <= {n_cells}
+        FROM v{tw}) WHERE cell <= {n_cells}
     )"""]
     for i in range(1, ivf_iters + 1):
         parts.append(f""",
@@ -4326,7 +4333,7 @@ def _ivfpq_oracle(n_cells=16, ivf_iters=2, m=8, n_codes=32, pq_iters=2,
         SELECT s.id, b.cell, s.qv,
                row_number() OVER (PARTITION BY s.id
                                   ORDER BY {cosq} DESC, b.cell ASC) AS rn
-        FROM v s, c{i - 1} b) WHERE rn = 1
+        FROM v s, c{i - 1} b{tw}) WHERE rn = 1
     ),
     r{i} AS (
       SELECT cell, u.pos AS pos,
@@ -4355,7 +4362,8 @@ def _ivfpq_oracle(n_cells=16, ivf_iters=2, m=8, n_codes=32, pq_iters=2,
       SELECT id, g.sub AS sub, qv[g.sub * sl + 1 : g.sub * sl + sl] AS sv
       FROM v, (SELECT unnest(generate_series(0, {m - 1})) AS sub) g
     ),
-    seeds AS (SELECT sub, sv, MIN(id) AS mid FROM subs GROUP BY sub, sv),
+    seeds AS (SELECT sub, sv, MIN(id) AS mid FROM subs{tw}
+              GROUP BY sub, sv),
     pb0 AS (
       SELECT sub, CAST(rn - 1 AS INT) AS code, sv AS centroid FROM (
         SELECT sub, sv,
@@ -4370,7 +4378,7 @@ def _ivfpq_oracle(n_cells=16, ivf_iters=2, m=8, n_codes=32, pq_iters=2,
         SELECT s.id, s.sub, b.code, s.sv,
                row_number() OVER (PARTITION BY s.id, s.sub
                                   ORDER BY {pdist}, b.code) AS rn
-        FROM subs s JOIN pb{i - 1} b USING (sub))
+        FROM subs s JOIN pb{i - 1} b USING (sub){tw})
       WHERE rn = 1
     ),
     pr{i} AS (
@@ -4497,7 +4505,7 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ann_index_cached(emb, sf_dir: str) -> str:
+def _ann_index_cached(emb, sf_dir: str, variant: str = "") -> str:
     """Per-user cached IVF-PQ index path for ``sf_dir``, built lazily
     on first use (shared by the batch serve query and the round-8
     streaming serve query — same hyper-parameters, same oracle).
@@ -4521,7 +4529,7 @@ def _ann_index_cached(emb, sf_dir: str) -> str:
     path = _os.path.join(
         _tempfile.gettempdir(),
         "spark_graft_ann_index_v2_" + _getpass.getuser(),
-        sf_dir.strip("/").replace("/", "_"),
+        sf_dir.strip("/").replace("/", "_") + variant,
     )
     if not _os.path.exists(_os.path.join(path, "codes", "_SUCCESS")):
         stage = f"{path}.build-{_os.getpid()}-{_uuid.uuid4().hex[:8]}"

@@ -1182,3 +1182,82 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{out_dir}/batch_id=*"
     )
     return served.drop("batch_id").orderBy("query_id", "rank")
+
+
+def _stream_ann_index_update_oracle() -> str:
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        _ivfpq_oracle,
+    )
+
+    return _ivfpq_oracle(16, 2, 8, 32, 2, 4, 16, 5, train_pred="id % 4 <> 3")
+
+
+@query("stream_ann_index_update", oracle=_stream_ann_index_update_oracle())
+def stream_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index MAINTENANCE (round 8): arriving vectors
+    join the persisted IVF-PQ index per micro-batch WITHOUT retraining
+    — the other half of a live similarity service (stream_ann_serve
+    answers queries; this ingests new corpus). The base index is
+    trained+encoded on the historical 3/4 of the embeddings table
+    (vec_id % 4 != 3); the remaining quarter ARRIVES as a stream and
+    each micro-batch is routed + PQ-encoded against the FROZEN model
+    (operators.similarity.ivfpq_encode_with_model — the same primitive
+    the initial build runs) and appended as a flat code segment, the
+    LSM shape: base stays cell-partitioned (DPP), deltas accumulate
+    until a rebuild compacts them (compaction = the caller's policy).
+    Exactly-once: segments land batch_id-partitioned with per-batch
+    overwrite, so micro-batch replay after failure rewrites the SAME
+    deterministic rows instead of duplicating them. Certification:
+    the unrolled _ivfpq_oracle gains a train_pred that restricts ONLY
+    the model-training CTEs to the base split while encoding/serving
+    cover every vector — so one hash match certifies frozen-model
+    routing + encoding of the arrivals AND that serving reads the
+    merged base+delta lists (a lost segment or a retrained codebook
+    both break the hash). Zero stream state; model tables broadcast
+    per batch."""
+    import tempfile
+
+    from big_data_project_implementation_spark.operators import (
+        similarity as sim,
+    )
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        _ann_index_cached,
+    )
+    from big_data_project_implementation_spark.queries.registry import (
+        embeddings_stream,
+        t,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    path = _ann_index_cached(base, sf_dir, variant="_base34")
+    delta = tempfile.mkdtemp(prefix="ann_delta_")
+    ckpt = tempfile.mkdtemp(prefix="ann_delta_ckpt_")
+
+    def append_segment(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        cents = ss.read.parquet(f"{path}/centroids")
+        books = ss.read.parquet(f"{path}/codebooks")
+        m = books.agg(F.max("sub")).first()[0] + 1
+        (
+            sim.ivfpq_encode_with_model(batch, cents, books, m=m)
+            .write.mode("overwrite")
+            .parquet(f"{delta}/batch_id={batch_id}")
+        )
+
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        embeddings_stream(sub, sf_dir)
+        .filter(F.col("vec_id") % 4 == 3)
+        .writeStream.foreachBatch(append_segment)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk_from_index(
+        qs, emb, path, k=5, nprobe=4, refine=16, delta_path=delta
+    ).orderBy("query_id", "rank")

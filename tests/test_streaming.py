@@ -731,3 +731,112 @@ def test_rocksdb_state_bounded_by_watermark_across_batches(spark):
         assert b[-1]["rows_total"] <= first, b
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
+
+
+def test_ann_index_update_segments_exactly_once(spark):
+    """The streaming index update appends each arriving vector to the
+    code lists EXACTLY once (round 8): segment rows are keyed by
+    neighbor_id with no duplicates, cover every arriving vec_id, carry
+    the same (cell, codes) the frozen-model batch encode produces, and
+    a checkpointed restart replays nothing (same three guarantees as
+    the verdict gate: offset log + batch_id-overwrite sink +
+    deterministic encode)."""
+    from big_data_project_implementation_spark.operators import (
+        similarity as sim,
+    )
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        _ann_index_cached,
+    )
+    from big_data_project_implementation_spark.queries.registry import (
+        embeddings_stream,
+        t,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    path = _ann_index_cached(base, SF_DIR, variant="_base34")
+    delta = tempfile.mkdtemp(prefix="ann_delta_test_")
+    ckpt = tempfile.mkdtemp(prefix="ann_delta_test_ckpt_")
+
+    def append_segment(batch, batch_id):
+        ss = batch.sparkSession
+        cents = ss.read.parquet(f"{path}/centroids")
+        books = ss.read.parquet(f"{path}/codebooks")
+        m = books.agg(F.max("sub")).first()[0] + 1
+        (
+            sim.ivfpq_encode_with_model(batch, cents, books, m=m)
+            .write.mode("overwrite")
+            .parquet(f"{delta}/batch_id={batch_id}")
+        )
+
+    def run_once():
+        sub = spark.newSession()
+        sub.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            embeddings_stream(sub, SF_DIR)
+            .filter(F.col("vec_id") % 4 == 3)
+            .writeStream.foreachBatch(append_segment)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_once()
+        seg = spark.read.parquet(delta).select("cell", "neighbor_id", "codes")
+        rows = {r.neighbor_id: (r.cell, tuple(r.codes)) for r in seg.collect()}
+        arriving = {
+            r.vec_id for r in emb.filter(F.col("vec_id") % 4 == 3).collect()
+        }
+        assert seg.count() == len(rows), "duplicate neighbor_id in segments"
+        assert set(rows) == arriving, "segments must cover every arrival"
+        # frozen-model parity: the stream's encode IS the batch encode
+        cents = spark.read.parquet(f"{path}/centroids")
+        books = spark.read.parquet(f"{path}/codebooks")
+        m = books.agg(F.max("sub")).first()[0] + 1
+        batch_enc = {
+            r.neighbor_id: (r.cell, tuple(r.codes))
+            for r in sim.ivfpq_encode_with_model(
+                emb.filter(F.col("vec_id") % 4 == 3), cents, books, m=m
+            ).collect()
+        }
+        assert rows == batch_enc
+        run_once()  # restart: offset log replays nothing
+        seg2 = {
+            r.neighbor_id: (r.cell, tuple(r.codes))
+            for r in spark.read.parquet(delta)
+            .select("cell", "neighbor_id", "codes")
+            .collect()
+        }
+        assert seg2 == rows, "restart duplicated or altered segments"
+        # compaction: merging segments into the base lists must not
+        # change a single answer (serve(base+delta) == serve(compacted))
+        # — run on a COPY so the shared cached index keeps its
+        # base-only codes for the gate query
+        copy = tempfile.mkdtemp(prefix="ann_compact_") + "/idx"
+        shutil.copytree(path, copy)
+        qs = emb.filter(F.col("vec_id") < 5)
+        before = [
+            tuple(r)
+            for r in sim.ivfpq_topk_from_index(
+                qs, emb, copy, k=5, nprobe=4, refine=16, delta_path=delta
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        sim.ivfpq_compact(spark, copy, delta)
+        after = [
+            tuple(r)
+            for r in sim.ivfpq_topk_from_index(
+                qs, emb, copy, k=5, nprobe=4, refine=16
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        assert before == after, "compaction changed answers"
+        shutil.rmtree(copy, ignore_errors=True)
+    finally:
+        shutil.rmtree(delta, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
