@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     # bounded by arriving volume, the 100 TB ingest contract
     # (VERDICT r7 #1)
     "stream_neardup_verdict",
+    # round 8: online ANN serving — per-micro-batch IVF-PQ answers
+    # from the persisted index (the similarity-service deployment
+    # shape; index build amortized by the per-user cache, so the
+    # min-of-2 reports steady-state serving)
+    "stream_ann_serve",
 ]
 
 # localCheckpoint-heavy iterative rows: same-box wall times on these

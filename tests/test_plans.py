@@ -446,6 +446,11 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # batch_id-partitioned parquet, so the returned plan is just the
     # sink scan + presentation sort (the gate work is in-stream)
     "stream_neardup_verdict": (1, ()),
+    # round 8: online ANN serving — answers land as batch_id-
+    # partitioned parquet in-stream; the returned plan is the sink
+    # scan + presentation sort (the ADC/re-rank plan is pinned via
+    # similarity_ivfpq_serve, which shares ivfpq_topk_from_index)
+    "stream_ann_serve": (1, ()),
 }
 
 
