@@ -43,6 +43,7 @@ from typing import Any, Callable, Iterator, List, Optional
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -480,6 +481,15 @@ class AvroDataSource(DataSource):
             codec=self.options.get("codec", "deflate"),
         )
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "AvroStreamWriter":
+        return AvroStreamWriter(
+            self.options["path"],
+            schema,
+            codec=self.options.get("codec", "deflate"),
+        )
+
 
 class AvroReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType) -> None:
@@ -542,6 +552,62 @@ class AvroWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
+class AvroStreamWriter(DataSourceStreamWriter):
+    """Streaming Avro sink — ``df.writeStream.format("pyavro")``.
+
+    Exactly-once by batch replacement: ``write`` only STAGES dotted
+    files (invisible to readers); ``commit(messages, batchId)``
+    first deletes any ``part-b{batchId}-*`` files a previous attempt
+    of the SAME micro-batch published, then renames the new staged
+    set in — so a replayed batch (failure between sink commit and
+    offset-log commit) overwrites itself instead of appending
+    duplicates, the same idempotence contract as the engine's
+    batch_id-partitioned parquet gates."""
+
+    def __init__(self, path: str, schema: StructType, codec: str) -> None:
+        self.path = path
+        self.schema_struct = schema
+        self.codec = codec
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator: Iterator[Any]) -> AvroCommit:
+        stage = os.path.join(self.path, f".stream-{uuid.uuid4().hex}.avro")
+        n = write_container(stage, self.schema_struct, iterator, self.codec)
+        return AvroCommit(file=stage, rows=n)
+
+    def commit(
+        self, messages: List[Optional[AvroCommit]], batchId: int
+    ) -> None:
+        for old in _glob.glob(
+            os.path.join(self.path, f"part-b{batchId:05d}-*.avro")
+        ):
+            os.remove(old)
+        for i, m in enumerate(messages):
+            if m is not None:
+                os.rename(
+                    m.file,
+                    os.path.join(
+                        self.path, f"part-b{batchId:05d}-{i:05d}.avro"
+                    ),
+                )
+
+    def abort(
+        self, messages: List[Optional[AvroCommit]], batchId: int
+    ) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
 def register(spark) -> None:
-    """Idempotent registration of the pyavro format."""
-    spark.dataSource.register(AvroDataSource)
+    """Idempotent registration of the pyavro format: a same-session
+    re-register replaces (WARN), but a session sharing another
+    session's registry raises ALREADY_EXISTS — swallow exactly that
+    case so every caller can register unconditionally."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        spark.dataSource.register(AvroDataSource)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
