@@ -527,6 +527,73 @@ def ivf_topk(
     )
 
 
+def cluster_mixture(
+    emb: DataFrame,
+    target: int,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "",
+) -> DataFrame:
+    """Cluster-balanced mixture sampling (round 8): the temperature
+    rebalancing rule of ``text.temperature_mixture`` applied to
+    SEMANTIC clusters instead of source labels — the curation move
+    when the corpus has no trustworthy source/domain column and the
+    mixture must be balanced over what the data *is about*. Vectors
+    are assigned to ``ivf_centroids`` cells (deterministic integer
+    Lloyd, the certified quantizer), each cell c with n_c members gets
+    keep-rate ∝ sqrt(n_c)/n_c capped at 1 (α=0.5 flattening:
+    up-weights rare semantic clusters, down-weights dominant ones,
+    never upsamples past a cell's own mass), and membership is the
+    deterministic 256-way md5 id bucket — the same auditable
+    keep/drop function as every sampler in the engine.
+
+    Plan shape: training is the bounded Lloyd loop (broadcast
+    centroids, one narrow pass per iteration — at 100 TB train on
+    ``emb.sample(...)``, the API composes); then ONE broadcast argmax
+    assignment pass, a cells-row aggregate broadcast back, and a pure
+    codegen filter — the corpus is never shuffled on a data key.
+    Returns (id, cell, rate_256) for the kept rows."""
+    from big_data_project_implementation_spark.operators.text import (
+        hash_sample_bucket,
+    )
+
+    cents = ivf_centroids(
+        emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cell"))
+    assigned = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine_q("_vec", "centroid"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_id", "cell")
+    )
+    cnt = assigned.groupBy("cell").agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    z = cnt.agg(F.sum(F.sqrt("_n")).alias("_z"))
+    rates = cnt.crossJoin(F.broadcast(z)).select(
+        "cell",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target)) * F.sqrt("_n") / F.col("_z") / F.col("_n"),
+            )
+            * 256
+        )
+        .cast("bigint")
+        .alias("rate_256"),
+    )
+    return (
+        assigned.join(F.broadcast(rates), "cell")
+        .filter(hash_sample_bucket("_id", seed=seed) < F.col("rate_256"))
+        .select(F.col("_id").alias(id_col), "cell", "rate_256")
+    )
+
+
 def label_centroids(
     emb: DataFrame,
     label_col: str = "label",

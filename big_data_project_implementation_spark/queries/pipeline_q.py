@@ -1320,14 +1320,15 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(emb).orderBy("label", "dim")
 
 
-def _ivf_oracle(n_cells: int = 16, iters: int = 2, nprobe: int = 4, k: int = 5) -> str:
-    """Unrolled DuckDB oracle for similarity_ivf_topk: the exact
-    integer-quantized Lloyd the Spark quantizer runs (micro-unit
+def _ivf_assign_blocks(n_cells: int = 16, iters: int = 2) -> str:
+    """The shared training+assignment prefix of the IVF oracles: the
+    exact integer-quantized Lloyd the Spark quantizer runs (micro-unit
     vectors; cosine argmax whose dot/norms are exact integers — sums
     stay under 2^53 so double arithmetic is EXACT on both engines;
-    round-half-up integer refit), then the serve path: corpus cell
-    assignment, nprobe query probes, exact double-cosine re-rank — the
-    bruteforce oracle's list_dot_product convention."""
+    round-half-up integer refit), ending at CTE ``ca`` = every
+    vector's final cell. Consumed by ``_ivf_oracle`` (serve path) and
+    the round-8 ``embedding_cluster_mixture`` oracle (per-cell
+    temperature quotas)."""
     cosq = ("list_dot_product(s.qv, b.centroid) / "
             "(sqrt(list_dot_product(s.qv, s.qv)) * "
             "sqrt(list_dot_product(b.centroid, b.centroid)))")
@@ -1367,7 +1368,20 @@ def _ivf_oracle(n_cells: int = 16, iters: int = 2, nprobe: int = 4, k: int = 5) 
                row_number() OVER (PARTITION BY s.id
                                   ORDER BY {cosq} DESC, b.cell ASC) AS rn
         FROM v s, c{iters} b) WHERE rn = 1
-    ),
+    )""")
+    return "".join(parts)
+
+
+def _ivf_oracle(n_cells: int = 16, iters: int = 2, nprobe: int = 4, k: int = 5) -> str:
+    """Unrolled DuckDB oracle for similarity_ivf_topk: the
+    ``_ivf_assign_blocks`` training prefix, then the serve path —
+    nprobe query probes, exact double-cosine re-rank (the bruteforce
+    oracle's list_dot_product convention)."""
+    cosq = ("list_dot_product(s.qv, b.centroid) / "
+            "(sqrt(list_dot_product(s.qv, s.qv)) * "
+            "sqrt(list_dot_product(b.centroid, b.centroid)))")
+    parts = [_ivf_assign_blocks(n_cells, iters)]
+    parts.append(f""",
     qp AS (
       SELECT id, cell FROM (
         SELECT s.id, b.cell,
@@ -3333,6 +3347,44 @@ def data_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen filter."""
     d = t(spark, sf_dir, "documents")
     return text.temperature_mixture(d, target_tokens=30000).orderBy("doc_id")
+
+
+def _cluster_mixture_oracle(n_cells=16, iters=2, target=300) -> str:
+    return _ivf_assign_blocks(n_cells, iters) + f""",
+    cnt AS (SELECT cell, CAST(COUNT(*) AS DOUBLE) AS n FROM ca GROUP BY cell),
+    z AS (SELECT SUM(sqrt(n)) AS z FROM cnt),
+    r AS (SELECT cell,
+                 CAST(FLOOR(LEAST(1.0, {target}.0 * sqrt(n) / z / n) * 256)
+                      AS BIGINT) AS rate_256
+          FROM cnt, z)
+    SELECT ca.id AS vec_id, CAST(ca.cell AS INT) AS cell, r.rate_256
+    FROM ca JOIN r USING (cell)
+    WHERE CAST(('0x' || substr(md5(CAST(ca.id AS VARCHAR)), 3, 2)) AS BIGINT)
+          < r.rate_256
+    ORDER BY vec_id"""
+
+
+@query("embedding_cluster_mixture", oracle=_cluster_mixture_oracle())
+def embedding_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced mixture sampling (round 8,
+    operators.similarity.cluster_mixture): temperature rebalancing
+    (α=0.5, the data_temperature_mixture rule) over SEMANTIC IVF
+    cells instead of source labels — the curation sampler for corpora
+    whose domain signal lives in the embeddings, not the metadata.
+    The whole composition is engine-exact: integer-Lloyd cells
+    (_ivf_assign_blocks — the certified quantizer CTEs), per-cell
+    sqrt-mass quotas in IEEE-exact double, and the deterministic
+    256-way md5 id bucket for membership, so the hash gate certifies
+    training, assignment, quota arithmetic, and the keep/drop
+    decision of every row. Plan shape: bounded Lloyd + ONE broadcast
+    argmax pass + a cells-row aggregate broadcast into a codegen
+    filter — zero corpus-keyed shuffles."""
+    from big_data_project_implementation_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.cluster_mixture(emb, target=300).orderBy("vec_id")
 
 
 @query(
