@@ -1,0 +1,219 @@
+"""``pykafka``: Kafka direct-stream semantics as a Python DataSource.
+
+The reference's Kafka ingestion is the DIRECT stream
+(`external/kafka/.../DirectKafkaInputDStream.scala:63` — "each given
+Kafka topic/partition corresponds to an RDD partition"; offsets are
+bounded per batch and replayed deterministically, `KafkaRDD.scala`).
+The `spark-sql-kafka` connector jar is absent in this environment, so
+the same contract is re-expressed through the Spark 4 Python
+DataSource SPI over the pure-stdlib wire client (``kafka_wire``):
+
+- **batch read**: resolve partitions via Metadata, bound each with
+  ListOffsets(earliest/latest) AT PLAN TIME, then one input partition
+  per (topic, partition, start, end) — executors fetch their ranges
+  independently, the exact KafkaRDD layout;
+- **stream read**: ``DataSourceStreamReader`` (executor-parallel, not
+  the driver-side Simple variant) — ``latestOffset`` advances the
+  per-partition high watermark, ``partitions(start, end)`` splits the
+  micro-batch into per-partition offset ranges, and replaying any
+  (start, end) pair refetches identical records, which is the whole
+  exactly-once story of the direct stream;
+- **schema**: (key binary, value binary, topic, partition, offset) —
+  the real connector's columns minus timestamp (v0 message-sets
+  carry none; decode/deserialize is downstream ``withColumn`` work,
+  same as the JVM connector).
+
+Offsets-as-dict: ``{"topic-partition": next_offset}`` — JSON-able,
+checkpoint-friendly, and human-auditable in the offset log.
+
+Tested against ``kafka_wire.MiniBroker`` over real sockets
+(tests/test_kafka.py) — the embedded-Derby discipline applied to the
+Kafka row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from big_data_project_implementation_spark.sources.kafka_wire import (
+    EARLIEST,
+    LATEST,
+    KafkaClient,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("key", BinaryType(), True),
+        StructField("value", BinaryType(), True),
+        StructField("topic", StringType(), False),
+        StructField("partition", IntegerType(), False),
+        StructField("offset", LongType(), False),
+    ]
+)
+
+
+def _parse_bootstrap(options: dict) -> tuple[str, int]:
+    boot = options.get("bootstrap")
+    if not boot:
+        raise ValueError("pykafka requires option('bootstrap', 'host:port')")
+    host, _, port = boot.rpartition(":")
+    return host, int(port)
+
+
+def _fetch_rows(
+    host: str, port: int, topic: str, part: int, start: int, end: int
+) -> Iterator[tuple]:
+    client = KafkaClient(host, port)
+    try:
+        for off, key, value in client.fetch_range(topic, part, start, end):
+            yield (key, value, topic, part, off)
+    finally:
+        client.close()
+
+
+class KafkaDirectDataSource(DataSource):
+    """``spark.read.format("pykafka").option("bootstrap", "h:p")
+    .option("topic", "t").load()`` and the ``readStream`` twin."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pykafka"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> "KafkaBatchReader":
+        return KafkaBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "KafkaStreamReader":
+        return KafkaStreamReader(self.options)
+
+
+class KafkaBatchReader(DataSourceReader):
+    """Snapshot read: [earliest, latest) bounded at plan time, one
+    input partition per topic-partition (the KafkaRDD layout)."""
+
+    def __init__(self, options: dict) -> None:
+        self.host, self.port = _parse_bootstrap(options)
+        self.topic = options.get("topic")
+        if not self.topic:
+            raise ValueError("pykafka requires option('topic', ...)")
+        client = KafkaClient(self.host, self.port)
+        try:
+            parts = client.metadata([self.topic]).get(self.topic, [])
+            if not parts:
+                raise ValueError(f"unknown topic {self.topic!r}")
+            self.ranges = [
+                (
+                    p,
+                    client.list_offset(self.topic, p, EARLIEST),
+                    client.list_offset(self.topic, p, LATEST),
+                )
+                for p in parts
+            ]
+        finally:
+            client.close()
+
+    def partitions(self) -> List[InputPartition]:
+        return [
+            InputPartition((p, start, end)) for p, start, end in self.ranges
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        p, start, end = partition.value
+        return _fetch_rows(self.host, self.port, self.topic, p, start, end)
+
+
+class KafkaStreamReader(DataSourceStreamReader):
+    """The direct stream: offsets advance via ListOffsets(latest),
+    each micro-batch is the per-partition [start, end) delta, fetched
+    executor-parallel; any (start, end) replay refetches identical
+    records (exactly-once rests on the engine's offset log plus this
+    determinism, exactly as in DirectKafkaInputDStream)."""
+
+    def __init__(self, options: dict) -> None:
+        self.host, self.port = _parse_bootstrap(options)
+        self.topic = options.get("topic")
+        if not self.topic:
+            raise ValueError("pykafka requires option('topic', ...)")
+        self.starting = options.get("startingOffsets", "earliest")
+        self._client: KafkaClient | None = None
+
+    def __getstate__(self) -> dict:
+        # the reader is pickled to executors for read(); the live
+        # driver-side socket must not travel
+        d = dict(self.__dict__)
+        d["_client"] = None
+        return d
+
+    def _c(self) -> KafkaClient:
+        if self._client is None:
+            self._client = KafkaClient(self.host, self.port)
+        return self._client
+
+    def _partitions_of(self) -> List[int]:
+        parts = self._c().metadata([self.topic]).get(self.topic, [])
+        if not parts:
+            raise ValueError(f"unknown topic {self.topic!r}")
+        return parts
+
+    def initialOffset(self) -> dict:
+        when = EARLIEST if self.starting == "earliest" else LATEST
+        return {
+            f"{self.topic}-{p}": self._c().list_offset(self.topic, p, when)
+            for p in self._partitions_of()
+        }
+
+    def latestOffset(self) -> dict:
+        return {
+            f"{self.topic}-{p}": self._c().list_offset(self.topic, p, LATEST)
+            for p in self._partitions_of()
+        }
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out = []
+        for tp, e in end.items():
+            s = start.get(tp, 0)
+            if e > s:
+                p = int(tp.rsplit("-", 1)[1])
+                out.append(InputPartition((p, s, e)))
+        # an empty micro-batch still needs one (empty) split
+        return out or [InputPartition((self._partitions_of()[0], 0, 0))]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        p, start, end = partition.value
+        return _fetch_rows(self.host, self.port, self.topic, p, start, end)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        if self._client is not None:
+            self._client.close()
+            self._client = None
+
+
+def register(spark) -> None:
+    """Idempotent registration (same contract as avro_format)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        spark.dataSource.register(KafkaDirectDataSource)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
