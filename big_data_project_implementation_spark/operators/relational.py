@@ -453,3 +453,42 @@ def table_diff(
         .filter(F.col("status").isNotNull())
         .select(*keys, "status", "old_hash", "new_hash")
     )
+
+
+def mergeable_agg_state(
+    df: DataFrame, keys: list[str], value: Column | str
+) -> DataFrame:
+    """One partition's worth of MERGEABLE aggregate state (round 8):
+    per-key (n, sum, min, max) over an exact integer measure — the
+    partial-aggregate algebra (count/sum add, min/max lattice) that
+    makes incremental materialized-view maintenance possible. The
+    measure must already be integer-exact (micro-unit convention:
+    cents, micro-dollars, token counts) so merging is associative to
+    the last bit — double sums would drift with grouping order and
+    break the refresh-equals-recompute contract an auditor checks."""
+    v = F.col(value) if isinstance(value, str) else value
+    return df.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v).cast("bigint").alias("sum"),
+        F.min(v).cast("bigint").alias("min"),
+        F.max(v).cast("bigint").alias("max"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two mergeable states (same schema): the REFRESH step of
+    an incrementally-maintained aggregate — cost ∝ |state| + |delta
+    state|, never the base corpus. n/sum add, min/max take the
+    lattice meet/join; avg and friends derive downstream from (n,
+    sum). Associative and commutative, so daily deltas can fold in
+    any order and a compaction of many states is one union+groupBy."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum").cast("bigint").alias("sum"),
+            F.min("min").cast("bigint").alias("min"),
+            F.max("max").cast("bigint").alias("max"),
+        )
+    )

@@ -674,3 +674,58 @@ def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.write.format("pyavro").mode("overwrite").save(out)
     back = spark.read.format("pyavro").load(out)
     return back.orderBy("doc_id")
+
+
+@query(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS total_cents,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents,
+           CAST(SUM(c) * 1000 // COUNT(*) AS BIGINT) AS avg_millicents
+    FROM (SELECT o_orderstatus, o_orderpriority,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders)
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate (round 8,
+    operators.relational.mergeable_agg_state / merge_agg_states): the
+    materialized-view refresh pattern — per-key (n, sum, min, max)
+    state computed ONCE over the historical partition, then each
+    arriving delta folds in at cost ∝ |state| + |delta|, never the
+    base corpus (the batch complement of `sources.incremental_read`'s
+    bookmark ingestion; at 100 TB the state is thousands of rows
+    while the base is the 100 TB). The measure is exact integer
+    cents (micro-unit convention), so the merge algebra is
+    associative to the last bit; the ORACLE recomputes from the FULL
+    table in one pass, so the hash match IS the auditor's
+    refresh-equals-recompute check — a drifted double sum, a lost
+    delta, or a double-folded state all break it. Derived stats
+    (avg) come off (n, sum) downstream, as in any partial-aggregate
+    scheme."""
+    from big_data_project_implementation_spark.operators import relational
+
+    orders = t(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    cut = F.lit("1997-01-01").cast("date")
+    base = relational.mergeable_agg_state(
+        orders.filter(F.col("o_orderdate") < cut), keys, cents
+    )
+    delta = relational.mergeable_agg_state(
+        orders.filter(F.col("o_orderdate") >= cut), keys, cents
+    )
+    merged = relational.merge_agg_states(base, delta, keys)
+    return merged.select(
+        *keys,
+        "n",
+        F.col("sum").alias("total_cents"),
+        F.col("min").alias("min_cents"),
+        F.col("max").alias("max_cents"),
+        F.expr("sum * 1000 div n").alias("avg_millicents"),
+    ).orderBy(*keys)
