@@ -125,6 +125,13 @@ BENCH_QUERIES = [
     # shape; index build amortized by the per-user cache, so the
     # min-of-2 reports steady-state serving)
     "stream_ann_serve",
+    # round 8: index MAINTENANCE — frozen-model encode of arriving
+    # vectors appended as segments (the other half of the service)
+    "stream_ann_index_update",
+    # round 8: cluster-balanced curation sampling (IVF cells +
+    # temperature quotas) and the materialized-view refresh pattern
+    "embedding_cluster_mixture",
+    "incremental_agg_refresh",
 ]
 
 # localCheckpoint-heavy iterative rows: same-box wall times on these
@@ -139,6 +146,10 @@ ITERATIVE_ROWS = [
     "text_bpe_merges",
     "text_bpe_encode",
     "dedup_word_jaccard",
+    # round 8: widest clean-session envelope of r8 ([5.2, 12.5] across
+    # 4 sessions with identical plans) — the per-step localCheckpoints
+    # make it the same GC-noise class as the rows above
+    "text_train_classifier",
 ]
 
 

@@ -451,6 +451,16 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # scan + presentation sort (the ADC/re-rank plan is pinned via
     # similarity_ivfpq_serve, which shares ivfpq_topk_from_index)
     "stream_ann_serve": (1, ()),
+    # round 8: index maintenance — the returned plan is the union
+    # serve (base codes + delta segments): same broadcast-model serve
+    # joins as similarity_ivfpq_serve plus the delta-side scan
+    "stream_ann_index_update": (6, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
+    # round 8: bounded Lloyd training (the 31 exchanges are the
+    # 2-iteration quantizer loop, corpus-size-independent per pass) +
+    # one broadcast argmax + cells-row aggregate → codegen filter
+    "embedding_cluster_mixture": (31, ('BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
+    # round 8: two partial states + one merge — never a base rescan
+    "incremental_agg_refresh": (3, ()),
 }
 
 
