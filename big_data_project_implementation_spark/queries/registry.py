@@ -125,20 +125,28 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming scan of the events table (file source), with the same
     nanos→µs conversion as the batch path.
 
     The file streaming source requires a *directory* of files; see
-    _stream_table_dir for the single-file vs parquet-dir handling."""
+    _stream_table_dir for the single-file vs parquet-dir handling.
+    ``max_files_per_trigger`` forces multi-micro-batch runs under
+    availableNow (one file per batch — the ordered-ingest shape the
+    incremental-state queries exercise)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    sdf = spark.readStream.schema(raw_schema).parquet(
-        _stream_table_dir(sf_dir, "events")
-    )
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(_stream_table_dir(sf_dir, "events"))
     if isinstance(raw_schema["ts"].dataType, LongType):
         # legacy TIMESTAMP(NANOS) fixture decoded as raw nanos
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

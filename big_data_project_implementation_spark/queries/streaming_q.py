@@ -1352,3 +1352,106 @@ def stream_kafka_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _incremental_state_machinery(spark: SparkSession, state_dir: str):
+    """Shared by the stream_incremental_agg query and its restart
+    pytest: (fold, read_final) for a versioned mergeable-state chain.
+    State version v=N is a PURE function of v=N-1 and micro-batch N,
+    so a replayed batch rewrites its own version byte-identically
+    instead of double-folding — exactly-once without any transaction
+    log beyond the engine's offset checkpoint."""
+    import glob as _glob
+    import os as _os
+
+    from big_data_project_implementation_spark.operators import relational
+
+    keys = ["event_type"]
+
+    def delta_state(batch: DataFrame) -> DataFrame:
+        micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+        return relational.mergeable_agg_state(
+            batch.select("event_type", micro.alias("v")), keys, "v"
+        )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        new = delta_state(batch)
+        prev_path = f"{state_dir}/v={batch_id - 1}"
+        if batch_id > 0 and _os.path.exists(prev_path):
+            new = relational.merge_agg_states(
+                ss.read.parquet(prev_path), new, keys
+            )
+        new.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/v={batch_id}"
+        )
+
+    def read_final(ss: SparkSession) -> DataFrame:
+        versions = sorted(
+            int(p.rsplit("=", 1)[1])
+            for p in _glob.glob(f"{state_dir}/v=*")
+        )
+        return ss.read.parquet(f"{state_dir}/v={versions[-1]}")
+
+    return fold, read_final
+
+
+@query(
+    "stream_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS total_micro,
+           CAST(MIN(v) AS BIGINT) AS min_micro,
+           CAST(MAX(v) AS BIGINT) AS max_micro
+    FROM (SELECT event_type,
+                 CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+          FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained aggregate (round 8): the STREAMING form
+    of `incremental_agg_refresh` — each micro-batch's mergeable state
+    (n, sum, min, max over exact micro-units) folds into a VERSIONED
+    state chain (v=N = merge(v=N-1, delta_N)), so the maintained view
+    is always one tiny merge behind the stream while the base corpus
+    is never rescanned (the kappa-architecture materialized view;
+    contrast with stream_per_key_counts, whose state lives inside the
+    engine's store — here the state IS the published table, readable
+    by any engine mid-stream). Exactly-once: a replayed batch rewrites
+    its own version from the unchanged previous version —
+    deterministic, idempotent, no double-fold (restart pytest). Runs
+    maxFilesPerTrigger=1 so availableNow actually exercises the
+    multi-batch chain. The oracle recomputes from the FULL events
+    table, so the hash match is the maintained-view-equals-truth
+    audit at every publication point."""
+    import tempfile
+
+    from big_data_project_implementation_spark.queries.registry import (
+        events_stream,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="inc_state_")
+    ckpt = tempfile.mkdtemp(prefix="inc_state_ckpt_")
+    fold, read_final = _incremental_state_machinery(spark, state_dir)
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        events_stream(sub, sf_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = read_final(spark)
+    return final.select(
+        "event_type",
+        "n",
+        F.col("sum").alias("total_micro"),
+        F.col("min").alias("min_micro"),
+        F.col("max").alias("max_micro"),
+    ).orderBy("event_type")

@@ -840,3 +840,84 @@ def test_ann_index_update_segments_exactly_once(spark):
     finally:
         shutil.rmtree(delta, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_incremental_agg_state_chain_replay_idempotent(spark):
+    """The versioned state chain (round 8, stream_incremental_agg):
+    replaying a micro-batch rewrites its own version byte-identically
+    (v=N is a pure function of v=N-1 and batch N — no double-fold),
+    a checkpointed restart replays nothing, and the final state
+    matches the one-pass batch aggregate."""
+    from big_data_project_implementation_spark.queries.registry import (
+        events_stream,
+        t,
+    )
+    from big_data_project_implementation_spark.queries.streaming_q import (
+        _incremental_state_machinery,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="inc_state_test_")
+    ckpt = tempfile.mkdtemp(prefix="inc_state_test_ckpt_")
+    fold, read_final = _incremental_state_machinery(spark, state_dir)
+
+    def run_once():
+        sub = spark.newSession()
+        sub.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            events_stream(sub, SF_DIR, max_files_per_trigger=1)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def snapshot():
+        return sorted(
+            tuple(r)
+            for r in read_final(spark)
+            .select("event_type", "n", "sum", "min", "max")
+            .collect()
+        )
+
+    try:
+        run_once()
+        first = snapshot()
+        assert first, "state chain is empty"
+        # final state == one-pass batch aggregate over the full table
+        micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast(
+            "bigint"
+        )
+        truth = sorted(
+            tuple(r)
+            for r in t(spark, SF_DIR, "events")
+            .select("event_type", micro.alias("v"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("v").cast("bigint").alias("sum"),
+                F.min("v").cast("bigint").alias("min"),
+                F.max("v").cast("bigint").alias("max"),
+            )
+            .collect()
+        )
+        assert first == truth
+        # manual REPLAY of the newest batch: refold an arbitrary
+        # batch-shaped df at its own version id — v=N depends only on
+        # v=N-1 (untouched), so the rewrite must be value-identical
+        import glob as g
+
+        top = max(
+            int(p.rsplit("=", 1)[1]) for p in g.glob(f"{state_dir}/v=*")
+        )
+        replay = t(spark, SF_DIR, "events").limit(0)  # empty delta
+        fold(replay, top + 1)  # v=top+1 = merge(v=top, empty) == v=top
+        after_empty = snapshot()
+        assert after_empty == first, "empty-delta fold changed the view"
+        # checkpointed restart: offset log replays nothing
+        run_once()
+        assert snapshot() == after_empty
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
