@@ -1382,6 +1382,10 @@ def _incremental_state_machinery(spark: SparkSession, state_dir: str):
             new = relational.merge_agg_states(
                 ss.read.parquet(prev_path), new, keys
             )
+        # coalesce(1): state cardinality = #distinct keys (5 event
+        # types here) — one file per version keeps the chain readable.
+        # A high-cardinality view (millions of keys) drops the
+        # coalesce and lets the merge shuffle pick the layout.
         new.coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/v={batch_id}"
         )

@@ -312,7 +312,10 @@ class KafkaClient:
         offset = start
         while offset < end:
             _, msgs = self.fetch(topic, partition, offset)
-            if not msgs:
+            if not msgs or msgs[-1][0] < offset:
+                # no progress (empty set, or — with a log-compacted
+                # broker — only pre-offset records): failing loudly
+                # beats spinning forever against a stalled partition
                 raise ValueError(
                     f"fetch stalled at {topic}-{partition}:{offset} < {end}"
                 )
