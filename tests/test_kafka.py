@@ -221,3 +221,74 @@ def test_stream_reader_replay_is_deterministic(broker):
         assert one == two and len(one) == 20
     finally:
         r.stop()
+
+
+def test_spark_batch_sink_produces(spark, broker):
+    """df.write.format("pykafka"): the Produce half of the connector —
+    every row lands in the broker, routed by the partition column."""
+    broker.create_topic("out", 2)
+    ks.register(spark)
+    df = spark.range(10).selectExpr(
+        "CAST(CAST(id AS STRING) AS BINARY) AS key",
+        "CAST(CONCAT('v', CAST(id AS STRING)) AS BINARY) AS value",
+        "CAST(id % 2 AS INT) AS partition",
+    )
+    (
+        df.write.format("pykafka")
+        .mode("append")
+        .option("bootstrap", f"{broker.host}:{broker.port}")
+        .option("topic", "out")
+        .save()
+    )
+    c = _producer(broker)
+    try:
+        assert c.list_offset("out", 0, LATEST) == 5
+        assert c.list_offset("out", 1, LATEST) == 5
+        got = {
+            (p, bytes(k).decode()): v
+            for p in (0, 1)
+            for _, k, v in c.fetch_range("out", p, 0, 5)
+        }
+        assert got[(1, "3")] == b"v3"
+        assert got[(0, "4")] == b"v4"
+    finally:
+        c.close()
+
+
+def test_spark_stream_sink_roundtrip(spark, broker, tmp_path):
+    """writeStream.format("pykafka") → broker → batch read back: the
+    full out-and-back loop through both halves of the connector."""
+    _fill(broker, topic="src", parts=2, per=15)
+    broker.create_topic("mirror", 2)
+    ks.register(spark)
+    q = (
+        spark.readStream.format("pykafka")
+        .option("bootstrap", f"{broker.host}:{broker.port}")
+        .option("topic", "src")
+        .load()
+        .select("key", "value", "partition")
+        .writeStream.format("pykafka")
+        .option("bootstrap", f"{broker.host}:{broker.port}")
+        .option("topic", "mirror")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    src = (
+        spark.read.format("pykafka")
+        .option("bootstrap", f"{broker.host}:{broker.port}")
+        .option("topic", "src")
+        .load()
+    )
+    mirror = (
+        spark.read.format("pykafka")
+        .option("bootstrap", f"{broker.host}:{broker.port}")
+        .option("topic", "mirror")
+        .load()
+    )
+    a = sorted((r.partition, bytes(r.key), bytes(r.value)) for r in src.collect())
+    b = sorted(
+        (r.partition, bytes(r.key), bytes(r.value)) for r in mirror.collect()
+    )
+    assert a == b and len(a) == 30
