@@ -729,3 +729,71 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max").alias("max_cents"),
         F.expr("sum * 1000 div n").alias("avg_millicents"),
     ).orderBy(*keys)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / SQL:2023-era |> operators — a §2.13
+    modern-surface row with no 1.6 counterpart): the same logical
+    plan as the classic SELECT, spelled as a linear pipeline. The
+    ORACLE is the classic spelling, so the hash match certifies that
+    the pipe front-end lowers to the identical relational semantics —
+    the property that makes the syntax safe to adopt in a production
+    codebase."""
+    from big_data_project_implementation_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(o_totalprice), 2) AS total
+           GROUP BY o_orderstatus
+        |> ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority, n
+    """,
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (modern SQL sugar, §2.13): every
+    non-aggregate projection groups, every output column orders —
+    the oracle spells both lists explicitly, certifying the
+    inference."""
+    from big_data_project_implementation_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
