@@ -797,3 +797,35 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 95000.0
+    ORDER BY o_orderkey
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named markers — the
+    injection-safe front door an application actually uses instead of
+    string interpolation; §2.13 modern surface). Parameters bind as
+    typed literals in the parsed plan, so pushdown/pruning see real
+    constants — the oracle inlines the same values, certifying the
+    binding."""
+    from big_data_project_implementation_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        ORDER BY o_orderkey
+        """,
+        args={"status": "F", "floor": 95000.0},
+    )
