@@ -381,3 +381,53 @@ def k_core(
         .crossJoin(F.broadcast(flag))
         .orderBy("node")
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed_col: str = "id",
+    max_dist: int = 20,
+) -> DataFrame:
+    """Multi-source BFS / reachability levels (round 8): shortest
+    hop-distance from a seed set over an undirected edge list — the
+    graph family's missing traversal primitive (PageRank ranks, LPA
+    clusters, k-core filters; BFS answers "how far is everything from
+    HERE", the contamination-spread / influence-radius question on
+    the near-dup graph).
+
+    Frontier expansion, the standard distributed BFS: each round is
+    ONE id-keyed join (frontier → neighbors) + ONE anti-join (drop
+    visited) + a distinct — work ∝ |frontier edges|, rounds = graph
+    diameter (near-dup graphs: small), lineage truncated per round
+    with eager localCheckpoints. Termination is the frontier going
+    empty — the count that decides the loop IS the natural stop
+    signal, not a bolted-on probe (the k_core/LPA free-probe
+    discipline); ``max_dist`` bounds adversarial diameters. Returns
+    (id, dist) for every reached node, dist exact — integers
+    end-to-end, so the recursive-CTE oracle replays it verbatim."""
+    sym = edges.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionByName(
+        edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    )
+    visited = seeds.select(
+        F.col(seed_col).alias("id"), F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["u"], "inner")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

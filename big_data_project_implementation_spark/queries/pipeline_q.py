@@ -4823,3 +4823,63 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
     return graph.k_core(edges, k=4, rounds=6)
+
+
+def _bfs_oracle(threshold=0.8, seed_mod=10, max_dist=20) -> str:
+    """Recursive-CTE oracle for graph_bfs_levels: the pagerank
+    oracle's exact word-jaccard edge blocks, then DuckDB's recursive
+    UNION (global (id, dist) dedup) bounded by max_dist, MIN(dist)
+    per node — hop distances are integers end to end, so the replay
+    is exact."""
+    return f"""
+    WITH RECURSIVE w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+      FROM documents
+    ),
+    posts AS MATERIALIZED (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
+    e0 AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib
+      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id, a.n, b.n
+      HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= {threshold}
+    ),
+    sym AS MATERIALIZED (
+      SELECT ia AS u, ib AS v FROM e0 UNION ALL SELECT ib, ia FROM e0
+    ),
+    reach(id, dist) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % {seed_mod} = 0
+      UNION
+      SELECT s.v, r.dist + 1
+      FROM reach r JOIN sym s ON s.u = r.id
+      WHERE r.dist < {max_dist}
+    )
+    SELECT id AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY id ORDER BY doc_id"""
+
+
+@query("graph_bfs_levels", oracle=_bfs_oracle())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the exact word-jaccard near-dup graph
+    (round 8, operators.graph.bfs_levels): hop distance from the
+    doc_id%10 seed set — the traversal primitive the graph family
+    lacked (reachability / contamination-radius: "everything within
+    k hops of a flagged document"). Frontier-expansion rounds (one
+    id-keyed join + one anti-join each, work ∝ frontier, rounds =
+    diameter), terminated by the frontier going empty — the loop's
+    own count, not a bolted-on probe. Distances are integers, so the
+    DuckDB recursive-CTE oracle replays the traversal exactly."""
+    from big_data_project_implementation_spark.operators import graph
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=1, threshold=0.8
+    ).select("id_a", "id_b")
+    seeds = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return (
+        graph.bfs_levels(pairs, seeds)
+        .select(F.col("id").alias("doc_id"), "dist")
+        .orderBy("doc_id")
+    )

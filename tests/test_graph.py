@@ -256,3 +256,24 @@ def test_lpa_poison_round_flags_non_fixed_point(spark):
     deep = graph.label_propagation(tri, 4).collect()
     assert {(r.node, r.label) for r in deep} == {(0, 0), (1, 0), (2, 0)}
     assert all(r.converged for r in deep)  # fixed point, flag certifies
+
+
+def test_bfs_levels_hand_graph(spark):
+    """Hand-checkable BFS: path 1-2-3-4-5 plus isolated 9; seeds {1, 9}.
+    Distances follow the path, unreachable nodes are absent, and the
+    max_dist cap truncates the frontier."""
+    from big_data_project_implementation_spark.operators.graph import (
+        bfs_levels,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "id long")
+    got = {r.id: r.dist for r in bfs_levels(edges, seeds).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    capped = {
+        r.id: r.dist
+        for r in bfs_levels(edges, seeds, max_dist=2).collect()
+    }
+    assert capped == {1: 0, 9: 0, 2: 1, 3: 2}
