@@ -431,3 +431,73 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    min_num: int = 1,
+    min_den: int = 3,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (round 8): for every
+    non-adjacent node pair sharing ≥1 neighbor, the Jaccard overlap
+    of their neighbor sets — the classic "these two should probably
+    be connected" signal (in the dedup setting: two docs that
+    near-match the same third docs but not each other — candidate
+    missed merges for entity resolution). Keeps pairs with
+    jac ≥ min_num/min_den as an exact integer cross-multiply
+    (``inter * den ≥ num * union`` — no float threshold).
+
+    Plan shape: wedge enumeration through the shared neighbor (one
+    self-join of the symmetric adjacency keyed on the MIDDLE node —
+    the same shuffle pattern as triangle_count), then one groupBy per
+    candidate pair; degrees broadcast back in. Work ∝ Σ deg(v)² over
+    middle nodes — the wedge count, the known cost of any
+    common-neighbor method; at skewed degree a dup-family hub is
+    first capped by the dedup family's flood caps upstream. Returns
+    (id_a, id_b, inter, uni, jac_num, jac_den) with id_a < id_b,
+    exact integers — fully SQL-replayable."""
+    sym = edges.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionByName(
+        edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    # wedges: a -(m)- b with a < b, keyed on the middle node m
+    wedge = (
+        sym.select(F.col("u").alias("m"), F.col("v").alias("a"))
+        .join(sym.select(F.col("u").alias("m"), F.col("v").alias("b")), "m")
+        .filter(F.col("a") < F.col("b"))
+    )
+    inter = wedge.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("inter")
+    )
+    adjacent = edges.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+    )
+    cand = inter.join(adjacent, ["a", "b"], "left_anti")
+    scored = (
+        cand.join(deg.withColumnRenamed("u", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("u", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            F.col("a"),
+            F.col("b"),
+            "inter",
+            (F.col("deg_a") + F.col("deg_b") - F.col("inter")).alias("uni"),
+        )
+    )
+    return (
+        scored.filter(
+            F.col("inter") * F.lit(min_den) >= F.lit(min_num) * F.col("uni")
+        )
+        .select(
+            F.col("a").alias(id_a),
+            F.col("b").alias(id_b),
+            "inter",
+            "uni",
+        )
+    )

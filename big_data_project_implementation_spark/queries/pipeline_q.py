@@ -4883,3 +4883,61 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "dist")
         .orderBy("doc_id")
     )
+
+
+def _link_prediction_oracle(threshold=0.8, min_num=1, min_den=3) -> str:
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+      FROM documents
+    ),
+    posts AS MATERIALIZED (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
+    e0 AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib
+      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id, a.n, b.n
+      HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= {threshold}
+    ),
+    sym AS MATERIALIZED (
+      SELECT ia AS u, ib AS v FROM e0 UNION ALL SELECT ib, ia FROM e0
+    ),
+    deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+                         FROM sym GROUP BY u),
+    inter AS (
+      SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
+      GROUP BY x.v, y.v
+    ),
+    cand AS (
+      SELECT i.* FROM inter i
+      LEFT JOIN e0 ON e0.ia = i.a AND e0.ib = i.b
+      WHERE e0.ia IS NULL
+    )
+    SELECT c.a AS id_a, c.b AS id_b, c.inter,
+           CAST(da.deg + db.deg - c.inter AS BIGINT) AS uni
+    FROM cand c
+    JOIN deg da ON da.u = c.a
+    JOIN deg db ON db.u = c.b
+    WHERE c.inter * {min_den} >= {min_num} * (da.deg + db.deg - c.inter)
+    ORDER BY id_a, id_b"""
+
+
+@query("graph_link_prediction", oracle=_link_prediction_oracle())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the near-dup graph
+    (round 8, operators.graph.link_prediction_jaccard): non-adjacent
+    doc pairs whose neighbor sets overlap ≥ 1/3 — the missed-merge
+    candidates of entity resolution (two docs near-matching the same
+    third docs but not each other, the transitivity gap the
+    threshold creates). Wedge enumeration keyed on the middle node
+    (triangle_count's shuffle pattern, work ∝ wedge count) + one
+    candidate-pair groupBy; the threshold is an exact integer
+    cross-multiply, so the SQL oracle replays the whole scoring."""
+    from big_data_project_implementation_spark.operators import graph
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=1, threshold=0.8
+    ).select("id_a", "id_b")
+    return graph.link_prediction_jaccard(pairs).orderBy("id_a", "id_b")
