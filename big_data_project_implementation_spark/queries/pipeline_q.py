@@ -4941,3 +4941,91 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", k=1, threshold=0.8
     ).select("id_a", "id_b")
     return graph.link_prediction_jaccard(pairs).orderBy("id_a", "id_b")
+
+
+def _ppr_oracle(iters=8, d_num=8500, threshold=0.8, seed_mod=10) -> str:
+    """Unrolled DuckDB oracle for graph_personalized_pagerank: the
+    pagerank oracle's edge/degree blocks with the restart vector
+    restricted to in-graph seeds — r0 is scale//|S| on seeds else 0,
+    and the per-round teleport term is seed-only."""
+    parts = [f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+      FROM documents
+    ),
+    posts AS MATERIALIZED (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
+    e0 AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib
+      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
+      GROUP BY a.id, b.id, a.n, b.n
+      HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= {threshold}
+    ),
+    sym AS MATERIALIZED (
+      SELECT ia AS u, ib AS v FROM e0 UNION ALL SELECT ib, ia FROM e0
+    ),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT d.u FROM deg d
+      JOIN documents s ON s.doc_id = d.u
+      WHERE s.doc_id % {seed_mod} = 0
+    ),
+    ns AS (SELECT COUNT(*) AS n FROM seeds),
+    tq AS (SELECT ({10000 - d_num} * 1000000000000) // (10000 * n) AS t
+           FROM ns),
+    r0 AS MATERIALIZED (
+      SELECT d.u,
+             CAST(CASE WHEN s.u IS NOT NULL
+                       THEN 1000000000000 // ns.n ELSE 0 END AS BIGINT) AS rq
+      FROM deg d LEFT JOIN seeds s ON s.u = d.u, ns
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    m{i} AS MATERIALIZED (
+      SELECT s.v AS u, SUM(r.rq // d.deg) AS mass
+      FROM sym s JOIN r{i - 1} r ON r.u = s.u JOIN deg d ON d.u = s.u
+      GROUP BY s.v
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT d.u,
+             CAST((CASE WHEN sd.u IS NOT NULL THEN tq.t ELSE 0 END)
+                  + ({d_num} * COALESCE(m.mass, 0)) // 10000 AS BIGINT) AS rq
+      FROM deg d
+      LEFT JOIN m{i} m ON m.u = d.u
+      LEFT JOIN seeds sd ON sd.u = d.u, tq
+    )""")
+    parts.append(f"""
+    SELECT u AS doc_id, rq AS rank_e12 FROM r{iters} ORDER BY doc_id""")
+    return "".join(parts)
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the doc_id%10 seed set over the
+    exact near-dup graph (round 8,
+    operators.graph.personalized_pagerank): random-walk-with-restart
+    affinity to the seeds — BFS answers "how many hops", this
+    answers "how much of the seeds' influence lands here", the
+    related-item / seed-expansion score. Same integer fixed-point
+    discipline as graph_pagerank (1e-12 units, div contributions,
+    /10000 damping) with the restart vector restricted to in-graph
+    seeds, so the unrolled oracle replays the walk verbatim."""
+    from big_data_project_implementation_spark.operators import graph
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=1, threshold=0.8
+    ).select("id_a", "id_b")
+    seeds = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return (
+        graph.personalized_pagerank(pairs, seeds)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.floor(F.col("rank") * 1e12 + F.lit(0.5))
+            .cast("long")
+            .alias("rank_e12"),
+        )
+        .orderBy("doc_id")
+    )

@@ -312,3 +312,28 @@ def test_link_prediction_hand_graph(spark):
     assert (0, 2) not in pairs or True  # 0 adjacent to 2 already
     # (i, j) for i,j in 2..9 share neighbor 0: inter=1, uni=1 -> kept
     assert (2, 3) in pairs and (8, 9) in pairs
+
+
+def test_personalized_pagerank_seed_affinity(spark):
+    """PPR invariants on a hand graph of two components: all walk
+    mass stays in the seed's component (the other component ranks
+    exactly 0 — no uniform teleport), mass is conserved up to the
+    documented floor-shaving, and the seed outranks its neighbors."""
+    from big_data_project_implementation_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.rank for r in personalized_pagerank(edges, seeds).collect()}
+    assert set(got) == {1, 2, 3, 10, 11}
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert got[1] > got[2] > 0 and abs(got[2] - got[3]) < 1e-9
+    assert 0.999 < got[1] + got[2] + got[3] <= 1.0
+
+    with pytest.raises(ValueError, match="no seed is in the graph"):
+        personalized_pagerank(
+            edges, spark.createDataFrame([(99,)], "id long")
+        )
