@@ -497,16 +497,16 @@ def dedup_minhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _pagerank_oracle(iters=8, d_num=8500, threshold=0.8):
-    """Unrolled DuckDB oracle for graph_pagerank (round 6): the exact
-    word-jaccard near-dup edge set (the dedup_word_jaccard pair CTE),
-    then ``iters`` unrolled integer power iterations — fixed-point
-    1e-12 rank units, floor-division edge contributions, damping as an
-    exact /10000 ratio — replaying the operator's integer arithmetic
-    verbatim. MATERIALIZED is load-bearing (the DuckDB CTE-inlining
-    lesson from the dedup_clusters oracle)."""
-    parts = [f"""
-    WITH w AS MATERIALIZED (
+def _neardup_edge_ctes(threshold=0.8, recursive=False) -> str:
+    """The exact word-jaccard near-dup edge blocks shared by every
+    graph oracle (pagerank / BFS / link prediction / personalized
+    pagerank): w -> posts -> thresholded pairs e0 -> symmetrized sym.
+    MATERIALIZED is load-bearing (the DuckDB CTE-inlining lesson from
+    the dedup_clusters oracle). ``recursive`` prefixes WITH RECURSIVE
+    for consumers that append a recursive CTE (BFS)."""
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"""
+    {kw} w AS MATERIALIZED (
       SELECT doc_id AS id,
              list_distinct(string_split(lower(trim(text)), ' ')) AS ws
       FROM documents
@@ -520,7 +520,18 @@ def _pagerank_oracle(iters=8, d_num=8500, threshold=0.8):
     ),
     sym AS MATERIALIZED (
       SELECT ia AS u, ib AS v FROM e0 UNION ALL SELECT ib, ia FROM e0
-    ),
+    )"""
+
+
+def _pagerank_oracle(iters=8, d_num=8500, threshold=0.8):
+    """Unrolled DuckDB oracle for graph_pagerank (round 6): the exact
+    word-jaccard near-dup edge set (the dedup_word_jaccard pair CTE),
+    then ``iters`` unrolled integer power iterations — fixed-point
+    1e-12 rank units, floor-division edge contributions, damping as an
+    exact /10000 ratio — replaying the operator's integer arithmetic
+    verbatim. MATERIALIZED is load-bearing (the DuckDB CTE-inlining
+    lesson from the dedup_clusters oracle)."""
+    parts = [_neardup_edge_ctes(threshold) + f""",
     deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
     nn AS (SELECT COUNT(*) AS n FROM deg),
     tq AS (SELECT ({10000 - d_num} * 1000000000000) // (10000 * n) AS t FROM nn),
@@ -4831,22 +4842,7 @@ def _bfs_oracle(threshold=0.8, seed_mod=10, max_dist=20) -> str:
     UNION (global (id, dist) dedup) bounded by max_dist, MIN(dist)
     per node — hop distances are integers end to end, so the replay
     is exact."""
-    return f"""
-    WITH RECURSIVE w AS MATERIALIZED (
-      SELECT doc_id AS id,
-             list_distinct(string_split(lower(trim(text)), ' ')) AS ws
-      FROM documents
-    ),
-    posts AS MATERIALIZED (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
-    e0 AS MATERIALIZED (
-      SELECT a.id AS ia, b.id AS ib
-      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
-      GROUP BY a.id, b.id, a.n, b.n
-      HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= {threshold}
-    ),
-    sym AS MATERIALIZED (
-      SELECT ia AS u, ib AS v FROM e0 UNION ALL SELECT ib, ia FROM e0
-    ),
+    return _neardup_edge_ctes(threshold, recursive=True) + f""",
     reach(id, dist) AS (
       SELECT doc_id, 0 FROM documents WHERE doc_id % {seed_mod} = 0
       UNION
@@ -4886,22 +4882,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _link_prediction_oracle(threshold=0.8, min_num=1, min_den=3) -> str:
-    return f"""
-    WITH w AS MATERIALIZED (
-      SELECT doc_id AS id,
-             list_distinct(string_split(lower(trim(text)), ' ')) AS ws
-      FROM documents
-    ),
-    posts AS MATERIALIZED (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
-    e0 AS MATERIALIZED (
-      SELECT a.id AS ia, b.id AS ib
-      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
-      GROUP BY a.id, b.id, a.n, b.n
-      HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= {threshold}
-    ),
-    sym AS MATERIALIZED (
-      SELECT ia AS u, ib AS v FROM e0 UNION ALL SELECT ib, ia FROM e0
-    ),
+    return _neardup_edge_ctes(threshold) + f""",
     deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
                          FROM sym GROUP BY u),
     inter AS (
@@ -4948,22 +4929,7 @@ def _ppr_oracle(iters=8, d_num=8500, threshold=0.8, seed_mod=10) -> str:
     pagerank oracle's edge/degree blocks with the restart vector
     restricted to in-graph seeds — r0 is scale//|S| on seeds else 0,
     and the per-round teleport term is seed-only."""
-    parts = [f"""
-    WITH w AS MATERIALIZED (
-      SELECT doc_id AS id,
-             list_distinct(string_split(lower(trim(text)), ' ')) AS ws
-      FROM documents
-    ),
-    posts AS MATERIALIZED (SELECT id, len(ws) AS n, UNNEST(ws) AS word FROM w),
-    e0 AS MATERIALIZED (
-      SELECT a.id AS ia, b.id AS ib
-      FROM posts a JOIN posts b ON a.word = b.word AND a.id < b.id
-      GROUP BY a.id, b.id, a.n, b.n
-      HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= {threshold}
-    ),
-    sym AS MATERIALIZED (
-      SELECT ia AS u, ib AS v FROM e0 UNION ALL SELECT ib, ia FROM e0
-    ),
+    parts = [_neardup_edge_ctes(threshold) + f""",
     deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
     seeds AS MATERIALIZED (
       SELECT DISTINCT d.u FROM deg d
