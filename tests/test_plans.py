@@ -605,3 +605,20 @@ def test_plan_audit_table_matches_fingerprints():
     ).read()
     for line in generated:
         assert line in doc, f"PLAN_AUDIT.md is stale; regenerate: {line}"
+
+
+def test_round8_graph_rows_have_no_cartesian(spark):
+    """The round-8 graph rows (gate-certified but not benched, so not
+    fingerprint-pinned) never plan a CartesianProduct. (Their shared
+    exact-jaccard EDGE subtree is the documented small-scale oracle
+    path — its bounded vocab window is accepted there, so this sweep
+    checks the scale-killer that would be a bug anywhere: an
+    accidental cross join in the traversal/scoring halves.)"""
+    for name in (
+        "graph_bfs_levels",
+        "graph_link_prediction",
+        "graph_personalized_pagerank",
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plans.assert_no_cartesian(df)
+        spark.catalog.clearCache()
