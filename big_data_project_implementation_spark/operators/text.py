@@ -2108,6 +2108,78 @@ def classifier_reliability(
     )
 
 
+def classifier_pr_curve(
+    df: DataFrame,
+    score_col: Column | str,
+    label: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """Precision/recall at every decile threshold (round 8): for each
+    occupied score bin b, the confusion counts of the filter "keep iff
+    score lands in bin ≥ b" — the table a curation team reads to PICK
+    the threshold (AUC says the score ranks; calibration says the
+    score means what it claims; this says what a concrete cutoff
+    costs in kept-junk vs lost-keepers).
+
+    Scale shape: the same one ``bins``-cell groupBy as
+    :func:`classifier_reliability`, then suffix sums via a broadcast
+    theta-join over the ≤ ``bins``-row bin table (the AUC two-level
+    discipline — no SinglePartition window, not even over tiny
+    state). Integer-exact throughout: bin assignment is integer
+    arithmetic on the 4dp-scaled score, tp/fp/fn are exact longs, and
+    the q6 ratios are floor integer divisions — the whole curve
+    hash-matches. Returns (threshold_bin, n_flagged, tp, fp, fn,
+    precision_q6, recall_q6) ordered by threshold_bin."""
+    score_col = F.col(score_col) if isinstance(score_col, str) else score_col
+    b = (
+        df.select(
+            F.floor(score_col * F.lit(1e4) + F.lit(0.5))
+            .cast("long")
+            .alias("s4"),
+            label.cast("int").alias("y"),
+        )
+        .select(
+            F.least(
+                F.expr(f"s4 * {bins} div 10000"),
+                F.lit(bins - 1).cast("bigint"),
+            )
+            .cast("int")
+            .alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("np"),
+        )
+    )
+    tot = b.agg(F.sum("np").cast("bigint").alias("pos"))
+    thr = b.select(F.col("bin").alias("threshold_bin"))
+    cum = (
+        thr.join(F.broadcast(b), F.col("bin") >= F.col("threshold_bin"))
+        .groupBy("threshold_bin")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_flagged"),
+            F.sum("np").cast("bigint").alias("tp"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold_bin",
+            "n_flagged",
+            "tp",
+            (F.col("n_flagged") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("pos") - F.col("tp")).cast("bigint").alias("fn"),
+            (F.expr("tp * 1000000 div n_flagged") / 1e6).alias(
+                "precision_q6"
+            ),
+            (F.expr("tp * 1000000 div pos") / 1e6).alias("recall_q6"),
+        )
+        .orderBy("threshold_bin")
+    )
+
+
 def filter_agreement(
     df: DataFrame, pred_a: Column, pred_b: Column
 ) -> DataFrame:

@@ -3247,6 +3247,55 @@ def text_classifier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_classifier_pr_curve",
+    oracle="""
+    WITH"""
+    + _CLS_MARGIN_CTE
+    + """,
+    b AS (
+      SELECT CAST(LEAST(s4 * 10 // 10000, 9) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS np
+      FROM m GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS pos FROM b),
+    cum AS (
+      SELECT t.bin AS threshold_bin,
+             CAST(SUM(b.n) AS BIGINT) AS n_flagged,
+             CAST(SUM(b.np) AS BIGINT) AS tp
+      FROM (SELECT DISTINCT bin FROM b) t
+      JOIN b ON b.bin >= t.bin
+      GROUP BY t.bin
+    )
+    SELECT threshold_bin, n_flagged, tp,
+           CAST(n_flagged - tp AS BIGINT) AS fp,
+           CAST(tot.pos - tp AS BIGINT) AS fn,
+           (tp * 1000000 // n_flagged) / 1e6 AS precision_q6,
+           (tp * 1000000 // tot.pos) / 1e6 AS recall_q6
+    FROM cum, tot
+    ORDER BY threshold_bin
+    """,
+)
+def text_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at every decile threshold of the quality score
+    (round 8, operators.text.classifier_pr_curve) — the
+    threshold-PICKING table that completes the evaluation family (AUC
+    = does it rank; calibration = does the score mean what it says;
+    this = what a concrete cutoff costs in kept-junk vs lost-keepers).
+    Confusion counts are exact longs from one bins-cell groupBy with
+    suffix sums via a broadcast theta-join (the AUC two-level
+    discipline — no SinglePartition window even over tiny state), so
+    the whole curve hash-matches."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = text.hashed_linear_quality_score(d, ordered=False).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return text.classifier_pr_curve(
+        scored, score_col="score", label=F.col("lang") == "en", bins=10
+    )
+
+
+@query(
     "pipeline_curate_v2",
     oracle="""
     WITH toks AS (
