@@ -401,3 +401,59 @@ def attribution_multitouch(
             ).alias("decay_weight"),
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (round 8): per-user chronological event chains collapsed to
+    (from_type, to_type) counts plus row-normalized transition
+    probabilities — the funnel's generalization (a funnel is one
+    hand-picked path; the matrix is every observed path at once,
+    feeding drop-off diagnosis and next-action prediction).
+
+    Ordering is DETERMINISTIC: (ts, event_id) — ts alone carries ties
+    at event-log granularity, which would make ``lead`` and therefore
+    the whole matrix partitioning-dependent. Scale shape: one
+    user-keyed window pass (the events family's standard single
+    exchange) + one (from, to)-cell groupBy whose state is
+    |types|² cells; probabilities are floor integer divisions of
+    exact longs (prob_q6 = n·10⁶ div row_total), so the matrix
+    hash-matches. Returns (from_type, to_type, n, row_total,
+    prob_q6) ordered."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    hops = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = hops.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return (
+        hops.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "row_total",
+            (F.expr("n * 1000000 div row_total") / 1e6).alias("prob_q6"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -429,3 +429,42 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
     weights are pure IEEE arithmetic (no libm), so engine-exact."""
     e = t(spark, sf_dir, "events")
     return ev.attribution_multitouch(e).orderBy("conversion_id", "touch_id")
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH hops AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM hops WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+      FROM cnt GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n, t.row_total,
+           (c.n * 1000000 // t.row_total) / 1e6 AS prob_q6
+    FROM cnt c JOIN tot t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (round 8, operators.events.markov_transitions): per-user
+    chronological chains collapsed to (from, to) counts with
+    row-normalized probabilities — every observed path at once where
+    the funnel checks one hand-picked path. Deterministic (ts,
+    event_id) ordering (ts alone ties at log granularity — the
+    matrix would be partitioning-dependent without the tiebreak);
+    one user-keyed window exchange + a |types|²-cell groupBy; floor
+    integer-division probabilities, so the matrix hash-matches."""
+    e = t(spark, sf_dir, "events")
+    return ev.markov_transitions(e)
