@@ -14,7 +14,7 @@ so Catalyst/AQE own the physical strategy at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -439,6 +439,8 @@ def link_prediction_jaccard(
     id_b: str = "id_b",
     min_num: int = 1,
     min_den: int = 3,
+    max_degree: int = 4096,
+    hub_observation=None,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction (round 8): for every
     non-adjacent node pair sharing ≥1 neighbor, the Jaccard overlap
@@ -452,22 +454,66 @@ def link_prediction_jaccard(
     Plan shape: wedge enumeration through the shared neighbor (one
     self-join of the symmetric adjacency keyed on the MIDDLE node —
     the same shuffle pattern as triangle_count), then one groupBy per
-    candidate pair; degrees broadcast back in. Work ∝ Σ deg(v)² over
+    candidate pair; degrees broadcast back in. Work ∝ Σ deg(m)² over
     middle nodes — the wedge count, the known cost of any
-    common-neighbor method; at skewed degree a dup-family hub is
-    first capped by the dedup family's flood caps upstream. Returns
-    (id_a, id_b, inter, uni, jac_num, jac_den) with id_a < id_b,
-    exact integers — fully SQL-replayable."""
+    common-neighbor method.
+
+    **Hub cap (round 9, the 100 TB guard):** wedge work is quadratic
+    in MIDDLE-node degree, so one viral hub (a boilerplate family
+    that survived dedup with degree 10⁵) costs 10¹⁰ wedge rows. The
+    same lazy-cap discipline as the LSH ``max_bucket``: an in-plan
+    window count over the wedge key ``u`` (no extra job, same
+    exchange as the self-join) drops middle nodes with
+    ``deg(u) > max_degree`` before enumeration, bounding per-hub
+    work at max_degree². Capping is conservative: candidate pairs
+    lose hub-mediated common neighbors, so ``inter`` undercounts
+    through hubs and near-threshold hub-only pairs drop — the same
+    recall trade every flood cap in this repo makes, and the right
+    one (a 10⁵-degree "shared neighbor" carries no evidence two
+    specific spokes match). Endpoint degrees ``uni`` stay TRUE
+    degrees from the uncapped adjacency. Pass ``hub_observation``
+    (a ``pyspark.sql.Observation``) to surface
+    ``capped_postings`` / ``total_postings`` after an action, the
+    ``flood_observation`` pattern from ``dedup.minhash_lsh_pairs``
+    (same caveat: AQE's empty-relation propagation drops the
+    CollectMetrics node if the overall result collapses to empty).
+    Default 4096 exceeds every degree in the sf0.1 near-dup fixture
+    (max observed 2933), so certified-oracle behavior is unchanged
+    there while the cap still bounds adversarial graphs.
+
+    Returns (id_a, id_b, inter, uni) with id_a < id_b, exact
+    integers — fully SQL-replayable below the cap."""
     sym = edges.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).unionByName(
         edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
     )
     deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    # lazy hub cap: in-plan window count on the wedge key — shares its
+    # exchange with the self-join, so construction launches no jobs
+    deg_w = Window.partitionBy("u")
+    sized = sym.withColumn("_deg", F.count("*").over(deg_w))
+    mid = sized.filter(F.col("_deg") <= max_degree).drop("_deg")
+    mid_obs = mid
+    if hub_observation is not None:
+        # one plan position only: a CollectMetrics node in a
+        # self-joined subtree appears twice and fails the run, so
+        # only the left side of the wedge join observes (same rows)
+        mid_obs = (
+            sized.observe(
+                hub_observation,
+                F.sum((F.col("_deg") > max_degree).cast("long")).alias(
+                    "capped_postings"
+                ),
+                F.count("*").alias("total_postings"),
+            )
+            .filter(F.col("_deg") <= max_degree)
+            .drop("_deg")
+        )
     # wedges: a -(m)- b with a < b, keyed on the middle node m
     wedge = (
-        sym.select(F.col("u").alias("m"), F.col("v").alias("a"))
-        .join(sym.select(F.col("u").alias("m"), F.col("v").alias("b")), "m")
+        mid_obs.select(F.col("u").alias("m"), F.col("v").alias("a"))
+        .join(mid.select(F.col("u").alias("m"), F.col("v").alias("b")), "m")
         .filter(F.col("a") < F.col("b"))
     )
     inter = wedge.groupBy("a", "b").agg(

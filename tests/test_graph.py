@@ -314,6 +314,61 @@ def test_link_prediction_hand_graph(spark):
     assert (2, 3) in pairs and (8, 9) in pairs
 
 
+def test_link_prediction_hub_cap(spark):
+    """The round-9 hub-degree guard: below the cap results are
+    identical to uncapped; above it, hub-mediated wedges are skipped
+    (bounding the Σ deg(m)² quadratic) and the Observation metric
+    makes the capped run visible, never silent."""
+    from pyspark.sql import Observation
+
+    from big_data_project_implementation_spark.operators.graph import (
+        link_prediction_jaccard,
+    )
+
+    # star 0-{1..20}: hub 0 has degree 20, spokes degree 1. Every
+    # spoke pair (i, j) shares exactly neighbor 0: inter=1, uni=1.
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], "id_a long, id_b long"
+    )
+
+    # cap far above every degree: exact equality with the uncapped run
+    loose = {
+        (r.id_a, r.id_b, r.inter, r.uni)
+        for r in link_prediction_jaccard(star, max_degree=10**6).collect()
+    }
+    default = {
+        (r.id_a, r.id_b, r.inter, r.uni)
+        for r in link_prediction_jaccard(star).collect()
+    }
+    assert loose == default and len(default) == 20 * 19 // 2
+
+    # cap below the hub's degree: all 190 hub-mediated candidates
+    # vanish (AQE empty-relation propagation would drop the
+    # CollectMetrics node on an all-empty result, same caveat as the
+    # LSH flood observation — so observe on the mixed graph below)
+    assert link_prediction_jaccard(star, max_degree=10).count() == 0
+
+    # mixed graph: capping the hub keeps non-hub wedges intact — the
+    # path 100-101-102 predicts (100, 102) whether or not the star
+    # hub is capped — and the observation reports the hub's 20
+    # dropped postings on the first action
+    mixed = star.unionByName(
+        spark.createDataFrame(
+            [(100, 101), (101, 102)], "id_a long, id_b long"
+        )
+    )
+    obs = Observation("hub_cap")
+    kept = {
+        (r.id_a, r.id_b, r.inter, r.uni)
+        for r in link_prediction_jaccard(
+            mixed, max_degree=10, hub_observation=obs
+        ).collect()
+    }
+    assert kept == {(100, 102, 1, 1)}
+    assert obs.get["capped_postings"] == 20  # hub 0 posts 20 wedge rows
+    assert obs.get["total_postings"] == 44  # symmetric adjacency size
+
+
 def test_personalized_pagerank_seed_affinity(spark):
     """PPR invariants on a hand graph of two components: all walk
     mass stays in the seed's component (the other component ranks
