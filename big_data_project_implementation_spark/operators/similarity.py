@@ -1361,13 +1361,40 @@ def build_ann_index(
     writers.write(assigned, f"{path}/codes", mode="overwrite", partition_by=["cell"])
 
 
+def _codes_dir(path: str) -> str:
+    """Resolve the index's current codes table: the ``codes.current``
+    pointer file if compaction has published one, else the
+    ``codes/`` directory :func:`build_ann_index` writes. The pointer
+    holds a bare directory name (``codes.v-…``) so the index stays
+    relocatable."""
+    import os
+
+    ptr = os.path.join(path, "codes.current")
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            return os.path.join(path, fh.read().strip())
+    return os.path.join(path, "codes")
+
+
 def ivfpq_compact(spark, path: str, delta_path: str) -> None:
     """Compact delta code segments into the base inverted lists
-    (round 8) — the merge half of the LSM shape: the union of
-    ``codes/`` and the flat delta segments is rewritten as ONE
-    cell-partitioned codes table (restoring DPP pruning for every
-    vector) and swapped in with directory renames, so a concurrent
-    reader sees either the old base or the new one, never a partial.
+    (round 8) — the merge half of the LSM shape: the union of the
+    current codes table and the flat delta segments is rewritten as
+    ONE cell-partitioned codes table (restoring DPP pruning for every
+    vector) and published atomically.
+
+    Publication (round 9, ADVICE r8): the new table lands in a fresh
+    versioned directory (``codes.v-<pid>-<hex>``) and the
+    ``codes.current`` pointer file is swapped with ``os.replace`` —
+    a rename, atomic on POSIX — so a concurrent reader resolving
+    :func:`_codes_dir` sees either the old version or the new one,
+    never a missing or partial table (the previous two-rename dance
+    had a window with NO ``codes/`` directory at all). The
+    just-superseded version is RETAINED for one compaction cycle so
+    in-flight scans that already resolved it keep reading; anything
+    older is garbage-collected here. (On an object store, versioned
+    prefixes + a pointer object give the same contract.)
+
     No retraining anywhere — compaction moves bytes, the model stays
     frozen; when drift warrants retraining, that is a rebuild
     (:func:`build_ann_index`) under a NEW index path, versioned by the
@@ -1379,23 +1406,33 @@ def ivfpq_compact(spark, path: str, delta_path: str) -> None:
 
     from big_data_project_implementation_spark.sources import writers
 
-    base = spark.read.parquet(f"{path}/codes").select(
+    current = _codes_dir(path)
+    base = spark.read.parquet(current).select(
         "cell", "neighbor_id", "codes"
     )
     delta = spark.read.parquet(delta_path).select(
         "cell", "neighbor_id", "codes"
     )
-    stage = f"{path}/codes.compact-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    new_name = f"codes.v-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     writers.write(
         base.unionByName(delta),
-        stage,
+        f"{path}/{new_name}",
         mode="overwrite",
         partition_by=["cell"],
     )
-    old = stage + ".old"
-    os.rename(f"{path}/codes", old)
-    os.rename(stage, f"{path}/codes")
-    shutil.rmtree(old, ignore_errors=True)
+    tmp = f"{path}/codes.current.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(new_name)
+    os.replace(tmp, f"{path}/codes.current")  # atomic publish
+    keep = {f"{path}/{new_name}", current}
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if (
+            (entry == "codes" or entry.startswith("codes.v-"))
+            and os.path.isdir(full)
+            and full not in keep
+        ):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def ivfpq_topk_from_index(
@@ -1428,7 +1465,7 @@ def ivfpq_topk_from_index(
     spark = queries.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     books = spark.read.parquet(f"{path}/codebooks")
-    assigned = spark.read.parquet(f"{path}/codes").select(
+    assigned = spark.read.parquet(_codes_dir(path)).select(
         "cell", "neighbor_id", "codes"
     )
     if delta_path is not None:

@@ -2174,7 +2174,19 @@ def classifier_pr_curve(
             (F.expr("tp * 1000000 div n_flagged") / 1e6).alias(
                 "precision_q6"
             ),
-            (F.expr("tp * 1000000 div pos") / 1e6).alias("recall_q6"),
+            F.when(
+                # fail loudly on zero positive labels (the assert_true
+                # convention classifier_auc / score_drift use): a
+                # silent-NULL recall must never reach a hash gate
+                F.assert_true(
+                    F.col("pos") > 0,
+                    F.lit(
+                        "classifier_pr_curve: zero positive labels — "
+                        "recall is undefined"
+                    ),
+                ).isNull(),
+                F.expr("tp * 1000000 div pos") / 1e6,
+            ).alias("recall_q6"),
         )
         .orderBy("threshold_bin")
     )

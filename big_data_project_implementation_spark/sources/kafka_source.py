@@ -267,7 +267,15 @@ class KafkaWriter(DataSourceWriter, DataSourceStreamWriter):
             # records so a task never holds its whole split in memory
             buckets: dict[int, list] = {}
             for row in iterator:
-                p = int(row[pi]) if pi is not None else default_p
+                # NULL partition routes to the default partition,
+                # matching the real connector's null-partition
+                # semantics (ADVICE r8 — a bare int(None) TypeError
+                # from the executor named nothing)
+                p = (
+                    int(row[pi])
+                    if pi is not None and row[pi] is not None
+                    else default_p
+                )
                 k = row[ki]
                 v = row[vi]
                 b = buckets.setdefault(p, [])

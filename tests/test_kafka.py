@@ -292,3 +292,58 @@ def test_spark_stream_sink_roundtrip(spark, broker, tmp_path):
         (r.partition, bytes(r.key), bytes(r.value)) for r in mirror.collect()
     )
     assert a == b and len(a) == 30
+
+
+def test_batch_sink_many_records_one_task_flushes_bounded(spark, broker):
+    """VERDICT r8 #4: the sink flushes each partition bucket every
+    1000 records instead of buffering a task's whole split — 5,000
+    records through ONE task (coalesce(1)) must all land, in order
+    within each topic-partition, and NULL partition values route to
+    the task's default partition instead of raising (ADVICE r8)."""
+    broker.create_topic("bulk", 2)
+    ks.register(spark)
+    n = 5000
+    df = (
+        spark.range(n)
+        .coalesce(1)
+        .selectExpr(
+            "CAST(CAST(id AS STRING) AS BINARY) AS key",
+            "CAST(CONCAT('v', CAST(id AS STRING)) AS BINARY) AS value",
+            # every 10th row has a NULL partition -> default routing
+            "CAST(CASE WHEN id % 10 = 9 THEN NULL ELSE id % 2 END AS INT)"
+            " AS partition",
+        )
+    )
+    (
+        df.write.format("pykafka")
+        .mode("append")
+        .option("bootstrap", f"{broker.host}:{broker.port}")
+        .option("topic", "bulk")
+        .save()
+    )
+    c = _producer(broker)
+    try:
+        o0 = c.list_offset("bulk", 0, LATEST)
+        o1 = c.list_offset("bulk", 1, LATEST)
+        assert o0 + o1 == n, "every record must land exactly once"
+        got = {}
+        per_part_keys: dict[int, list[int]] = {0: [], 1: []}
+        for p, hi in ((0, o0), (1, o1)):
+            for _, k, v in c.fetch_range("bulk", p, 0, hi):
+                key = int(bytes(k).decode())
+                got[key] = (p, bytes(v))
+                per_part_keys[p].append(key)
+        assert len(got) == n
+        for i in (0, 1, 9, 999, 1000, 1001, 4999):
+            assert got[i][1] == b"v%d" % i
+        # NULL partitions all routed to ONE deterministic partition
+        # (the single task's default), not dropped or crashed
+        null_parts = {got[i][0] for i in range(9, n, 10)}
+        assert len(null_parts) == 1
+        # per-partition arrival order preserved across flush
+        # boundaries (multiple 1000-record flushes interleave buckets
+        # but must keep each bucket's internal order)
+        for p in (0, 1):
+            assert per_part_keys[p] == sorted(per_part_keys[p])
+    finally:
+        c.close()

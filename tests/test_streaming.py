@@ -6,6 +6,7 @@ tests, SURVEY §5.5).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -836,6 +837,30 @@ def test_ann_index_update_segments_exactly_once(spark):
             .collect()
         ]
         assert before == after, "compaction changed answers"
+        # publication contract (round 9, ADVICE r8): compact swaps the
+        # codes.current pointer atomically and RETAINS the superseded
+        # table for one cycle, so a reader that resolved the old path
+        # never finds it missing mid-scan
+        assert os.path.exists(f"{copy}/codes.current")
+        v1 = sim._codes_dir(copy)
+        assert os.path.basename(v1).startswith("codes.v-")
+        assert os.path.isdir(f"{copy}/codes"), "superseded base GC'd early"
+        old_answers = [
+            tuple(r)
+            for r in sim.ivfpq_topk_from_index(
+                qs, emb, copy, k=5, nprobe=4, refine=16
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+        assert old_answers == after
+        # a second compact (empty-ish delta: reuse the same segments —
+        # dup rows are fine for the layout contract) must GC the
+        # legacy dir, keep v1 for in-flight readers, and re-point
+        sim.ivfpq_compact(spark, copy, delta)
+        v2 = sim._codes_dir(copy)
+        assert v2 != v1 and os.path.isdir(v1)
+        assert not os.path.exists(f"{copy}/codes"), "2-cycle GC missed"
         shutil.rmtree(copy, ignore_errors=True)
     finally:
         shutil.rmtree(delta, ignore_errors=True)

@@ -49,9 +49,7 @@ def build_stream_dir(spark, src: str, dst: str, factor: int) -> None:
     os.makedirs(dst)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = spark.read.parquet(f"{src}/events.parquet")
-    nanos = isinstance(base.schema["ts"].dataType.simpleString(), str) and (
-        base.schema["ts"].dataType.simpleString() == "bigint"
-    )
+    nanos = base.schema["ts"].dataType.simpleString() == "bigint"
     for i in range(factor):
         rep = base
         if nanos:
