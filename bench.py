@@ -213,11 +213,16 @@ def main() -> None:
     # single-shot wall times by 2-3x; the min is the steady-state cost
     # of the plan, which is what the engine controls
     timings: dict[str, float] = {}
+    # every individual pass, in order (VERDICT r8 #3: the published
+    # envelope must be computed over raw per-pass times, not
+    # min-of-session minima, or normal GC/contention noise escapes it)
+    passes: dict[str, list[float]] = {}
 
     def measure(name: str) -> None:
         t0 = time.time()
         run(name)
         dt = round(time.time() - t0, 3)
+        passes.setdefault(name, []).append(dt)
         if name not in timings or dt < timings[name]:
             timings[name] = dt
 
@@ -236,6 +241,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    passes_out = os.environ.get("SPARK_GRAFT_BENCH_PASSES_OUT")
+    if passes_out:
+        with open(passes_out, "w") as fh:
+            json.dump({"sf": float(sf), "passes": passes}, fh)
     line = json.dumps(payload)
     print(line)
     # The driver records only the LAST ~2000 bytes of stdout; when the

@@ -894,6 +894,7 @@ def _neardup_verdict_machinery(
     bands=4,
     min_agree=6,
     cap=64,
+    hash_family="md5",
 ):
     """(stream builder, foreachBatch gate) for the per-doc verdict
     ingest gate — shared by the registry query and the restart pytest.
@@ -910,14 +911,30 @@ def _neardup_verdict_machinery(
     DuckDB oracle replays the exact same pruning. All matching is
     batch-LOCAL inside foreachBatch — the streaming plan is just the
     signature projection, so candidate dedup/rank/groupBy are ordinary
-    batch ops with ZERO stream state."""
+    batch ops with ZERO stream state.
+
+    ``hash_family``: ``"md5"`` (default) is the CERTIFIED family —
+    every hash is DuckDB-replayable, so the oracle certifies the full
+    computation; ``"xxhash64"`` is the same gate over Spark's native
+    hash (Broder one-hash-then-derive, ``dedup.minhash_signature``) —
+    ~10× cheaper per shingle, the family a deployment that doesn't
+    need external replay would run (SCALING.md round-9 quantifies the
+    swap). Band keys, collapse, cap, and verify logic are family-
+    agnostic (they operate on the array<long> signature)."""
     from big_data_project_implementation_spark.operators import dedup
     from big_data_project_implementation_spark.operators.dedup import _spread
     from big_data_project_implementation_spark.queries.registry import (
         documents_stream,
     )
 
-    sig = dedup.minhash_md5_signature("text", k=k, num_hashes=num_hashes)
+    if hash_family == "md5":
+        sig = dedup.minhash_md5_signature("text", k=k, num_hashes=num_hashes)
+    elif hash_family == "xxhash64":
+        sig = dedup.minhash_signature(
+            dedup.shingles("text", k), num_hashes=num_hashes
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
 
     # corpus reps: one row per distinct signature; postings from the
     # rep's band keys (identical for every member). Checkpointed once —

@@ -29,3 +29,170 @@ def test_classifier_pr_curve_zero_positives_fails_loudly(spark):
     assert rows and all(r.recall_q6 is not None for r in rows)
     # bin 0 keeps everything: recall 1.0 exactly
     assert rows[0].recall_q6 == 1.0
+
+
+def test_ann_index_claim_survives_concurrent_builders(spark, tmp_path):
+    """VERDICT r8 stretch: race two builders through the cached-index
+    claim path (pipeline_q._ann_index_cached). Contract under race:
+    both callers get the SAME path, the published index is complete,
+    a COMPLETE index is never deleted by a later claimer (sentinel
+    survives), and every caller serves identical answers."""
+    import os
+    import shutil
+    import threading
+    import uuid
+
+    from big_data_project_implementation_spark.operators import (
+        similarity as sim,
+    )
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        _ann_index_cached,
+    )
+    from big_data_project_implementation_spark.queries.registry import t
+    from tests.conftest import SF_DIR
+
+    emb = t(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    variant = f"_race_{uuid.uuid4().hex[:8]}"
+
+    def serve(path):
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk_from_index(
+                qs, emb, path, k=5, nprobe=4, refine=16
+            ).collect()
+        )
+
+    results: list = [None, None]
+    errs: list = []
+
+    def build(i):
+        try:
+            p = _ann_index_cached(emb, SF_DIR, variant=variant)
+            results[i] = (p, serve(p))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=build, args=(i,)) for i in range(2)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    (p0, a0), (p1, a1) = results
+    assert p0 == p1
+    assert os.path.exists(os.path.join(p0, "codes", "_SUCCESS"))
+    assert a0 == a1 and len(a0) == 25
+    try:
+        # a COMPLETE index must never be claimed-and-deleted: stamp a
+        # sentinel inside it, race two more claimers, sentinel lives
+        sentinel = os.path.join(p0, "SENTINEL")
+        open(sentinel, "w").write("complete-index-must-survive")
+        threads = [
+            threading.Thread(target=build, args=(i,)) for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs, errs
+        assert os.path.exists(sentinel), "complete index was rebuilt"
+        assert results[0][0] == p0 and results[0][1] == a0
+
+        # repair race: kill the _SUCCESS marker (dead partial build) —
+        # two concurrent repairers must produce ONE complete index and
+        # never rmtree the same live path out from under each other
+        os.remove(os.path.join(p0, "codes", "_SUCCESS"))
+        threads = [
+            threading.Thread(target=build, args=(i,)) for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs, errs
+        assert os.path.exists(os.path.join(p0, "codes", "_SUCCESS"))
+        assert results[0][1] == a0 == results[1][1]
+    finally:
+        shutil.rmtree(p0, ignore_errors=True)
+
+
+def test_neardup_verdict_xxhash64_family_catches_exact_dups(spark):
+    """The uncertified xxhash64 variant of the verdict gate (round 9 —
+    the family a deployment swaps in when it doesn't need DuckDB
+    replay; SCALING.md quantifies the swap) must behave as the same
+    GATE: an arriving doc whose text is byte-identical to a corpus doc
+    has an identical signature in ANY hash family, collides on every
+    band, agrees on all hashes — so every corpus member with a
+    signature MUST receive a verdict, with max_agree == num_hashes,
+    and the per-doc output shape holds."""
+    import shutil
+    import tempfile
+
+    from big_data_project_implementation_spark.operators import dedup
+    from big_data_project_implementation_spark.queries.streaming_q import (
+        _neardup_verdict_machinery,
+    )
+    from tests.conftest import SF_DIR
+
+    out_dir = tempfile.mkdtemp(prefix="verdict_xx_out_")
+    ckpt = tempfile.mkdtemp(prefix="verdict_xx_ckpt_")
+    build, gate = _neardup_verdict_machinery(
+        spark, SF_DIR, out_dir, hash_family="xxhash64"
+    )
+    try:
+        sub = spark.newSession()
+        sub.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            build(sub)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch_id=*")
+            .select("arriving_id", "best_match", "max_agree", "n_matches")
+            .collect()
+        )
+        got = {r.arriving_id: r for r in rows}
+        assert len(got) == len(rows), "more than one verdict per doc"
+        # every corpus doc (even doc_id, non-null signature) is its own
+        # exact dup: all 8 hashes agree
+        corpus = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                dedup.minhash_signature(
+                    dedup.shingles("text", 3), num_hashes=8
+                ).alias("sig"),
+            )
+            .filter(F.element_at("sig", 1).isNotNull())
+        )
+        for cid in (r.doc_id for r in corpus.collect()):
+            assert cid in got, f"corpus doc {cid} missed by its exact dup"
+            assert got[cid].max_agree == 8
+        assert all(r.n_matches >= 1 for r in rows)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_neardup_verdict_rejects_unknown_hash_family(spark):
+    import pytest as _pytest
+
+    from big_data_project_implementation_spark.queries.streaming_q import (
+        _neardup_verdict_machinery,
+    )
+    from tests.conftest import SF_DIR
+
+    with _pytest.raises(ValueError, match="unknown hash_family"):
+        _neardup_verdict_machinery(
+            spark, SF_DIR, "/tmp/x", hash_family="sha1"
+        )
