@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     # temperature quotas) and the materialized-view refresh pattern
     "embedding_cluster_mixture",
     "incremental_agg_refresh",
+    # round 9: the JOIN half of the IVM story — delta refresh of a
+    # materialized join with broadcast deltas (neither base shuffles)
+    "incremental_join_refresh",
 ]
 
 # localCheckpoint-heavy iterative rows: same-box wall times on these

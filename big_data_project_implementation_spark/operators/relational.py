@@ -475,6 +475,45 @@ def mergeable_agg_state(
     )
 
 
+def delta_join_refresh(
+    view: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally refresh a materialized INNER equi-join view
+    (round 9) — the join half of the IVM story next to
+    ``mergeable_agg_state``/``merge_agg_states``. Given the
+    materialized ``view = A_old ⋈ B_old`` and append-only deltas, the
+    refreshed view is the exact delta algebra
+
+        M' = M ∪ (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)
+
+    (``ΔA ⋈ B_new`` folds the ``ΔA ⋈ ΔB`` cross-delta term in, so each
+    arriving row is matched exactly once). Bag semantics throughout —
+    unions are UNION ALL and the algebra is exact for multiplicities,
+    so refresh == full recompute row-for-row (the registry row's
+    oracle recomputes the full join; the hash match is the auditor's
+    check, as with the aggregate twin).
+
+    Scale shape: cost ∝ |Δ| · match-rate, never |A ⋈ B|. With
+    ``broadcast_deltas`` (default) the delta sides are broadcast-
+    hinted — a production refresh's delta is minutes-to-hours of
+    arrivals, dwarfed by the base — so NEITHER base table shuffles:
+    each delta join is a broadcast probe of the big side's scan, and
+    a bucketed/partitioned base prunes that scan further (DPP on the
+    delta's keys). Pass ``broadcast_deltas=False`` for bulk backfills
+    where the delta rivals the base and AQE should pick the join."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_new = b_old.unionByName(delta_b)
+    return view.unionByName(maybe_b(delta_a).join(b_new, on)).unionByName(
+        a_old.join(maybe_b(delta_b), on)
+    )
+
+
 def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     """Merge two mergeable states (same schema): the REFRESH step of
     an incrementally-maintained aggregate — cost ∝ |state| + |delta

@@ -732,6 +732,60 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_join_refresh",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (round 9,
+    operators.relational.delta_join_refresh): the orders ⋈ lineitem
+    view is materialized over the historical partitions (orders
+    before 1997, lineitems shipped before 1996), then BOTH sides'
+    arrivals fold in via the exact delta algebra
+    M ∪ (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB) — cost ∝ |delta|, never
+    |A ⋈ B|, with the deltas broadcast so neither base table
+    shuffles. The ORACLE recomputes the full join from scratch, so
+    the hash match IS the refresh-equals-recompute audit under bag
+    semantics: a row matched twice (cross-delta term double-folded),
+    a missed late arrival, or set-semantics dedup all break it.
+    Exact-integer measures (qty, price cents) per the micro-unit
+    convention."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    b = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        "l_shipdate",
+    )
+    cut_a = F.lit("1997-01-01").cast("date")
+    cut_b = F.lit("1996-01-01").cast("date")
+    a_old = a.filter(F.col("o_orderdate") < cut_a)
+    delta_a = a.filter(F.col("o_orderdate") >= cut_a)
+    b_old = b.filter(F.col("l_shipdate") < cut_b)
+    delta_b = b.filter(F.col("l_shipdate") >= cut_b)
+    view = a_old.join(b_old, ["o_orderkey"])
+    refreshed = relational.delta_join_refresh(
+        view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    )
+    return refreshed.select(
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+    ).orderBy("o_orderkey", "l_linenumber")
+
+
+@query(
     "sql_pipe_syntax",
     oracle="""
     SELECT o_orderstatus,

@@ -733,7 +733,6 @@ def _neardup_match_stream(
     joins (the index re-broadcasts per micro-batch; no watermark, no
     state store growth)."""
     from big_data_project_implementation_spark.operators import dedup
-    from big_data_project_implementation_spark.operators.dedup import _spread
     from big_data_project_implementation_spark.queries.registry import (
         documents_stream,
     )
@@ -741,19 +740,24 @@ def _neardup_match_stream(
     sig = dedup.minhash_md5_signature("text", k=k, num_hashes=num_hashes)
     keys = dedup.minhash_md5_band_keys("sig", bands=bands, num_hashes=num_hashes)
 
-    # the signature projection is the CPU (8 md5 per shingle): spread
-    # the single-file corpus scan across cores BEFORE computing it,
-    # and checkpoint so the postings and verify consumers (and every
+    # the signature computation is the CPU: the corpus side uses the
+    # explode+groupBy codegen form (round 9 — 5.3× cheaper than the
+    # HOF projection at equal values; only the ARRIVING side, a true
+    # stream-plan projection, keeps the expression form) and is
+    # checkpointed so the postings and verify consumers (and every
     # micro-batch) reuse the computed signatures instead of re-hashing
-    # the corpus per subtree per batch (48s -> ~8s at sf0.1)
+    # the corpus per subtree per batch
     corpus = (
-        _spread(
+        dedup.minhash_md5_signatures(
             spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
                 (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
             ),
+            "text",
             "doc_id",
+            k=k,
+            num_hashes=num_hashes,
         )
-        .select(F.col("doc_id").alias("corpus_id"), sig.alias("csig"))
+        .select(F.col("id").alias("corpus_id"), F.col("sig").alias("csig"))
         .localCheckpoint(eager=True)
     )
     postings = corpus.select(
@@ -916,23 +920,35 @@ def _neardup_verdict_machinery(
     ``hash_family``: ``"md5"`` (default) is the CERTIFIED family —
     every hash is DuckDB-replayable, so the oracle certifies the full
     computation; ``"xxhash64"`` is the same gate over Spark's native
-    hash (Broder one-hash-then-derive, ``dedup.minhash_signature``) —
-    ~10× cheaper per shingle, the family a deployment that doesn't
-    need external replay would run (SCALING.md round-9 quantifies the
-    swap). Band keys, collapse, cap, and verify logic are family-
-    agnostic (they operate on the array<long> signature)."""
+    hash (Broder one-hash-then-derive) — the family a deployment that
+    doesn't need external replay would run. Band keys, collapse, cap,
+    and verify logic are family-agnostic (they operate on the
+    array<long> signature).
+
+    Round 9 (signature cost, measured — SCALING.md): signatures are
+    aggregated with the explode+groupBy codegen forms
+    (``minhash_md5_signatures`` / ``minhash_signatures``), not the
+    per-row HOF expression — 5.3× cheaper on the md5 family at equal
+    values, and the gate now computes each batch's signatures ONCE
+    (carried through the candidate aggregation via ``first(sig)``)
+    instead of re-deriving them in both the candidate and verify
+    subtrees. The stream plan thins to (arriving_id, text); all
+    hashing is batch-local."""
     from big_data_project_implementation_spark.operators import dedup
-    from big_data_project_implementation_spark.operators.dedup import _spread
     from big_data_project_implementation_spark.queries.registry import (
         documents_stream,
     )
 
     if hash_family == "md5":
-        sig = dedup.minhash_md5_signature("text", k=k, num_hashes=num_hashes)
+        def signatures(df: DataFrame, id_col: str) -> DataFrame:
+            return dedup.minhash_md5_signatures(
+                df, "text", id_col, k=k, num_hashes=num_hashes
+            )
     elif hash_family == "xxhash64":
-        sig = dedup.minhash_signature(
-            dedup.shingles("text", k), num_hashes=num_hashes
-        )
+        def signatures(df: DataFrame, id_col: str) -> DataFrame:
+            return dedup.minhash_signatures(
+                df, "text", id_col, k=k, num_hashes=num_hashes
+            )
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
 
@@ -940,13 +956,13 @@ def _neardup_verdict_machinery(
     # rep's band keys (identical for every member). Checkpointed once —
     # every micro-batch reuses the computed signatures.
     reps = (
-        _spread(
+        signatures(
             spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
                 (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
             ),
             "doc_id",
         )
-        .select(F.col("doc_id").alias("corpus_id"), sig.alias("csig"))
+        .select(F.col("id").alias("corpus_id"), F.col("sig").alias("csig"))
         .groupBy("csig")
         .agg(
             F.min("corpus_id").alias("sid"),
@@ -971,26 +987,37 @@ def _neardup_verdict_machinery(
     keys = dedup.minhash_md5_band_keys(
         "sig", bands=bands, num_hashes=num_hashes
     )
-    n_cores = spark.sparkContext.defaultParallelism
-
     def build(s: SparkSession) -> DataFrame:
-        # the STREAM plan is only the signature projection (spread
-        # across cores first — the _spread lesson, stream-side)
+        # the STREAM plan is only the thin (id, text) projection; all
+        # hashing happens batch-locally in the gate (round 9 — the
+        # codegen signature aggregate needs an exchange, which
+        # foreachBatch provides for free)
         return (
             documents_stream(s, sf_dir)
             .filter(F.col("text").isNotNull())
-            .repartition(n_cores)
-            .select(F.col("doc_id").alias("arriving_id"), sig.alias("sig"))
+            .select(F.col("doc_id").alias("arriving_id"), "text")
         )
 
     def gate(batch: DataFrame, batch_id: int) -> None:
+        # signatures computed ONCE per batch and carried through the
+        # candidate aggregation (sig is constant per arriving_id, so
+        # first(sig) is deterministic) — the verify join never
+        # re-derives them from text
+        sigs = signatures(batch, "arriving_id").select(
+            F.col("id").alias("arriving_id"), "sig"
+        )
         cand = (
-            batch.select(
-                "arriving_id", F.posexplode(keys).alias("band", "key")
+            sigs.select(
+                "arriving_id",
+                "sig",
+                F.posexplode(keys).alias("band", "key"),
             )
             .join(postings, ["band", "key"])
             .groupBy("arriving_id", "sid")
-            .agg(F.count("*").alias("n_bands"))
+            .agg(
+                F.count("*").alias("n_bands"),
+                F.first("sig").alias("sig"),
+            )
         )
         w = Window.partitionBy("arriving_id").orderBy(
             F.desc("n_bands"), F.asc("sid")
@@ -998,11 +1025,10 @@ def _neardup_verdict_machinery(
         capped = (
             cand.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= cap)
-            .select("arriving_id", "sid")
+            .select("arriving_id", "sid", "sig")
         )
         ver = (
             capped.join(reps, "sid")
-            .join(batch, "arriving_id")
             .withColumn("n_agree", n_agree)
             .filter(F.col("n_agree") >= min_agree)
         )

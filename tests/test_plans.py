@@ -461,6 +461,10 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     "embedding_cluster_mixture": (31, ('BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
     # round 8: two partial states + one merge — never a base rescan
     "incremental_agg_refresh": (3, ()),
+    # round 9: delta join refresh — the view join plus two
+    # broadcast-delta joins (neither base table shuffles; the one
+    # exchange is the deterministic orderBy)
+    "incremental_join_refresh": (1, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
 }
 
 

@@ -196,3 +196,93 @@ def test_neardup_verdict_rejects_unknown_hash_family(spark):
         _neardup_verdict_machinery(
             spark, SF_DIR, "/tmp/x", hash_family="sha1"
         )
+
+
+def test_minhash_md5_signatures_groupby_matches_projection(spark):
+    """The round-9 codegen form (dedup.minhash_md5_signatures) must be
+    value-identical to the HOF projection form on every doc — short-doc
+    shingle clamp, whitespace normalization, NULL text (all-null
+    signature row kept), and duplicate shingles included — or the gate
+    rows silently diverge from the certified md5 family."""
+    from big_data_project_implementation_spark.operators import dedup
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "short doc"),
+        (3, "Tabs\tand   space   runs normalize\nidentically"),
+        (4, None),
+        (5, "dup dup dup dup dup dup dup dup"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k, nh = 3, 8
+    proj = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id",
+            dedup.minhash_md5_signature(
+                "text", k=k, num_hashes=nh
+            ).alias("sig"),
+        ).collect()
+    }
+    agg = {
+        r.id: r.sig
+        for r in dedup.minhash_md5_signatures(
+            df, "text", "doc_id", k=k, num_hashes=nh
+        ).collect()
+    }
+    assert agg == proj
+    assert agg[4] == [None] * nh  # NULL text keeps an all-null row
+
+
+def test_delta_join_refresh_bag_semantics_and_empty_deltas(spark):
+    """delta_join_refresh == full recompute under BAG semantics: hand
+    data with duplicate join keys and duplicate ROWS on both sides
+    (multiplicities must survive — a set-semantics union would eat
+    them), plus the empty-delta and delta-only-match edge cases."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (1, "a1"), (2, "a2")], "k long, av string"
+    )
+    delta_a = spark.createDataFrame(
+        [(2, "a2"), (3, "a3")], "k long, av string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2")], "k long, bv string"
+    )
+    delta_b = spark.createDataFrame(
+        [(1, "b1x"), (3, "b3"), (3, "b3")], "k long, bv string"
+    )
+
+    def bag(df):
+        out: dict = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    view = a_old.join(b_old, ["k"])
+    refreshed = relational.delta_join_refresh(
+        view, a_old, delta_a, b_old, delta_b, on=["k"]
+    )
+    full = a_old.unionByName(delta_a).join(
+        b_old.unionByName(delta_b), ["k"]
+    )
+    assert bag(refreshed) == bag(full)
+    # key 3 matches only delta x delta: the cross-delta term must fire
+    assert bag(refreshed)[(3, "a3", "b3")] == 2
+
+    # empty deltas: refresh is exactly the view
+    empty_a = delta_a.filter(F.lit(False))
+    empty_b = delta_b.filter(F.lit(False))
+    same = relational.delta_join_refresh(
+        view, a_old, empty_a, b_old, empty_b, on=["k"]
+    )
+    assert bag(same) == bag(view)
+    # broadcast_deltas=False path is value-identical
+    plain = relational.delta_join_refresh(
+        view, a_old, delta_a, b_old, delta_b, on=["k"],
+        broadcast_deltas=False,
+    )
+    assert bag(plain) == bag(full)
