@@ -348,3 +348,41 @@ def udtf_lateral_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@query(
+    "udf_pipe_subprocess",
+    oracle="""
+    SELECT doc_id, upper(text) AS piped
+    FROM documents
+    WHERE text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def udf_pipe_subprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-command pipe (round 9, operators.text.pipe_transform):
+    the corpus text column piped through ``tr a-z A-Z`` — RDD.pipe /
+    Hive TRANSFORM parity (reference core/rdd/PipedRDD.scala:36,
+    sql/hive ScriptTransformation.scala) on the modern shape: ONE
+    subprocess per Arrow batch via mapInPandas, line-per-row protocol,
+    no driver involvement. The DuckDB oracle replays the transform as
+    ``upper(text)`` (exact on this all-ASCII fixture), so the hash
+    match certifies the full loop: Arrow batch → stdin framing →
+    external process → stdout re-alignment → rows. The line-protocol
+    escaping is identity here (fixture text has no backslash/newline);
+    its round-trip is pinned separately in
+    test_pipe_transform_linewise."""
+    from big_data_project_implementation_spark.operators import text as text_ops
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return (
+        text_ops.pipe_transform(
+            d, ["tr", "a-z", "A-Z"], input_col="text", output_col="piped"
+        )
+        .select("doc_id", "piped")
+        .orderBy("doc_id")
+    )
