@@ -475,6 +475,43 @@ def mergeable_agg_state(
     )
 
 
+def delta_join_increment(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """The rows an incremental join refresh APPENDS (round 9) — the
+    storage-efficient IVM shape: with ``M = A_old ⋈ B_old`` already on
+    disk, the new rows are exactly
+
+        ΔM = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)
+
+    (``ΔA ⋈ B_new`` folds the ``ΔA ⋈ ΔB`` cross-delta term in, so each
+    arriving row is matched exactly once). A deployment appends ΔM to
+    the stored view instead of rewriting it, so the OUTPUT is
+    ∝ |Δ| · match-rate; compute still pays ONE scan of each base side
+    (the probe of the delta joins) but never the base-vs-base shuffle
+    — tools/ivm_probe.py measures the separation at 100× history,
+    SCALING.md round-9 reads it. Bag semantics throughout (UNION ALL;
+    exact for multiplicities).
+
+    With ``broadcast_deltas`` (default) the delta sides are broadcast-
+    hinted — a production refresh's delta is minutes-to-hours of
+    arrivals, dwarfed by the base — so NEITHER base table shuffles:
+    each delta join is a broadcast probe of the big side's scan, and a
+    bucketed/partitioned base prunes that scan further (DPP on the
+    delta's keys). Pass ``broadcast_deltas=False`` for bulk backfills
+    where the delta rivals the base and AQE should pick the join."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_new = b_old.unionByName(delta_b)
+    return maybe_b(delta_a).join(b_new, on).unionByName(
+        a_old.join(maybe_b(delta_b), on)
+    )
+
+
 def delta_join_refresh(
     view: DataFrame,
     a_old: DataFrame,
@@ -490,27 +527,19 @@ def delta_join_refresh(
     materialized ``view = A_old ⋈ B_old`` and append-only deltas, the
     refreshed view is the exact delta algebra
 
-        M' = M ∪ (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)
+        M' = M ∪ ΔM        (ΔM from :func:`delta_join_increment`)
 
-    (``ΔA ⋈ B_new`` folds the ``ΔA ⋈ ΔB`` cross-delta term in, so each
-    arriving row is matched exactly once). Bag semantics throughout —
-    unions are UNION ALL and the algebra is exact for multiplicities,
-    so refresh == full recompute row-for-row (the registry row's
-    oracle recomputes the full join; the hash match is the auditor's
-    check, as with the aggregate twin).
-
-    Scale shape: cost ∝ |Δ| · match-rate, never |A ⋈ B|. With
-    ``broadcast_deltas`` (default) the delta sides are broadcast-
-    hinted — a production refresh's delta is minutes-to-hours of
-    arrivals, dwarfed by the base — so NEITHER base table shuffles:
-    each delta join is a broadcast probe of the big side's scan, and
-    a bucketed/partitioned base prunes that scan further (DPP on the
-    delta's keys). Pass ``broadcast_deltas=False`` for bulk backfills
-    where the delta rivals the base and AQE should pick the join."""
-    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
-    b_new = b_old.unionByName(delta_b)
-    return view.unionByName(maybe_b(delta_a).join(b_new, on)).unionByName(
-        a_old.join(maybe_b(delta_b), on)
+    Bag semantics throughout — unions are UNION ALL and the algebra is
+    exact for multiplicities, so refresh == full recompute row-for-row
+    (the registry row's oracle recomputes the full join; the hash
+    match is the auditor's check, as with the aggregate twin). This
+    form RE-EMITS the whole view (view semantics, what a consumer
+    reads); a deployment that stores M appends only
+    :func:`delta_join_increment` — see that function's scale notes."""
+    return view.unionByName(
+        delta_join_increment(
+            a_old, delta_a, b_old, delta_b, on, broadcast_deltas
+        )
     )
 
 

@@ -786,6 +786,60 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_join_increment",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+       OR l.l_shipdate >= DATE '1996-01-01'
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def incremental_join_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPEND shape of the maintained join view (round 9,
+    operators.relational.delta_join_increment): exactly the join rows
+    with a new contributor on either side —
+    ΔM = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB) — which a deployment appends to
+    the stored view instead of rewriting it, making BOTH compute and
+    OUTPUT ∝ |delta| (the refresh twin re-emits the whole view; this
+    is what actually moves at 100 TB — tools/ivm_probe.py measures it
+    flat at ~1s while full recompute grows with |A ⋈ B|). The ORACLE
+    derives the same set independently as 'full join WHERE either
+    side's row is new' — so the hash match certifies the delta algebra
+    covers every new-contributor row exactly once (a double-folded
+    cross-delta term or a missed A_old ⋈ ΔB row breaks it)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    b = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        "l_shipdate",
+    )
+    cut_a = F.lit("1997-01-01").cast("date")
+    cut_b = F.lit("1996-01-01").cast("date")
+    inc = relational.delta_join_increment(
+        a.filter(F.col("o_orderdate") < cut_a),
+        a.filter(F.col("o_orderdate") >= cut_a),
+        b.filter(F.col("l_shipdate") < cut_b),
+        b.filter(F.col("l_shipdate") >= cut_b),
+        on=["o_orderkey"],
+    )
+    return inc.select(
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+    ).orderBy("o_orderkey", "l_linenumber")
+
+
+@query(
     "sql_pipe_syntax",
     oracle="""
     SELECT o_orderstatus,

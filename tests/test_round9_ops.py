@@ -286,3 +286,51 @@ def test_delta_join_refresh_bag_semantics_and_empty_deltas(spark):
         broadcast_deltas=False,
     )
     assert bag(plain) == bag(full)
+
+
+def test_delta_join_increment_is_exactly_the_new_rows(spark):
+    """delta_join_increment == full recompute MINUS the old view under
+    bag semantics (the append contract): every new-contributor row
+    exactly once, no old-view row re-emitted."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (1, "a1"), (2, "a2")], "k long, av string"
+    )
+    delta_a = spark.createDataFrame(
+        [(2, "a2"), (3, "a3")], "k long, av string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2")], "k long, bv string"
+    )
+    delta_b = spark.createDataFrame(
+        [(1, "b1x"), (3, "b3"), (3, "b3")], "k long, bv string"
+    )
+
+    def bag(df):
+        out: dict = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    inc = bag(
+        relational.delta_join_increment(
+            a_old, delta_a, b_old, delta_b, on=["k"]
+        )
+    )
+    full = bag(
+        a_old.unionByName(delta_a).join(b_old.unionByName(delta_b), ["k"])
+    )
+    view = bag(a_old.join(b_old, ["k"]))
+    want = {
+        key: n - view.get(key, 0)
+        for key, n in full.items()
+        if n - view.get(key, 0) > 0
+    }
+    assert inc == want
+    # and view ⊎ increment == full (the refresh identity)
+    merged = dict(view)
+    for key, n in inc.items():
+        merged[key] = merged.get(key, 0) + n
+    assert merged == full

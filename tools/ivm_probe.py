@@ -1,0 +1,160 @@
+"""IVM separation probe (round 9): with a PERSISTED materialized join
+view, how do `relational.delta_join_increment` (the append shape) and
+`delta_join_refresh` (the re-emit shape) compare to full recompute as
+the HISTORICAL base grows and the delta stays one day's arrivals?
+
+Deployment model: the old partitions of orders/lineitem are replicated
+N× with a key stride (history grows; each replica joins within
+itself), while the deltas stay the sf0.1 tail (~3.9k orders / ~15.6k
+lineitems — new arrivals reference recent orders, so their match set
+does NOT grow with history, exactly like production). The view is
+written to parquet once; refresh reads it.
+
+Shapes timed (min-of-2, noop sink, identical row bags where comparable):
+- increment (broadcast deltas): ΔM only — output ∝ |Δ|
+- increment (no hint): same rows, AQE picks the joins
+- refresh: view-scan ∪ ΔM — re-emits the whole view
+- recompute: (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB) from scratch
+
+Usage: python tools/ivm_probe.py [--factor 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CUT_A = "2001-06-01"  # orders delta ≈ 2.6% of sf0.1 (one 'day's' arrivals)
+CUT_B = "2001-09-01"  # lineitem delta ≈ 2.6% of sf0.1
+KEY_STRIDE = 1_000_000_000
+
+
+def split_sides(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    a = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    b = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_shipdate",
+    )
+    cut_a = F.lit(CUT_A).cast("date")
+    cut_b = F.lit(CUT_B).cast("date")
+    return (
+        a.filter(F.col("o_orderdate") < cut_a),
+        a.filter(F.col("o_orderdate") >= cut_a),
+        b.filter(F.col("l_shipdate") < cut_b),
+        b.filter(F.col("l_shipdate") >= cut_b),
+    )
+
+
+def replicate(df, factor: int, path: str, spark):
+    from pyspark.sql import functions as F
+
+    if factor > 1:
+        df = df.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        ).withColumn(
+            "o_orderkey",
+            F.col("o_orderkey").cast("bigint")
+            + F.col("_r").cast("bigint") * F.lit(KEY_STRIDE),
+        ).drop("_r")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def probe(spark, sf_dir: str, factor: int, work: str) -> dict:
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
+    # history grows factor x (stride keeps replicas self-joining);
+    # deltas stay one day's arrivals matching recent (replica-0) keys
+    a_old = replicate(a_old, factor, f"{work}/a_old.parquet", spark)
+    b_old = replicate(b_old, factor, f"{work}/b_old.parquet", spark)
+
+    view_path = f"{work}/view.parquet"
+    t0 = time.time()
+    a_old.join(b_old, ["o_orderkey"]).write.mode("overwrite").parquet(
+        view_path
+    )
+    t_mat = round(time.time() - t0, 2)
+    view = spark.read.parquet(view_path)
+
+    def timed(df) -> float:
+        best = None
+        for _ in range(2):  # min-of-2: steady-state plan cost
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 2)
+
+    inc_bcast = timed(
+        relational.delta_join_increment(
+            a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        )
+    )
+    inc_aqe = timed(
+        relational.delta_join_increment(
+            a_old, delta_a, b_old, delta_b, on=["o_orderkey"],
+            broadcast_deltas=False,
+        )
+    )
+    t_refresh = timed(
+        relational.delta_join_refresh(
+            view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        )
+    )
+    t_recompute = timed(
+        a_old.unionByName(delta_a).join(
+            b_old.unionByName(delta_b), ["o_orderkey"]
+        )
+    )
+    return {
+        "a_old_rows": a_old.count(),
+        "delta_a_rows": delta_a.count(),
+        "b_old_rows": b_old.count(),
+        "delta_b_rows": delta_b.count(),
+        "materialize_view_s": t_mat,
+        "increment_broadcast_s": inc_bcast,
+        "increment_aqe_s": inc_aqe,
+        "refresh_s": t_refresh,
+        "recompute_s": t_recompute,
+        "recompute_over_increment": (
+            round(t_recompute / min(inc_bcast, inc_aqe), 2)
+        ),
+        "recompute_over_refresh": round(t_recompute / t_refresh, 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from big_data_project_implementation_spark import get_session
+
+    spark = get_session("ivm-probe")
+    work = "/tmp/ivmprobe_work"
+    os.makedirs(work, exist_ok=True)
+    report = {
+        "factor": args.factor,
+        "base": probe(spark, args.src, 1, f"{work}/base"),
+        "scaled": probe(spark, args.src, args.factor, f"{work}/scaled"),
+    }
+    print(json.dumps(report, indent=2))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
