@@ -512,6 +512,47 @@ def delta_join_increment(
     )
 
 
+def delta_join_retract(
+    view: DataFrame,
+    a_new: DataFrame,
+    retract_a: DataFrame,
+    b_new: DataFrame,
+    retract_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Apply DELETIONS to a materialized INNER equi-join view
+    (round 9) — the retraction half of the IVM algebra. Given the
+    current ``view = A ⋈ B``, the post-delete sides ``a_new = A ∖ Δ⁻A``
+    / ``b_new = B ∖ Δ⁻B`` and the deleted rows, the maintained view is
+
+        M' = M ∖ (Δ⁻A ⋈ B) ∖ (A ∖ Δ⁻A ⋈ Δ⁻B)
+           = M exceptAll (Δ⁻A ⋈ b_new) exceptAll (Δ⁻A ⋈ Δ⁻B)
+             exceptAll (a_new ⋈ Δ⁻B)
+
+    computed here as one ``exceptAll`` against the union of the three
+    retraction terms — bag semantics throughout, so a row that
+    appeared k times and lost j contributing pairs keeps exactly
+    k − j copies (the registry row's oracle recomputes
+    (A ∖ Δ⁻A) ⋈ (B ∖ Δ⁻B) from scratch; the hash match is the audit).
+
+    Scale shape: the retraction terms are ∝ |Δ⁻| · match-rate with
+    broadcast deltas (same guidance as :func:`delta_join_increment` —
+    broadcast only arrival-sized deltas); ``exceptAll`` shuffles the
+    view once on all columns, which is the honest cost of bag-exact
+    deletion without a keyed store — a deployment that keys the view
+    by a rowid deletes by anti-join on the id instead (cheaper, same
+    algebra; this operator is the keyless general case)."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    gone = (
+        maybe_b(retract_a)
+        .join(b_new, on)
+        .unionByName(maybe_b(retract_a).join(maybe_b(retract_b), on))
+        .unionByName(a_new.join(maybe_b(retract_b), on))
+    )
+    return view.exceptAll(gone)
+
+
 def delta_join_refresh(
     view: DataFrame,
     a_old: DataFrame,

@@ -840,6 +840,60 @@ def incremental_join_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_join_retract",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 13 <> 0
+      AND (l.l_orderkey + l.l_linenumber) % 11 <> 0
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def incremental_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION maintenance of the join view (round 9,
+    operators.relational.delta_join_retract) — the retraction half of
+    the IVM algebra, the GDPR-purge / revoked-source shape: rows are
+    deleted from BOTH sides (every 13th order; every 11th lineitem)
+    and the maintained view drops exactly the join rows that lost a
+    contributor — M exceptAll [(Δ⁻A ⋈ b_new) ∪ (Δ⁻A ⋈ Δ⁻B) ∪
+    (a_new ⋈ Δ⁻B)], three disjoint exhaustive terms under bag
+    semantics. The ORACLE recomputes the post-delete join from
+    scratch, so the hash match is the deletion-audit: a pair removed
+    twice (overlapping terms), a survivor dropped, or a deleted-both-
+    sides pair kept all break it."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    del_a = F.col("o_orderkey") % 13 == 0
+    del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
+    view = a.join(b, ["o_orderkey"])
+    kept = relational.delta_join_retract(
+        view,
+        a.filter(~del_a),
+        a.filter(del_a),
+        b.filter(~del_b),
+        b.filter(del_b),
+        on=["o_orderkey"],
+    )
+    return kept.select(
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+    ).orderBy("o_orderkey", "l_linenumber")
+
+
+@query(
     "sql_pipe_syntax",
     oracle="""
     SELECT o_orderstatus,

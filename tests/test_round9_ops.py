@@ -334,3 +334,122 @@ def test_delta_join_increment_is_exactly_the_new_rows(spark):
     for key, n in inc.items():
         merged[key] = merged.get(key, 0) + n
     assert merged == full
+
+
+def test_delta_join_retract_bag_semantics(spark):
+    """delta_join_retract == post-delete recompute under BAG
+    semantics: duplicates, a row deleted on BOTH sides (must be
+    removed once, not twice), and empty retractions."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (1, "a1"), (2, "a2"), (3, "a3")], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2"), (3, "b3")], "k long, bv string"
+    )
+    # delete one copy of (1, a1) and one copy of (2, b2); key 3 deleted
+    # on BOTH sides -> its pair must vanish exactly once
+    ra = spark.createDataFrame([(1, "a1"), (3, "a3")], "k long, av string")
+    rb = spark.createDataFrame([(2, "b2"), (3, "b3")], "k long, bv string")
+    a_new = a.exceptAll(ra)
+    b_new = b.exceptAll(rb)
+
+    def bag(df):
+        out: dict = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    view = a.join(b, ["k"])
+    kept = relational.delta_join_retract(
+        view, a_new, ra, b_new, rb, on=["k"]
+    )
+    assert bag(kept) == bag(a_new.join(b_new, ["k"]))
+    # (1, a1, b1) had 2 copies, one contributor deleted -> 1 remains
+    assert bag(kept)[(1, "a1", "b1")] == 1
+    assert (3, "a3", "b3") not in bag(kept)
+    # empty retractions: view unchanged
+    none_a = ra.filter(F.lit(False))
+    none_b = rb.filter(F.lit(False))
+    same = relational.delta_join_retract(
+        view, a, none_a, b, none_b, on=["k"]
+    )
+    assert bag(same) == bag(view)
+
+
+def test_ivm_join_algebra_property(spark):
+    """Property test over the full IVM join algebra: for random bags
+    with duplicate keys and duplicate rows, random append deltas and
+    random sub-bag deletions — increment == full − view,
+    refresh == recompute, retract == post-delete recompute. Driven by
+    hypothesis over compact integer encodings (one Spark plan per
+    example is slow, so examples are few but adversarial: heavy key
+    collision by construction)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from big_data_project_implementation_spark.operators import relational
+
+    row = st.tuples(st.integers(0, 3), st.integers(0, 2))  # (key, value)
+    bags = st.tuples(
+        st.lists(row, min_size=0, max_size=6),  # a_old
+        st.lists(row, min_size=0, max_size=4),  # delta_a
+        st.lists(row, min_size=0, max_size=6),  # b_old
+        st.lists(row, min_size=0, max_size=4),  # delta_b
+    )
+
+    def bag(df):
+        out: dict = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    def mk(rows, col):
+        return spark.createDataFrame(
+            [(k, f"{col}{v}") for k, v in rows] or [(None, None)],
+            f"k long, {col}v string",
+        ).filter(F.col("k").isNotNull())
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(bags)
+    def check(data):
+        ra, da, rb, db = data
+        a_old, delta_a = mk(ra, "a"), mk(da, "a")
+        b_old, delta_b = mk(rb, "b"), mk(db, "b")
+        view = a_old.join(b_old, ["k"])
+        full = a_old.unionByName(delta_a).join(
+            b_old.unionByName(delta_b), ["k"]
+        )
+        fb, vb = bag(full), bag(view)
+        # refresh == recompute
+        assert bag(
+            relational.delta_join_refresh(
+                view, a_old, delta_a, b_old, delta_b, on=["k"]
+            )
+        ) == fb
+        # increment == full − view
+        want_inc = {
+            key: n - vb.get(key, 0)
+            for key, n in fb.items()
+            if n - vb.get(key, 0) > 0
+        }
+        assert bag(
+            relational.delta_join_increment(
+                a_old, delta_a, b_old, delta_b, on=["k"]
+            )
+        ) == want_inc
+        # retract: delete the deltas back OUT of the full view
+        assert bag(
+            relational.delta_join_retract(
+                full, a_old, delta_a, b_old, delta_b, on=["k"]
+            )
+        ) == vb
+
+    check()
