@@ -125,6 +125,16 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the lineitem table (file source) — arriving
+    FACT rows for the streaming join-view maintenance query; same
+    symlinked-dir plumbing as documents_stream."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    return spark.readStream.schema(raw_schema).parquet(
+        _stream_table_dir(sf_dir, "lineitem")
+    )
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,

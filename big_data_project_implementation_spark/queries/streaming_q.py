@@ -1502,3 +1502,112 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min").alias("min_micro"),
         F.col("max").alias("max_micro"),
     ).orderBy("event_type")
+
+
+def _stream_join_machinery(spark: SparkSession, sf_dir: str, out_dir: str):
+    """(stream builder, foreachBatch gate) for the streaming join-view
+    maintenance query — shared by the registry row and the restart
+    pytest. The static side (orders) is read and projected once; each
+    micro-batch of arriving lineitems appends exactly its increment
+    ΔM = A ⋈ ΔB via `relational.delta_join_increment` (ΔA empty — the
+    one-sided stream case of the same algebra the batch rows certify)
+    into a ``batch_id=N`` partition, so a replayed batch overwrites
+    its own rows and the sink stays exactly-once."""
+    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.queries.registry import (
+        lineitem_stream,
+    )
+
+    def project_b(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus")
+        .localCheckpoint(eager=True)
+    )
+    empty_a = orders.filter(F.lit(False))
+
+    def build(s: SparkSession) -> DataFrame:
+        return lineitem_stream(s, sf_dir)
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        delta_b = project_b(batch)
+        inc = relational.delta_join_increment(
+            orders,
+            empty_a,
+            delta_b.filter(F.lit(False)),
+            delta_b,
+            on=["o_orderkey"],
+        )
+        (
+            inc.select(
+                "o_orderkey",
+                "l_linenumber",
+                "o_orderstatus",
+                "qty",
+                "price_cents",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    return build, gate
+
+
+@query(
+    "stream_incremental_join",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def stream_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained JOIN view (round 9): the STREAMING form
+    of `incremental_join_refresh`, completing the IVM symmetry the agg
+    family already has (`incremental_agg_refresh` ↔
+    `stream_incremental_agg`). Arriving lineitems join the static
+    orders dimension per micro-batch through
+    `relational.delta_join_increment` (the one-sided ΔB case) and each
+    batch APPENDS exactly its increment — output ∝ arrivals, the view
+    is never rewritten, and the stored table is plain parquet readable
+    by any engine mid-stream. Exactly-once: a replayed batch
+    overwrites its own ``batch_id=N`` partition (restart pytest). The
+    oracle recomputes the full join, so the hash match is the
+    maintained-view-equals-truth audit over the whole chain of
+    appends."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_join_")
+    ckpt = tempfile.mkdtemp(prefix="stream_join_ckpt_")
+    build, gate = _stream_join_machinery(spark, sf_dir, out_dir)
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        build(sub)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(f"{out_dir}/batch_id=*")
+        .select(
+            "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+        )
+        .orderBy("o_orderkey", "l_linenumber")
+    )

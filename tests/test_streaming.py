@@ -946,3 +946,85 @@ def test_incremental_agg_state_chain_replay_idempotent(spark):
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_incremental_join_restart_appends_nothing(spark):
+    """The streaming join-view maintenance (round 9) survives a
+    checkpointed restart without duplicate appends: run 2 from the
+    same checkpoint replays no batch (offset log) and a hypothetical
+    replay would overwrite its own batch_id partition — the view is
+    byte-identical after the second run."""
+    from big_data_project_implementation_spark.queries.streaming_q import (
+        _stream_join_machinery,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="sj_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="sj_restart_ckpt_")
+    build, gate = _stream_join_machinery(spark, SF_DIR, out_dir)
+
+    def run_once():
+        sub = spark.newSession()
+        sub.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            build(sub)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_once()
+        cols = [
+            "o_orderkey",
+            "l_linenumber",
+            "o_orderstatus",
+            "qty",
+            "price_cents",
+        ]
+        view = (
+            spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch_id=*")
+            .select(*cols)
+        )
+        first = sorted(tuple(r) for r in view.collect())
+        assert first, "no rows appended"
+        # increment == the full join (every lineitem arrived once)
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .selectExpr("o_orderkey", "o_orderstatus")
+            .join(
+                spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+                    "l_orderkey AS o_orderkey",
+                    "l_linenumber",
+                    "CAST(l_quantity AS BIGINT) AS qty",
+                    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                    " AS price_cents",
+                ),
+                ["o_orderkey"],
+            )
+            .select(
+                "o_orderkey",
+                "l_linenumber",
+                "o_orderstatus",
+                "qty",
+                "price_cents",
+            )
+            .collect()
+        )
+        assert first == want
+        run_once()  # restart: offset log replays nothing
+        second = sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch_id=*")
+            .select(*cols)
+            .collect()
+        )
+        assert second == first, "restart duplicated or altered the view"
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
