@@ -601,3 +601,80 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
             F.max("max").cast("bigint").alias("max"),
         )
     )
+
+
+def retract_agg_state(
+    state: DataFrame,
+    deleted: DataFrame,
+    base_remaining: DataFrame,
+    keys: list[str],
+    value: Column | str,
+) -> DataFrame:
+    """Apply DELETIONS to a mergeable aggregate state (round 9) — the
+    retraction half of the aggregate IVM story, with the classic
+    min/max repair: ``n`` and ``sum`` are groups under subtraction, so
+    they retract by arithmetic alone (state minus
+    ``mergeable_agg_state(deleted)``), but ``min``/``max`` are only
+    semilattices — deleting a non-extreme value leaves them intact,
+    while deleting the CURRENT extreme forces a per-key recount.
+
+    The repair is surgical: only keys whose deleted-min equals the
+    state min (or deleted-max equals the state max) rescan
+    ``base_remaining`` — a semi-join–pruned pass over the post-delete
+    rows of just the affected keys, never the whole base (at 100 TB
+    with key-partitioned or clustered storage that scan prunes to the
+    affected partitions; the registry row's oracle recomputes from the
+    full post-delete table, so the hash match certifies both the
+    arithmetic path and the repair path). Keys whose every row was
+    deleted (n reaches 0) drop out of the state, matching a
+    recomputed GROUP BY. ``deleted`` must be a sub-bag of the original
+    base; ``base_remaining`` is the base minus ``deleted``."""
+    d = mergeable_agg_state(deleted, keys, value)
+    j = state.alias("s").join(
+        d.select(
+            *keys,
+            F.col("n").alias("_dn"),
+            F.col("sum").alias("_dsum"),
+            F.col("min").alias("_dmin"),
+            F.col("max").alias("_dmax"),
+        ),
+        keys,
+        "left",
+    )
+    adjusted = j.select(
+        *keys,
+        (F.col("n") - F.coalesce(F.col("_dn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (F.col("sum") - F.coalesce(F.col("_dsum"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum"),
+        F.col("min"),
+        F.col("max"),
+        # repair needed iff the deleted extreme TOUCHES the state
+        # extreme (a deleted value can never be outside [min, max] of
+        # a consistent state/deleted pair)
+        (
+            F.col("_dmin").isNotNull()
+            & (
+                (F.col("_dmin") <= F.col("min"))
+                | (F.col("_dmax") >= F.col("max"))
+            )
+        ).alias("_repair"),
+    ).filter(F.col("n") > 0)
+    clean = adjusted.filter(~F.col("_repair")).drop("_repair")
+    broken_keys = adjusted.filter(F.col("_repair")).select(*keys, "n", "sum")
+    # per-key recount of min/max ONLY for the touched keys, over the
+    # post-delete base pruned by a semi-join on those keys
+    v = F.col(value) if isinstance(value, str) else value
+    repaired = (
+        base_remaining.join(F.broadcast(broken_keys.select(*keys)), keys, "semi")
+        .groupBy(*keys)
+        .agg(
+            F.min(v).cast("bigint").alias("min"),
+            F.max(v).cast("bigint").alias("max"),
+        )
+        .join(broken_keys, keys)
+        .select(*keys, "n", "sum", "min", "max")
+    )
+    return clean.unionByName(repaired)

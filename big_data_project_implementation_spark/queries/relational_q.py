@@ -840,6 +840,58 @@ def incremental_join_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_agg_retract",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS total_cents,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents
+    FROM (SELECT o_orderstatus, o_orderpriority,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders WHERE o_orderkey % 13 <> 0)
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION maintenance of the aggregate view (round 9,
+    operators.relational.retract_agg_state) — the retraction half of
+    the aggregate IVM story, with the classic min/max repair: n and
+    sum retract by pure arithmetic (state minus the deleted rows'
+    state), while min/max — semilattices, not groups — recount ONLY
+    for the keys whose deleted extreme touched the state extreme,
+    via a semi-join-pruned pass over the post-delete rows of just
+    those keys (never the whole base). Every 13th order is purged
+    (the GDPR shape); with ~15 groups and exact integer cents, some
+    groups take the arithmetic path and some the repair path, and the
+    ORACLE recomputes from the post-delete table so the hash match
+    certifies BOTH. Keys fully deleted drop out, matching a
+    recomputed GROUP BY."""
+    from big_data_project_implementation_spark.operators import relational
+
+    orders = t(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    purged = F.col("o_orderkey") % 13 == 0
+    state = relational.mergeable_agg_state(orders, keys, cents)
+    out = relational.retract_agg_state(
+        state,
+        orders.filter(purged),
+        orders.filter(~purged),
+        keys,
+        cents,
+    )
+    return out.select(
+        *keys,
+        "n",
+        F.col("sum").alias("total_cents"),
+        F.col("min").alias("min_cents"),
+        F.col("max").alias("max_cents"),
+    ).orderBy(*keys)
+
+
+@query(
     "incremental_join_retract",
     oracle="""
     SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,

@@ -453,3 +453,50 @@ def test_ivm_join_algebra_property(spark):
         ) == vb
 
     check()
+
+
+def test_retract_agg_state_repairs_only_touched_extremes(spark):
+    """retract_agg_state: n/sum retract by arithmetic everywhere;
+    min/max recount ONLY where the deleted extreme touched the state
+    extreme. Hand case with one key per branch: untouched-extremes
+    (arithmetic only), deleted-min (repair), deleted-max (repair),
+    fully-deleted key (drops out), untouched key (passes through)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    rows = [
+        # key 'arith': delete a MIDDLE value -> min/max survive as-is
+        ("arith", 1), ("arith", 5), ("arith", 9),
+        # key 'remin': delete the MIN -> repair must rescan
+        ("remin", 2), ("remin", 6), ("remin", 8),
+        # key 'remax': delete the MAX -> repair must rescan
+        ("remax", 3), ("remax", 4), ("remax", 7),
+        # key 'gone': every row deleted -> key drops out
+        ("gone", 10), ("gone", 11),
+        # key 'keep': nothing deleted -> passes through
+        ("keep", 42),
+    ]
+    deleted_rows = [
+        ("arith", 5), ("remin", 2), ("remax", 7), ("gone", 10), ("gone", 11),
+    ]
+    base = spark.createDataFrame(rows, "k string, v long")
+    deleted = spark.createDataFrame(deleted_rows, "k string, v long")
+    remaining = base.exceptAll(deleted)
+    state = relational.mergeable_agg_state(base, ["k"], "v")
+    got = {
+        r.k: (r.n, r.sum, r.min, r.max)
+        for r in relational.retract_agg_state(
+            state, deleted, remaining, ["k"], "v"
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.sum, r.min, r.max)
+        for r in relational.mergeable_agg_state(
+            remaining, ["k"], "v"
+        ).collect()
+    }
+    assert got == want
+    assert "gone" not in got
+    assert got["arith"] == (2, 10, 1, 9)
+    assert got["remin"] == (2, 14, 6, 8)
+    assert got["remax"] == (2, 7, 3, 4)
+    assert got["keep"] == (1, 42, 42, 42)
