@@ -457,3 +457,94 @@ def markov_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def ab_welch_t2(
+    df: DataFrame,
+    variant: Column,
+    metric: Column,
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """Two-variant A/B analysis on a per-unit metric (round 9): Welch's
+    t² between variant 0 and variant 1 of ``variant`` (an assignment
+    expression — production assigns via ``text.hash_split``'s md5
+    buckets), with the per-unit metric aggregated first so heavy users
+    can't masquerade as many independent samples (the classic A/B
+    pitfall; the unit of randomization is the unit of analysis).
+
+    Exact-integer discipline (the kappa/AUC/regression house style):
+    per-variant (n, S1=Σx, S2=Σx²) are exact bigints, and
+
+        t² = (S1a·nb − S1b·na)² · (na−1)(nb−1)
+             ────────────────────────────────────────────────────────
+             (na·S2a − S1a²)·nb²(nb−1) + (nb·S2b − S1b²)·na²(na−1)
+
+    is that statistic as ONE exact rational (the (na·nb)² factors of
+    the mean-difference and variance terms cancel), carried in
+    decimal(38,0) and floor-divided to ``t2_q6`` — bit-identical on
+    any engine, which is what lets the DuckDB oracle certify the whole
+    analysis. Welch (unequal variances), not pooled Student: variant
+    populations in real experiments rarely share variance. The df
+    (Welch–Satterthwaite) is a second rational left to the caller —
+    at these n (hundreds+) t² > 3.84 ≈ p < .05 is the usual read.
+
+    Scale shape: one per-unit groupBy (map-side combined), one 2-row
+    variant rollup, then a 1-row broadcast cross — no corpus-sized
+    shuffle beyond the unit aggregation. Degenerate inputs fail
+    loudly: a variant with n < 2 or zero within-variant variance in
+    BOTH arms makes t² undefined (assert_true, the classifier_auc
+    convention)."""
+    per_unit = (
+        df.select(
+            variant.cast("int").alias("variant"),
+            F.col(unit_col).alias("unit"),
+            metric.cast("bigint").alias("x"),
+        )
+        .groupBy("variant", "unit")
+        .agg(F.sum("x").cast("bigint").alias("x"))
+    )
+    stats = per_unit.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    a = stats.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("sum_a"),
+        F.col("s2").alias("_s2a"),
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("sum_b"),
+        F.col("s2").alias("_s2b"),
+    )
+    row = a.crossJoin(F.broadcast(b))
+    d38 = "decimal(38,0)"
+    expr = (
+        f"CAST((CAST(sum_a AS {d38}) * n_b - CAST(sum_b AS {d38}) * n_a) *"
+        f" (CAST(sum_a AS {d38}) * n_b - CAST(sum_b AS {d38}) * n_a) *"
+        " (n_a - 1) * (n_b - 1) AS DECIMAL(38,0))"
+    )
+    den = (
+        f"CAST((CAST(n_a AS {d38}) * _s2a - CAST(sum_a AS {d38}) * sum_a) *"
+        " n_b * n_b * (n_b - 1) +"
+        f" (CAST(n_b AS {d38}) * _s2b - CAST(sum_b AS {d38}) * sum_b) *"
+        " n_a * n_a * (n_a - 1) AS DECIMAL(38,0))"
+    )
+    ok = F.expr(f"n_a >= 2 AND n_b >= 2 AND {den} > 0")
+    err = F.lit(
+        "ab_welch_t2 undefined: each variant needs n >= 2 and the "
+        "variance term must be positive"
+    )
+    return row.select(
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        (F.expr("sum_a * 1000000 div n_a") / 1e6).alias("mean_a_q6"),
+        (F.expr("sum_b * 1000000 div n_b") / 1e6).alias("mean_b_q6"),
+        F.when(
+            F.assert_true(ok, err).isNull(),
+            F.expr(f"CAST({expr} * 1000000 DIV {den} AS DOUBLE)") / 1e6,
+        ).alias("t2_q6"),
+    )

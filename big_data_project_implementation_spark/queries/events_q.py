@@ -468,3 +468,57 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-division probabilities, so the matrix hash-matches."""
     e = t(spark, sf_dir, "events")
     return ev.markov_transitions(e)
+
+
+@query(
+    "events_ab_welch",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id % 2 AS variant, user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM per_user GROUP BY variant
+    ),
+    r AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.s1 AS sum_a, b.s1 AS sum_b,
+             a.s2 AS s2a, b.s2 AS s2b
+      FROM (SELECT * FROM s WHERE variant = 0) a,
+           (SELECT * FROM s WHERE variant = 1) b
+    )
+    SELECT n_a, n_b, sum_a, sum_b,
+           CAST(sum_a * 1000000 // n_a AS DOUBLE) / 1e6 AS mean_a_q6,
+           CAST(sum_b * 1000000 // n_b AS DOUBLE) / 1e6 AS mean_b_q6,
+           CAST(
+             (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
+             * (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
+             * (n_a - 1) * (n_b - 1) * 1000000
+             // ((CAST(n_a AS HUGEINT) * s2a - CAST(sum_a AS HUGEINT) * sum_a)
+                  * n_b * n_b * (n_b - 1)
+                + (CAST(n_b AS HUGEINT) * s2b - CAST(sum_b AS HUGEINT) * sum_b)
+                  * n_a * n_a * (n_a - 1))
+             AS DOUBLE) / 1e6 AS t2_q6
+    FROM r
+    """,
+)
+def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis (round 9, operators.events.ab_welch_t2):
+    Welch's t² between two assignment arms (user_id parity stands in
+    for the md5 assigner) on per-USER purchase counts — the unit of
+    randomization is the unit of analysis, so heavy users cannot
+    masquerade as many samples. The statistic is ONE exact integer
+    rational floor-divided to t2_q6 (the kappa/AUC exact-rational
+    discipline), so the DuckDB oracle replays the entire analysis —
+    assignment, per-unit aggregation, moment sums, and the Welch
+    algebra — and the hash match certifies it end to end. At these n,
+    t² > 3.84 reads as p < .05."""
+    e = t(spark, sf_dir, "events")
+    return ev.ab_welch_t2(
+        e,
+        variant=F.col("user_id") % 2,
+        metric=F.when(F.col("event_type") == "purchase", 1).otherwise(0),
+    )

@@ -500,3 +500,47 @@ def test_retract_agg_state_repairs_only_touched_extremes(spark):
     assert got["remin"] == (2, 14, 6, 8)
     assert got["remax"] == (2, 7, 3, 4)
     assert got["keep"] == (1, 42, 42, 42)
+
+
+def test_ab_welch_t2_matches_textbook_and_fails_loudly(spark):
+    """ab_welch_t2's exact rational equals the textbook Welch t²
+    recomputed in pure Python floats (to q6 floor precision), heavy
+    units collapse to one sample each, and degenerate inputs raise."""
+    from big_data_project_implementation_spark.operators import events as ev
+
+    rows = [
+        # (unit, variant, x)  — variant 0: [3,5,4,6]; variant 1: [7,8,6]
+        (1, 0, 3), (2, 0, 5), (3, 0, 4), (4, 0, 6),
+        (5, 1, 7), (6, 1, 8), (7, 1, 6),
+    ]
+    # a heavy unit: unit 1's metric arrives as three events summing to 3
+    df = spark.createDataFrame(
+        [(1, 0, 1), (1, 0, 1), (1, 0, 1)]
+        + [r for r in rows if r[0] != 1],
+        "u long, v int, x long",
+    )
+    out = ev.ab_welch_t2(
+        df, variant=F.col("v"), metric=F.col("x"), unit_col="u"
+    ).collect()[0]
+    assert out.n_a == 4 and out.n_b == 3
+    assert out.sum_a == 18 and out.sum_b == 21
+
+    def welch_t2(xs, ys):
+        import statistics as st
+
+        m1, m2 = st.mean(xs), st.mean(ys)
+        v1, v2 = st.variance(xs), st.variance(ys)
+        return (m1 - m2) ** 2 / (v1 / len(xs) + v2 / len(ys))
+
+    want = welch_t2([3, 5, 4, 6], [7, 8, 6])
+    assert abs(out.t2_q6 - want) < 1e-6 + 1e-9 * want
+    # one-unit variant: undefined, must raise (not NaN/NULL)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, 0, 3), (2, 0, 5), (3, 1, 7)], "u long, v int, x long"
+    )
+    with _pytest.raises(Exception, match="ab_welch_t2 undefined"):
+        ev.ab_welch_t2(
+            bad, variant=F.col("v"), metric=F.col("x"), unit_col="u"
+        ).collect()
