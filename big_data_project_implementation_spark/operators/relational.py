@@ -584,6 +584,210 @@ def delta_join_refresh(
     )
 
 
+def _null_extend(a_rows: DataFrame, view_cols: list[str], b_schema) -> DataFrame:
+    """A-side rows padded with typed NULLs for every B-side column, in
+    the view's column order — the null-extension rows of a LEFT OUTER
+    join view. ``b_schema`` supplies the types so the extension is
+    schema-exact (exceptAll/unionByName need positional type equality,
+    and set operations use null-safe comparison, so these rows cancel
+    bag-exactly against the view's own null-extended rows)."""
+    b_types = {f.name: f.dataType for f in b_schema.fields}
+    return a_rows.select(
+        *[
+            F.col(c) if c in a_rows.columns else F.lit(None).cast(b_types[c]).alias(c)
+            for c in view_cols
+        ]
+    )
+
+
+def _small_left_outer(
+    small_a: DataFrame, big_b: DataFrame, on: list[str], broadcast: bool
+) -> DataFrame:
+    """``small_a ⟕ big_b`` without shuffling the big side. Spark cannot
+    broadcast the LEFT side of a left-outer join (the hint is ignored
+    with a HintErrorLogger warning and both sides shuffle), so the
+    broadcast path decomposes: the matched half is an inner join with
+    the small side broadcast as the build side (supported), and the
+    null-extended half anti-joins the small side against its own
+    MATCHED KEYS — computed by semi-probing the big side with a
+    broadcast of the small side's keys, so the big side is scanned
+    once with broadcast probes and never shuffled. Bag-exact: each
+    small-side row lands in exactly one half."""
+    if not broadcast:
+        return small_a.join(big_b, on, "left")
+    matched = F.broadcast(small_a).join(big_b, on)
+    matched_keys = (
+        big_b.join(F.broadcast(small_a.select(*on).distinct()), on, "semi")
+        .select(*on)
+        .distinct()
+    )
+    unmatched = small_a.join(F.broadcast(matched_keys), on, "anti")
+    return matched.unionByName(
+        _null_extend(unmatched, matched.columns, big_b.schema)
+    )
+
+
+def delta_left_join_increment(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The (appends, retractions) pair that maintains a LEFT OUTER
+    equi-join view under arrivals (round 10) — the asymmetry the
+    round-9 inner-join algebra dodged (reference outer joins:
+    sql/core/src/main/scala/org/apache/spark/sql/execution/joins/
+    SortMergeOuterJoin.scala:34). Unlike the inner case, an arriving
+    ΔB row can FLIP an existing view row: an A_old row that was
+    null-extended (no match in B_old) and now matches ΔB must have its
+    null row retracted and its match rows appended. With
+    ``M = A_old ⟕ B_old`` materialized:
+
+        appends     = (ΔA ⟕ B_new) ∪ (A_old ⋈ ΔB)
+        retractions = null_extend(A_old ▷ B_old ⋉ ΔB)
+
+    (▷ = anti-join, ⋉ = semi-join, both on the join keys). The anti ∘
+    semi composition selects exactly the A_old rows whose null
+    extension dies — anti/semi preserve left multiplicities, so an
+    unmatched a-row present k times retracts exactly k null rows under
+    bag semantics. ΔA rows never retract anything (they were not in
+    the view) and ``ΔA ⟕ B_new`` settles their matched-or-null status
+    in one pass, folding the cross-delta ΔA ⋈ ΔB term in.
+
+    Scale shape mirrors :func:`delta_join_increment`: every term is
+    delta-driven — with ``broadcast_deltas`` (arrival-sized deltas,
+    the default) neither base side shuffles; the anti-semi retraction
+    probes A_old with a broadcast of ΔB's keys, then anti-probes B_old.
+    Pass ``broadcast_deltas=False`` for bulk backfills and let AQE
+    choose. The view itself is touched only by the caller's exceptAll
+    (see :func:`delta_left_join_refresh`)."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_new = b_old.unionByName(delta_b)
+    appends = _small_left_outer(
+        delta_a, b_new, on, broadcast_deltas
+    ).unionByName(a_old.join(maybe_b(delta_b), on))
+    view_cols = appends.columns
+    flipped = a_old.join(
+        maybe_b(delta_b.select(*on).distinct()), on, "semi"
+    ).join(b_old, on, "anti")
+    retractions = _null_extend(flipped, view_cols, delta_b.schema)
+    return appends, retractions
+
+
+def delta_left_join_refresh(
+    view: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally refresh a materialized LEFT OUTER equi-join view
+    (round 10): with (appends, retractions) from
+    :func:`delta_left_join_increment`,
+
+        M' = (M exceptAll retractions) ∪ appends
+
+    Bag-exact: refresh == full LEFT JOIN recompute row-for-row (the
+    registry row's oracle recomputes ``(A_old ∪ ΔA) ⟕ (B_old ∪ ΔB)``
+    from scratch; the hash match is the audit — a surviving stale null
+    row, a double-appended match, or a retracted row that should have
+    stayed all break it). ``exceptAll`` compares with null-safe
+    equality, so the typed-null extension rows cancel exactly.
+
+    Cost: the appends/retractions are ∝ |Δ| (see the increment's scale
+    notes); the exceptAll shuffles the view once — the honest cost of
+    keyless bag-exact retraction, same as :func:`delta_join_retract`.
+    A deployment that keys the view by (a_rowid, b_rowid) retracts the
+    null-flips by anti-join instead (:func:`delta_join_retract_keyed`
+    shows that shape on the deletion side)."""
+    appends, retractions = delta_left_join_increment(
+        a_old, delta_a, b_old, delta_b, on, broadcast_deltas
+    )
+    return view.exceptAll(retractions).unionByName(appends)
+
+
+def delta_left_join_retract(
+    view: DataFrame,
+    a_new: DataFrame,
+    retract_a: DataFrame,
+    b_new: DataFrame,
+    retract_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Apply DELETIONS to a materialized LEFT OUTER equi-join view
+    (round 10) — the reverse null-flip: deleting the LAST match of a
+    surviving A row doesn't remove that row from the view, it flips it
+    back to null-extended. With ``M = A ⟕ B``, ``a_new = A ∖ Δ⁻A``,
+    ``b_new = B ∖ Δ⁻B``:
+
+        gone  = (Δ⁻A ⟕ B) ∪ (a_new ⋈ Δ⁻B)
+        flips = null_extend(a_new ⋉ Δ⁻B ▷ b_new)
+        M'    = (M exceptAll gone) ∪ flips
+
+    ``Δ⁻A ⟕ B`` (B = b_new ∪ Δ⁻B) is every view row a deleted A row
+    owned — matched or null-extended; ``a_new ⋈ Δ⁻B`` is every match a
+    surviving A row lost. The flip set — survivors whose matches ALL
+    died — is semi(Δ⁻B) ∘ anti(b_new): had a deleted match, has no
+    surviving one; multiplicities of the a-row carry through, so k
+    copies flip to k null rows. The registry row's oracle recomputes
+    the post-delete LEFT JOIN from scratch; the hash match certifies
+    both directions of the flip (this one and the increment's) because
+    a kept-matched row, a lost survivor, or a missing re-null all
+    break it. Scale notes as :func:`delta_left_join_refresh`."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_all = b_new.unionByName(retract_b)
+    gone = _small_left_outer(
+        retract_a, b_all, on, broadcast_deltas
+    ).unionByName(a_new.join(maybe_b(retract_b), on))
+    flips = _null_extend(
+        a_new.join(maybe_b(retract_b.select(*on).distinct()), on, "semi").join(
+            b_new, on, "anti"
+        ),
+        gone.columns,
+        retract_b.schema,
+    )
+    return view.exceptAll(gone).unionByName(flips)
+
+
+def delta_join_retract_keyed(
+    view: DataFrame,
+    retract_a_ids: DataFrame,
+    retract_b_ids: DataFrame,
+    a_id: str,
+    b_id: str,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Apply DELETIONS to a materialized INNER equi-join view KEYED by
+    per-side row ids (round 10) — the cheap deployment shape the
+    keyless :func:`delta_join_retract` docstring names: when the view
+    carries each side's row id (``a_id``, ``b_id``), a join row dies
+    iff either contributor's id was deleted, so retraction is two
+    anti-joins on the ids —
+
+        M' = view ▷_{a_id} Δ⁻A_ids ▷_{b_id} Δ⁻B_ids
+
+    — no exceptAll, no view-sized all-column shuffle: with broadcast
+    id sets (deletions are arrival-sized) the view is scanned ONCE and
+    never shuffled, and a view bucketed/partitioned by either id
+    prunes that scan further. Bag-exact trivially (ids are unique per
+    base row, so anti-join removes exactly the dead rows). Same
+    algebra as the keyless form — tools/ivm_probe.py measures the
+    separation (the keyless exceptAll's 33.8× ratio at 100× history is
+    the price this shape avoids). ``broadcast_deltas=False`` for bulk
+    purges where the id sets rival the view."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    return (
+        view.join(maybe_b(retract_a_ids.select(a_id).distinct()), a_id, "anti")
+        .join(maybe_b(retract_b_ids.select(b_id).distinct()), b_id, "anti")
+        .select(*view.columns)
+    )
+
+
 def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     """Merge two mergeable states (same schema): the REFRESH step of
     an incrementally-maintained aggregate — cost ∝ |state| + |delta
@@ -609,6 +813,7 @@ def retract_agg_state(
     base_remaining: DataFrame,
     keys: list[str],
     value: Column | str,
+    broadcast_repair_keys: bool = True,
 ) -> DataFrame:
     """Apply DELETIONS to a mergeable aggregate state (round 9) — the
     retraction half of the aggregate IVM story, with the classic
@@ -628,7 +833,17 @@ def retract_agg_state(
     arithmetic path and the repair path). Keys whose every row was
     deleted (n reaches 0) drop out of the state, matching a
     recomputed GROUP BY. ``deleted`` must be a sub-bag of the original
-    base; ``base_remaining`` is the base minus ``deleted``."""
+    base; ``base_remaining`` is the base minus ``deleted``.
+
+    ``broadcast_repair_keys`` (default True) broadcast-hints the
+    repair key set for the semi-join prune — right for the normal
+    case where only a handful of keys lost their extreme. An
+    ADVERSARIAL deletion (purging a sentinel value that is the min of
+    EVERY key) makes the repair set ≈ the full key cardinality, and at
+    100 TB key counts a forced broadcast of that is a driver OOM —
+    pass False there and let AQE pick the semi-join (the same lesson
+    the join side measured: a base-sized 'delta' must not be
+    broadcast; SCALING.md round-9/round-10)."""
     d = mergeable_agg_state(deleted, keys, value)
     j = state.alias("s").join(
         d.select(
@@ -667,8 +882,9 @@ def retract_agg_state(
     # per-key recount of min/max ONLY for the touched keys, over the
     # post-delete base pruned by a semi-join on those keys
     v = F.col(value) if isinstance(value, str) else value
+    maybe_b = F.broadcast if broadcast_repair_keys else (lambda d: d)
     repaired = (
-        base_remaining.join(F.broadcast(broken_keys.select(*keys)), keys, "semi")
+        base_remaining.join(maybe_b(broken_keys.select(*keys)), keys, "semi")
         .groupBy(*keys)
         .agg(
             F.min(v).cast("bigint").alias("min"),

@@ -1043,3 +1043,245 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "floor": 95000.0},
     )
+
+
+def _lj_sides(spark: SparkSession, sf_dir: str):
+    """Shared orders/lineitem shaping for the LEFT-OUTER IVM rows: the
+    synthetic tables have ~1.7% of orders with NO lineitems at all, so
+    null-extension rows are real data, not a theoretical branch."""
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    b = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        "l_shipdate",
+    )
+    return a, b
+
+
+@query(
+    "incremental_left_join_refresh",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def incremental_left_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained LEFT OUTER join view (round 10,
+    operators.relational.delta_left_join_refresh) — the asymmetry the
+    round-9 inner-join algebra left open (reference
+    sql/core/.../execution/joins/SortMergeOuterJoin.scala:34): the
+    orders ⟕ lineitem view is materialized over the historical
+    partitions, then arrivals on BOTH sides fold in — and unlike the
+    inner case, an arriving lineitem can FLIP an order's null-extended
+    row into matches (2,484 orders flip at sf0.01). The maintained
+    view is M exceptAll null_extend(A_old ▷ B_old ⋉ ΔB) ∪
+    (ΔA ⟕ B_new) ∪ (A_old ⋈ ΔB); the ORACLE recomputes the full LEFT
+    JOIN from scratch, so the hash match is the refresh-equals-
+    recompute audit in the presence of the flip: a stale null row
+    kept, a flip retracted twice, or an order with no lineitems AT ALL
+    (~1.7% of the table — its null row must SURVIVE) all break it."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _lj_sides(spark, sf_dir)
+    cut_a = F.lit("1997-01-01").cast("date")
+    cut_b = F.lit("1996-01-01").cast("date")
+    a_old = a.filter(F.col("o_orderdate") < cut_a)
+    delta_a = a.filter(F.col("o_orderdate") >= cut_a)
+    b_old = b.filter(F.col("l_shipdate") < cut_b)
+    delta_b = b.filter(F.col("l_shipdate") >= cut_b)
+    view = a_old.join(b_old, ["o_orderkey"], "left")
+    refreshed = relational.delta_left_join_refresh(
+        view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    )
+    return refreshed.select(
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+    ).orderBy("o_orderkey", "l_linenumber")
+
+
+@query(
+    "incremental_left_join_increment",
+    oracle="""
+    WITH a_old AS (SELECT o_orderkey, o_orderstatus FROM orders
+                   WHERE o_orderdate < DATE '1997-01-01'),
+         delta_a AS (SELECT o_orderkey, o_orderstatus FROM orders
+                     WHERE o_orderdate >= DATE '1997-01-01'),
+         b_old AS (SELECT l_orderkey, l_linenumber,
+                          CAST(l_quantity AS BIGINT) AS qty,
+                          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            AS price_cents
+                   FROM lineitem WHERE l_shipdate < DATE '1996-01-01'),
+         delta_b AS (SELECT l_orderkey, l_linenumber,
+                            CAST(l_quantity AS BIGINT) AS qty,
+                            CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                              AS price_cents
+                     FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'),
+         b_new AS (SELECT * FROM b_old UNION ALL SELECT * FROM delta_b)
+    SELECT da.o_orderkey, b.l_linenumber, da.o_orderstatus,
+           b.qty, b.price_cents, FALSE AS is_retraction
+    FROM delta_a da LEFT JOIN b_new b ON da.o_orderkey = b.l_orderkey
+    UNION ALL
+    SELECT ao.o_orderkey, db.l_linenumber, ao.o_orderstatus,
+           db.qty, db.price_cents, FALSE AS is_retraction
+    FROM a_old ao JOIN delta_b db ON ao.o_orderkey = db.l_orderkey
+    UNION ALL
+    SELECT ao.o_orderkey, CAST(NULL AS INTEGER) AS l_linenumber,
+           ao.o_orderstatus, CAST(NULL AS BIGINT) AS qty,
+           CAST(NULL AS BIGINT) AS price_cents, TRUE AS is_retraction
+    FROM a_old ao
+    WHERE EXISTS (SELECT 1 FROM delta_b db
+                  WHERE db.l_orderkey = ao.o_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM b_old bo
+                      WHERE bo.l_orderkey = ao.o_orderkey)
+    ORDER BY o_orderkey, l_linenumber, is_retraction
+    """,
+)
+def incremental_left_join_increment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The (appends, retractions) DELTA PAIR of the maintained LEFT
+    OUTER view (round 10, operators.relational.delta_left_join_increment)
+    — what a deployment actually ships per refresh cycle: append rows
+    ∝ |Δ| plus the null-extension rows the arrivals KILL, flagged
+    ``is_retraction``. The ORACLE derives both halves independently —
+    appends as the two delta joins spelled out, retractions as the
+    correlated EXISTS/NOT-EXISTS ("had no historical lineitem, gained
+    one") — so the hash match certifies the anti∘semi flip selection
+    row-for-row and the appends exactly once each (a double-folded
+    cross-delta term, a missed flip, or a flip of an order that
+    already had matches all break it)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _lj_sides(spark, sf_dir)
+    cut_a = F.lit("1997-01-01").cast("date")
+    cut_b = F.lit("1996-01-01").cast("date")
+    appends, retractions = relational.delta_left_join_increment(
+        a.filter(F.col("o_orderdate") < cut_a),
+        a.filter(F.col("o_orderdate") >= cut_a),
+        b.filter(F.col("l_shipdate") < cut_b),
+        b.filter(F.col("l_shipdate") >= cut_b),
+        on=["o_orderkey"],
+    )
+    out_cols = [
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents",
+    ]
+    return (
+        appends.select(*out_cols)
+        .withColumn("is_retraction", F.lit(False))
+        .unionByName(
+            retractions.select(*out_cols).withColumn(
+                "is_retraction", F.lit(True)
+            )
+        )
+        .orderBy("o_orderkey", "l_linenumber", "is_retraction")
+    )
+
+
+@query(
+    "incremental_left_join_retract",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM (SELECT * FROM orders WHERE o_orderkey % 13 <> 0) o
+    LEFT JOIN (SELECT * FROM lineitem
+               WHERE (l_orderkey + l_linenumber) % 11 <> 0) l
+      ON o.o_orderkey = l.l_orderkey
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def incremental_left_join_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION maintenance of the LEFT OUTER join view (round 10,
+    operators.relational.delta_left_join_retract) — the REVERSE
+    null-flip: purging every 13th order removes its rows outright
+    (matched or null-extended), but purging every 11th lineitem can
+    delete a surviving order's LAST match, and then the view must
+    re-emit that order as a null-extended row, not drop it (361 such
+    rows at sf0.01). M' = M exceptAll [(Δ⁻A ⟕ B) ∪ (a_new ⋈ Δ⁻B)] ∪
+    null_extend(a_new ⋉ Δ⁻B ▷ b_new); the ORACLE recomputes the
+    post-delete LEFT JOIN from scratch, so the hash match certifies
+    the flip in this direction too — a survivor silently dropped, a
+    re-null missing, or a deleted order's null row kept all break
+    it."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _lj_sides(spark, sf_dir)
+    a = a.drop("o_orderdate")
+    b = b.drop("l_shipdate")
+    del_a = F.col("o_orderkey") % 13 == 0
+    del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
+    view = a.join(b, ["o_orderkey"], "left")
+    kept = relational.delta_left_join_retract(
+        view,
+        a.filter(~del_a),
+        a.filter(del_a),
+        b.filter(~del_b),
+        b.filter(del_b),
+        on=["o_orderkey"],
+    )
+    return kept.select(
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+    ).orderBy("o_orderkey", "l_linenumber")
+
+
+@query(
+    "incremental_join_retract_keyed",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 13 <> 0
+      AND (l.l_orderkey + l.l_linenumber) % 11 <> 0
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def incremental_join_retract_keyed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KEYED deletion maintenance of the join view (round 10,
+    operators.relational.delta_join_retract_keyed) — the cheap
+    deployment shape the keyless round-9 row's docstring promised:
+    the view carries each side's row id (o_orderkey; lineitem rowid =
+    l_orderkey·8 + l_linenumber, exact since l_linenumber ≤ 7), so the
+    same GDPR purge (every 13th order, every 11th lineitem) is TWO
+    ANTI-JOINS on broadcast id sets — the view is scanned once and
+    never shuffled, vs the keyless exceptAll's view-sized all-column
+    shuffle (tools/ivm_probe.py measures the separation at 100×
+    history). Same deletions, same ORACLE shape as
+    ``incremental_join_retract`` — the hash match certifies the keyed
+    algebra reaches the identical post-delete view."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _lj_sides(spark, sf_dir)
+    a = a.drop("o_orderdate")
+    b = b.drop("l_shipdate").withColumn(
+        "lid",
+        (F.col("o_orderkey") * 8 + F.col("l_linenumber")).cast("bigint"),
+    )
+    del_a = F.col("o_orderkey") % 13 == 0
+    del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
+    view = a.join(b, ["o_orderkey"])
+    kept = relational.delta_join_retract_keyed(
+        view,
+        a.filter(del_a).select("o_orderkey"),
+        b.filter(del_b).select("lid"),
+        a_id="o_orderkey",
+        b_id="lid",
+    )
+    return kept.select(
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+    ).orderBy("o_orderkey", "l_linenumber")
