@@ -484,16 +484,42 @@ def ab_welch_t2(
     decimal(38,0) and floor-divided to ``t2_q6`` — bit-identical on
     any engine, which is what lets the DuckDB oracle certify the whole
     analysis. Welch (unequal variances), not pooled Student: variant
-    populations in real experiments rarely share variance. The df
-    (Welch–Satterthwaite) is a second rational left to the caller —
-    at these n (hundreds+) t² > 3.84 ≈ p < .05 is the usual read.
+    populations in real experiments rarely share variance.
 
-    Scale shape: one per-unit groupBy (map-side combined), one 2-row
-    variant rollup, then a 1-row broadcast cross — no corpus-sized
-    shuffle beyond the unit aggregation. Degenerate inputs fail
-    loudly: a variant with n < 2 or zero within-variant variance in
-    BOTH arms makes t² undefined (assert_true, the classifier_auc
-    convention)."""
+    ``df_q6`` (round 10) completes the analysis with the
+    Welch–Satterthwaite degrees of freedom. With Qa = na·S2a − S1a²
+    and Ta = Qa·nb²(nb−1), Tb = Qb·na²(na−1) — the two terms already
+    summed in the t² denominator — the df collapses to
+
+        df = (Ta+Tb)² (na−1)(nb−1) / (Ta²(nb−1) + Tb²(na−1))
+
+    whose Ta² would overflow 38 digits at production magnitudes, so it
+    is computed through ONE fixed-point reduction by max(Ta,Tb):
+    u_q9 = ⌊min/max · 10⁹⌋, then df from (u_q9, na, nb) in exact
+    integer arithmetic with a two-step floor division (no 10⁶
+    blow-up). Every step is integer ops both engines replay
+    bit-identically (the integer-Lloyd convention); the only
+    approximation is u's 10⁻⁹ quantization — relative df error
+    < 2·10⁻⁹. One-sided variance (Tlo = 0) lands exactly on the
+    textbook limit df = n_hi − 1.
+
+    Magnitude envelope (the kappa/AUC convention): the t² numerator
+    (S1a·nb − S1b·na)²(na−1)(nb−1) must fit DECIMAL(38,0) — holds when
+    |S1a·nb − S1b·na|·√(na·nb) < 10¹⁹, e.g. micro-unit per-unit means
+    up to 10⁶ with arms up to ~3·10⁶ units. PAST the envelope the
+    result is never silently NULL: overflow NULLs are caught by the
+    assert and fail loudly. df_q6's reduced form has no practical
+    ceiling (exact to arms of ~10¹³ units).
+
+    Scale shape: one per-unit groupBy (map-side combined), then one
+    always-exactly-one-row conditional rollup — no corpus-sized
+    shuffle beyond the unit aggregation, and (round 10) no crossJoin:
+    a MISSING arm can no longer yield a silent empty result — the
+    rollup emits its single row regardless and the n_a/n_b guard
+    fails loudly (assert_true, the classifier_auc convention), as do
+    n < 2 or zero variance in both arms."""
+    arm_a = F.col("variant") == 0
+    arm_b = F.col("variant") == 1
     per_unit = (
         df.select(
             variant.cast("int").alias("variant"),
@@ -503,40 +529,80 @@ def ab_welch_t2(
         .groupBy("variant", "unit")
         .agg(F.sum("x").cast("bigint").alias("x"))
     )
-    stats = per_unit.groupBy("variant").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    xx = F.col("x") * F.col("x")
+    row = per_unit.groupBy().agg(
+        F.count(F.when(arm_a, True)).cast("bigint").alias("n_a"),
+        F.sum(F.when(arm_a, F.col("x"))).cast("bigint").alias("sum_a"),
+        F.sum(F.when(arm_a, xx)).cast("bigint").alias("_s2a"),
+        F.count(F.when(arm_b, True)).cast("bigint").alias("n_b"),
+        F.sum(F.when(arm_b, F.col("x"))).cast("bigint").alias("sum_b"),
+        F.sum(F.when(arm_b, xx)).cast("bigint").alias("_s2b"),
     )
-    a = stats.filter(F.col("variant") == 0).select(
-        F.col("n").alias("n_a"),
-        F.col("s1").alias("sum_a"),
-        F.col("s2").alias("_s2a"),
-    )
-    b = stats.filter(F.col("variant") == 1).select(
-        F.col("n").alias("n_b"),
-        F.col("s1").alias("sum_b"),
-        F.col("s2").alias("_s2b"),
-    )
-    row = a.crossJoin(F.broadcast(b))
     d38 = "decimal(38,0)"
-    expr = (
+    num = (
         f"CAST((CAST(sum_a AS {d38}) * n_b - CAST(sum_b AS {d38}) * n_a) *"
         f" (CAST(sum_a AS {d38}) * n_b - CAST(sum_b AS {d38}) * n_a) *"
         " (n_a - 1) * (n_b - 1) AS DECIMAL(38,0))"
     )
-    den = (
-        f"CAST((CAST(n_a AS {d38}) * _s2a - CAST(sum_a AS {d38}) * sum_a) *"
-        " n_b * n_b * (n_b - 1) +"
-        f" (CAST(n_b AS {d38}) * _s2b - CAST(sum_b AS {d38}) * sum_b) *"
-        " n_a * n_a * (n_a - 1) AS DECIMAL(38,0))"
+    w = row.select(
+        "*",
+        F.expr(num).alias("_num"),
+        F.expr(
+            f"CAST((CAST(n_a AS {d38}) * _s2a - CAST(sum_a AS {d38}) * sum_a)"
+            f" * n_b * n_b * (n_b - 1) AS {d38})"
+        ).alias("_ta"),
+        F.expr(
+            f"CAST((CAST(n_b AS {d38}) * _s2b - CAST(sum_b AS {d38}) * sum_b)"
+            f" * n_a * n_a * (n_a - 1) AS {d38})"
+        ).alias("_tb"),
+    ).select(
+        "*",
+        F.expr(f"CAST(_ta + _tb AS {d38})").alias("_den"),
+        F.expr("greatest(_ta, _tb)").alias("_thi"),
+        F.expr("least(_ta, _tb)").alias("_tlo"),
+        F.expr("CASE WHEN _ta >= _tb THEN n_b - 1 ELSE n_a - 1 END").alias(
+            "_whi"
+        ),
+        F.expr("CASE WHEN _ta >= _tb THEN n_a - 1 ELSE n_b - 1 END").alias(
+            "_wlo"
+        ),
+    ).select(
+        "*",
+        # u_q9 = floor(Tlo/Thi * 1e9); the huge-Thi branch (T >= 1e26)
+        # pre-shrinks BOTH terms by 2e19 so every div quotient fits a
+        # long (Spark's div returns bigint) and no product overflows
+        # 38 digits — both branches are pure integer ops an oracle
+        # replays exactly
+        F.expr(
+            "CASE WHEN _thi <= 0 THEN CAST(0 AS BIGINT)"
+            "     WHEN _thi < CAST(100000000000000000000000000 AS"
+            f"      {d38}) THEN CAST(_tlo * 1000000000 AS {d38}) div _thi"
+            "     ELSE CAST(_tlo div 20000000000000000000 AS"
+            f"      {d38}) * 1000000000 div"
+            "      (_thi div 20000000000000000000) END"
+        ).alias("_u"),
+    ).select(
+        "*",
+        F.expr(
+            f"CAST((CAST(1000000000 + _u AS {d38}) *"
+            f" (1000000000 + _u)) * (n_a - 1) * (n_b - 1) AS {d38})"
+        ).alias("_dfnum"),
+        F.expr(
+            f"CAST(CAST(_whi AS {d38}) * 1000000000000000000 +"
+            f" CAST(_u AS {d38}) * _u * _wlo AS {d38})"
+        ).alias("_dfden"),
     )
-    ok = F.expr(f"n_a >= 2 AND n_b >= 2 AND {den} > 0")
+    ok = F.expr(
+        "n_a >= 2 AND n_b >= 2 AND _num IS NOT NULL AND _den IS NOT NULL"
+        " AND _den > 0"
+    )
     err = F.lit(
-        "ab_welch_t2 undefined: each variant needs n >= 2 and the "
-        "variance term must be positive"
+        "ab_welch_t2 undefined: each variant needs n >= 2, the variance"
+        " term must be positive, and the exact numerator must fit"
+        " DECIMAL(38,0) (see the magnitude envelope in the docstring)"
     )
-    return row.select(
+    guarded = F.assert_true(ok, err).isNull()
+    return w.select(
         "n_a",
         "n_b",
         "sum_a",
@@ -544,7 +610,18 @@ def ab_welch_t2(
         (F.expr("sum_a * 1000000 div n_a") / 1e6).alias("mean_a_q6"),
         (F.expr("sum_b * 1000000 div n_b") / 1e6).alias("mean_b_q6"),
         F.when(
-            F.assert_true(ok, err).isNull(),
-            F.expr(f"CAST({expr} * 1000000 DIV {den} AS DOUBLE)") / 1e6,
+            guarded,
+            F.expr("CAST(_num * 1000000 DIV _den AS DOUBLE)") / 1e6,
         ).alias("t2_q6"),
+        # two-step floor: floor(1e6 N/D) = 1e6 floor(N/D) +
+        # floor(1e6 (N mod D) / D) — exact without the 1e6 blow-up
+        F.when(
+            guarded,
+            F.expr(
+                "CAST((_dfnum div _dfden) * 1000000 +"
+                " (CAST(_dfnum % _dfden AS DECIMAL(38,0)) * 1000000)"
+                " div _dfden AS DOUBLE)"
+            )
+            / 1e6,
+        ).alias("df_q6"),
     )

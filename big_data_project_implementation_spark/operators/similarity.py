@@ -1399,7 +1399,45 @@ def ivfpq_compact(spark, path: str, delta_path: str) -> None:
     frozen; when drift warrants retraining, that is a rebuild
     (:func:`build_ann_index`) under a NEW index path, versioned by the
     caller. When to compact is the caller's policy (segment count or
-    delta/base size ratio at deployment scale)."""
+    delta/base size ratio at deployment scale).
+
+    SINGLE WRITER (round 10, ADVICE r9): compaction is one-at-a-time
+    per index — two concurrent compactions would each GC the other's
+    freshly published version and last-write-wins on the pointer can
+    drop one delta merge. The invariant is ENFORCED, not assumed: an
+    O_EXCL lock file (``codes.compact.lock``) is claimed for the whole
+    publish+GC critical section and a second compactor fails loudly.
+    A crashed compactor leaves the lock behind by design (preferable
+    to a liveness heuristic silently breaking mutual exclusion); the
+    error message names the file so an operator can remove it after
+    confirming no compactor is running. Readers never lock — the
+    pointer swap keeps them lock-free."""
+    import os
+    import shutil
+    import uuid
+
+    from big_data_project_implementation_spark.sources import writers
+
+    lock = os.path.join(path, "codes.compact.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"ivfpq_compact: another compaction holds {lock} — this "
+            "index allows ONE compactor at a time (concurrent "
+            "compactions would GC each other's published versions). "
+            "If no compactor is running, a previous one crashed: "
+            "remove the lock file and re-run."
+        ) from None
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    try:
+        _ivfpq_compact_locked(spark, path, delta_path)
+    finally:
+        os.unlink(lock)
+
+
+def _ivfpq_compact_locked(spark, path: str, delta_path: str) -> None:
     import os
     import shutil
     import uuid

@@ -479,30 +479,59 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS x
       FROM events GROUP BY 1, 2
     ),
-    s AS (
-      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
-      FROM per_user GROUP BY variant
-    ),
     r AS (
-      SELECT a.n AS n_a, b.n AS n_b, a.s1 AS sum_a, b.s1 AS sum_b,
-             a.s2 AS s2a, b.s2 AS s2b
-      FROM (SELECT * FROM s WHERE variant = 0) a,
-           (SELECT * FROM s WHERE variant = 1) b
+      SELECT
+        CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS sum_a,
+        CAST(SUM(CASE WHEN variant = 0 THEN x * x END) AS BIGINT) AS s2a,
+        CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS sum_b,
+        CAST(SUM(CASE WHEN variant = 1 THEN x * x END) AS BIGINT) AS s2b
+      FROM per_user
+    ),
+    tt AS (
+      SELECT *,
+        (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
+          * (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
+          * (n_a - 1) * (n_b - 1) AS num,
+        (CAST(n_a AS HUGEINT) * s2a - CAST(sum_a AS HUGEINT) * sum_a)
+          * n_b * n_b * (n_b - 1) AS ta,
+        (CAST(n_b AS HUGEINT) * s2b - CAST(sum_b AS HUGEINT) * sum_b)
+          * n_a * n_a * (n_a - 1) AS tb
+      FROM r
+    ),
+    uu AS (
+      SELECT *, ta + tb AS den,
+        GREATEST(ta, tb) AS thi, LEAST(ta, tb) AS tlo,
+        CASE WHEN ta >= tb THEN n_b - 1 ELSE n_a - 1 END AS whi,
+        CASE WHEN ta >= tb THEN n_a - 1 ELSE n_b - 1 END AS wlo
+      FROM tt
+    ),
+    vv AS (
+      SELECT *,
+        CASE WHEN thi <= 0 THEN CAST(0 AS HUGEINT)
+             WHEN thi < 100000000000000000000000000
+               THEN (tlo * 1000000000) // thi
+             ELSE ((tlo // 20000000000000000000) * 1000000000)
+                  // (thi // 20000000000000000000) END AS uq
+      FROM uu
+    ),
+    dd AS (
+      SELECT *,
+        (CAST(1000000000 + uq AS HUGEINT) * (1000000000 + uq))
+          * (n_a - 1) * (n_b - 1) AS dfnum,
+        CAST(whi AS HUGEINT) * 1000000000000000000
+          + CAST(uq AS HUGEINT) * uq * wlo AS dfden
+      FROM vv
     )
     SELECT n_a, n_b, sum_a, sum_b,
            CAST(sum_a * 1000000 // n_a AS DOUBLE) / 1e6 AS mean_a_q6,
            CAST(sum_b * 1000000 // n_b AS DOUBLE) / 1e6 AS mean_b_q6,
-           CAST(
-             (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
-             * (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
-             * (n_a - 1) * (n_b - 1) * 1000000
-             // ((CAST(n_a AS HUGEINT) * s2a - CAST(sum_a AS HUGEINT) * sum_a)
-                  * n_b * n_b * (n_b - 1)
-                + (CAST(n_b AS HUGEINT) * s2b - CAST(sum_b AS HUGEINT) * sum_b)
-                  * n_a * n_a * (n_a - 1))
-             AS DOUBLE) / 1e6 AS t2_q6
-    FROM r
+           CAST(num * 1000000 // den AS DOUBLE) / 1e6 AS t2_q6,
+           CAST((dfnum // dfden) * 1000000
+                + ((dfnum % dfden) * 1000000) // dfden AS DOUBLE)
+             / 1e6 AS df_q6
+    FROM dd
     """,
 )
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,8 +543,15 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational floor-divided to t2_q6 (the kappa/AUC exact-rational
     discipline), so the DuckDB oracle replays the entire analysis —
     assignment, per-unit aggregation, moment sums, and the Welch
-    algebra — and the hash match certifies it end to end. At these n,
-    t² > 3.84 reads as p < .05."""
+    algebra — and the hash match certifies it end to end. Round 10
+    completes the row with df_q6, the Welch–Satterthwaite degrees of
+    freedom as a second deterministic rational of the same (n, S1, S2)
+    sufficient statistics (reduced by max(Ta,Tb) through one q9
+    fixed-point so nothing overflows 38 digits — see the operator
+    docstring for the algebra and the magnitude envelope), and the
+    zero-arm / overflow degenerate paths now fail loudly instead of
+    yielding an empty or NULL row. With df in hand, t² > F(1, df)
+    at .05 ≈ 3.84-4.0 for these n reads as significance."""
     e = t(spark, sf_dir, "events")
     return ev.ab_welch_t2(
         e,

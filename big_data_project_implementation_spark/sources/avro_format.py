@@ -302,10 +302,22 @@ def _encoder_for(dt: DataType) -> Callable[[io.BytesIO, Any], None]:
             # two's-complement big-endian unscaled value, minimal
             # length, per the spec's decimal-over-bytes encoding;
             # quantization to the declared scale is exact (Decimal in,
-            # Decimal out — no float hop)
-            unscaled = int(
-                v.scaleb(scale).to_integral_value(_decimal.ROUND_HALF_UP)
-            )
+            # Decimal out — no float hop). The unscaled integer is
+            # derived from as_tuple() with pure int arithmetic — NOT
+            # scaleb/to_integral_value, whose default context
+            # (prec=28) silently rounds values with more significant
+            # digits than that while DecimalType allows 38 (ADVICE
+            # r9); HALF_UP on the magnitude == ROUND_HALF_UP for
+            # negatives (half away from zero)
+            sign, digits, exp = v.as_tuple()
+            d = int("".join(map(str, digits)))
+            shift = exp + scale
+            if shift >= 0:
+                mag = d * 10**shift
+            else:
+                q, r = divmod(d, 10**-shift)
+                mag = q + (1 if 2 * r >= 10**-shift else 0)
+            unscaled = -mag if sign else mag
             # minimal signed length: sign bit + magnitude bits, so
             # e.g. 100 -> 0x64, 128 -> 0x0080, -128 -> 0x80
             bits = (
@@ -402,8 +414,18 @@ def _decoder_for(dt: DataType) -> Callable[[io.BufferedIOBase], Any]:
         scale = dt.scale
 
         def dec_decimal(buf: io.BufferedIOBase) -> _decimal.Decimal:
+            # tuple construction, not scaleb: scaleb is a context
+            # OPERATION and the default context (prec=28) silently
+            # rounds >28-digit unscaled values (ADVICE r9 — the read
+            # half of the same bug as the encoder's)
             unscaled = int.from_bytes(_dec_bytes(buf), "big", signed=True)
-            return _decimal.Decimal(unscaled).scaleb(-scale)
+            return _decimal.Decimal(
+                (
+                    1 if unscaled < 0 else 0,
+                    tuple(int(c) for c in str(abs(unscaled))),
+                    -scale,
+                )
+            )
 
         return dec_decimal
     if isinstance(dt, ArrayType):

@@ -398,3 +398,42 @@ def test_stream_sink_replayed_batch_overwrites(tmp_path):
     assert files == ["part-b00007-00000.avro"], files
     got = list(av.read_container(os.path.join(path, files[0]), schema))
     assert got == [(1,), (2,)]
+
+
+def test_decimal_high_precision_exact(tmp_path):
+    """ADVICE r9 (medium): the encoder used scaleb/to_integral_value
+    under the DEFAULT decimal context (prec=28), silently rounding
+    values with more significant digits — while DecimalType allows 38
+    and the writer advertises that precision in the schema. The
+    unscaled integer is now derived from as_tuple() in pure int
+    arithmetic: every 38-digit value must round-trip bit-exactly, and
+    quantization (more input scale than declared) must be HALF_UP away
+    from zero at full precision."""
+    s38 = StructType([StructField("v", DecimalType(38, 10), True)])
+    vals = [
+        Decimal("9999999999999999999999999999.9999999999"),  # 38 digits
+        Decimal("-9999999999999999999999999999.9999999999"),
+        Decimal("1234567890123456789012345678.9012345678"),
+        Decimal("-0.0000000001"),
+        Decimal("12345678901234567890123456789012345678E-10"),
+    ]
+    path = str(tmp_path / "p38.avro")
+    av.write_container(path, s38, iter([(v,) for v in vals]))
+    assert [r[0] for r in av.read_container(path, s38)] == vals
+
+    # quantization path: 29+ significant digits, half-up both signs
+    enc = av._encoder_for(DecimalType(38, 2))
+    dec = av._decoder_for(DecimalType(38, 2))
+
+    def rt(v):
+        buf = io.BytesIO()
+        enc(buf, v)
+        return dec(io.BytesIO(buf.getvalue()))
+
+    # NB string literals throughout: even unary minus on a Decimal is
+    # a context operation that rounds >28-digit values
+    big = Decimal("123456789012345678901234567890.125")
+    neg = Decimal("-123456789012345678901234567890.125")
+    assert rt(big) == Decimal("123456789012345678901234567890.13")
+    assert rt(neg) == Decimal("-123456789012345678901234567890.13")
+    assert rt(Decimal("1E-9")) == Decimal("0.00")

@@ -150,3 +150,106 @@ def test_retract_agg_state_adversarial_mass_extreme(spark, broadcast):
     assert _rows(out) == expected
     # every key took the repair path (its min was the sentinel)
     assert all(r[3] == r[0] + 10 for r in expected)  # min repaired
+
+
+def test_ab_welch_df_matches_textbook_exact_fraction(spark):
+    """df_q6 equals the Welch–Satterthwaite df recomputed with exact
+    Fractions (scipy-free), to the q9-reduction's precision; the
+    one-sided-variance limit lands exactly on df = n_hi - 1."""
+    from fractions import Fraction as Fr
+
+    from big_data_project_implementation_spark.operators import events as ev
+
+    def hand_df(xs, ys):
+        na, nb = len(xs), len(ys)
+        ma = Fr(sum(xs), na)
+        mb = Fr(sum(ys), nb)
+        va = sum((Fr(x) - ma) ** 2 for x in xs) / (na - 1)
+        vb = sum((Fr(y) - mb) ** 2 for y in ys) / (nb - 1)
+        num = (va / na + vb / nb) ** 2
+        den = (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        return num / den
+
+    xs, ys = [3, 5, 4, 6, 9], [7, 8, 6, 14]
+    df = spark.createDataFrame(
+        [(i, 0, x) for i, x in enumerate(xs)]
+        + [(100 + i, 1, y) for i, y in enumerate(ys)],
+        "u long, v int, x long",
+    )
+    out = ev.ab_welch_t2(
+        df, variant=F.col("v"), metric=F.col("x"), unit_col="u"
+    ).collect()[0]
+    want = float(hand_df(xs, ys))
+    # q9 u-quantization: relative error < 2e-9, plus the q6 floor
+    assert abs(out.df_q6 - want) < 2e-6 + 4e-9 * want
+    assert out.df_q6 is not None and out.t2_q6 is not None
+
+    # one arm constant (zero variance): df must hit n_other - 1 exactly
+    zs = [5, 5, 5, 5, 5, 5]
+    df2 = spark.createDataFrame(
+        [(i, 0, x) for i, x in enumerate(xs)]
+        + [(100 + i, 1, z) for i, z in enumerate(zs)],
+        "u long, v int, x long",
+    )
+    out2 = ev.ab_welch_t2(
+        df2, variant=F.col("v"), metric=F.col("x"), unit_col="u"
+    ).collect()[0]
+    assert out2.df_q6 == len(xs) - 1
+
+
+def test_ab_welch_zero_arm_fails_loudly(spark):
+    """ADVICE r9: a MISSING arm used to make the crossJoin emit an
+    empty DataFrame — no row, no assert, a silent non-answer at a hash
+    gate. The conditional rollup always emits its one row, so the n
+    guard now raises."""
+    from big_data_project_implementation_spark.operators import events as ev
+
+    one_arm = spark.createDataFrame(
+        [(1, 0, 3), (2, 0, 5), (3, 0, 7)], "u long, v int, x long"
+    )
+    with pytest.raises(Exception, match="ab_welch_t2 undefined"):
+        ev.ab_welch_t2(
+            one_arm, variant=F.col("v"), metric=F.col("x"), unit_col="u"
+        ).collect()
+    empty = spark.createDataFrame([], "u long, v int, x long")
+    with pytest.raises(Exception, match="ab_welch_t2 undefined"):
+        ev.ab_welch_t2(
+            empty, variant=F.col("v"), metric=F.col("x"), unit_col="u"
+        ).collect()
+
+
+def test_ivfpq_compact_single_writer_lock(spark, tmp_path):
+    """ADVICE r9: two concurrent compactions could GC each other's
+    published version. The lock file must make the second claimant
+    fail loudly, and a completed compaction must release the lock."""
+    import os
+
+    from big_data_project_implementation_spark.operators import (
+        similarity as sim,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    # a held lock blocks compaction before any data is touched
+    with open(os.path.join(path, "codes.compact.lock"), "w") as fh:
+        fh.write("12345")
+    with pytest.raises(RuntimeError, match="ONE compactor"):
+        sim.ivfpq_compact(spark, path, str(tmp_path / "delta"))
+    os.unlink(os.path.join(path, "codes.compact.lock"))
+
+    # a real compact claims and RELEASES the lock
+    base = spark.createDataFrame(
+        [(0, 1, bytearray(b"\x01\x02")), (1, 2, bytearray(b"\x03\x04"))],
+        "cell int, neighbor_id long, codes binary",
+    )
+    delta = spark.createDataFrame(
+        [(0, 3, bytearray(b"\x05\x06"))],
+        "cell int, neighbor_id long, codes binary",
+    )
+    base.write.partitionBy("cell").parquet(f"{path}/codes")
+    delta_path = str(tmp_path / "delta")
+    delta.write.parquet(delta_path)
+    sim.ivfpq_compact(spark, path, delta_path)
+    assert not os.path.exists(os.path.join(path, "codes.compact.lock"))
+    merged = spark.read.parquet(sim._codes_dir(path))
+    assert merged.count() == 3
