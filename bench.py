@@ -135,6 +135,12 @@ BENCH_QUERIES = [
     # round 9: the JOIN half of the IVM story — delta refresh of a
     # materialized join with broadcast deltas (neither base shuffles)
     "incremental_join_refresh",
+    # round 10: the outer-join completion of the IVM algebra — the
+    # null-extension flip maintained in both delta directions
+    "incremental_left_join_refresh",
+    # round 10: rowid-keyed deletion — two anti-joins, no view-sized
+    # exceptAll shuffle (the keyless form's honest cost, avoided)
+    "incremental_join_retract_keyed",
 ]
 
 # localCheckpoint-heavy iterative rows: same-box wall times on these

@@ -465,6 +465,15 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # broadcast-delta joins (neither base table shuffles; the one
     # exchange is the deterministic orderBy)
     "incremental_join_refresh": (1, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    # round 10: LEFT OUTER IVM — the small-left outer join decomposes
+    # into broadcast inner + broadcast-probed null extension (8
+    # broadcast joins total); the exceptAll retraction of flipped null
+    # rows is a view shuffle, the documented honest cost of keyless
+    # bag-exact retraction
+    "incremental_left_join_refresh": (6, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    # round 10: keyed deletion — both id anti-joins broadcast; the
+    # view is scanned once, never shuffled by the retraction itself
+    "incremental_join_retract_keyed": (3, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
 }
 
 

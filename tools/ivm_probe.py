@@ -72,6 +72,16 @@ def replicate(df, factor: int, path: str, spark):
     return spark.read.parquet(path)
 
 
+def timed(df) -> float:
+    best = None
+    for _ in range(2):  # min-of-2: steady-state plan cost
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 2)
+
+
 def probe(spark, sf_dir: str, factor: int, work: str) -> dict:
     from big_data_project_implementation_spark.operators import relational
 
@@ -88,15 +98,6 @@ def probe(spark, sf_dir: str, factor: int, work: str) -> dict:
     )
     t_mat = round(time.time() - t0, 2)
     view = spark.read.parquet(view_path)
-
-    def timed(df) -> float:
-        best = None
-        for _ in range(2):  # min-of-2: steady-state plan cost
-            t0 = time.time()
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        return round(best, 2)
 
     inc_bcast = timed(
         relational.delta_join_increment(
@@ -136,10 +137,121 @@ def probe(spark, sf_dir: str, factor: int, work: str) -> dict:
     }
 
 
+def probe_left(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 10: the LEFT OUTER twin — refresh (appends + the
+    null-flip retraction exceptAll) and the (appends, retractions)
+    increment pair vs full LEFT JOIN recompute, same deployment model
+    as :func:`probe`."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
+    a_old = replicate(a_old, factor, f"{work}/la_old.parquet", spark)
+    b_old = replicate(b_old, factor, f"{work}/lb_old.parquet", spark)
+
+    view_path = f"{work}/lview.parquet"
+    t0 = time.time()
+    a_old.join(b_old, ["o_orderkey"], "left").write.mode(
+        "overwrite"
+    ).parquet(view_path)
+    t_mat = round(time.time() - t0, 2)
+    view = spark.read.parquet(view_path)
+
+    appends, retractions = relational.delta_left_join_increment(
+        a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    )
+    t_inc = timed(appends.unionByName(retractions))
+    t_refresh = timed(
+        relational.delta_left_join_refresh(
+            view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        )
+    )
+    t_recompute = timed(
+        a_old.unionByName(delta_a).join(
+            b_old.unionByName(delta_b), ["o_orderkey"], "left"
+        )
+    )
+    return {
+        "materialize_view_s": t_mat,
+        "increment_pair_s": t_inc,
+        "refresh_s": t_refresh,
+        "recompute_s": t_recompute,
+        "recompute_over_increment": round(t_recompute / t_inc, 2),
+        "recompute_over_refresh": round(t_recompute / t_refresh, 2),
+    }
+
+
+def probe_retract(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 10: keyed vs keyless deletion maintenance on the SAME
+    stored view (the keyed view carries lid = o_orderkey*8 +
+    l_linenumber; the keyless path projects it away) — measures the
+    separation the keyed shape buys by replacing the view-sized
+    all-column exceptAll shuffle with two broadcast anti-joins."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
+    a = replicate(
+        a_old.unionByName(delta_a), factor, f"{work}/ra.parquet", spark
+    ).drop("o_orderdate")
+    b = replicate(
+        b_old.unionByName(delta_b), factor, f"{work}/rb.parquet", spark
+    ).drop("l_shipdate").withColumn(
+        "lid",
+        (F.col("o_orderkey") * 8 + F.col("l_linenumber")).cast("bigint"),
+    )
+
+    view_path = f"{work}/rview.parquet"
+    t0 = time.time()
+    a.join(b, ["o_orderkey"]).write.mode("overwrite").parquet(view_path)
+    t_mat = round(time.time() - t0, 2)
+    view_k = spark.read.parquet(view_path)
+    view_plain = view_k.drop("lid")
+
+    del_a = F.col("o_orderkey") % 13 == 0
+    del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
+    b_plain = b.drop("lid")
+    t_keyless = timed(
+        relational.delta_join_retract(
+            view_plain,
+            a.filter(~del_a),
+            a.filter(del_a),
+            b_plain.filter(~del_b),
+            b_plain.filter(del_b),
+            on=["o_orderkey"],
+        )
+    )
+    t_keyed = timed(
+        relational.delta_join_retract_keyed(
+            view_k,
+            a.filter(del_a).select("o_orderkey"),
+            b.filter(del_b).select("lid"),
+            a_id="o_orderkey",
+            b_id="lid",
+        )
+    )
+    t_recompute = timed(
+        a.filter(~del_a).join(b_plain.filter(~del_b), ["o_orderkey"])
+    )
+    return {
+        "materialize_view_s": t_mat,
+        "retract_keyless_s": t_keyless,
+        "retract_keyed_s": t_keyed,
+        "recompute_s": t_recompute,
+        "keyless_over_keyed": round(t_keyless / t_keyed, 2),
+        "recompute_over_keyed": round(t_recompute / t_keyed, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--shapes",
+        default="inner,left,retract",
+        help="comma list of probe families to run",
+    )
     args = ap.parse_args()
 
     from big_data_project_implementation_spark import get_session
@@ -147,11 +259,18 @@ def main() -> None:
     spark = get_session("ivm-probe")
     work = "/tmp/ivmprobe_work"
     os.makedirs(work, exist_ok=True)
-    report = {
-        "factor": args.factor,
-        "base": probe(spark, args.src, 1, f"{work}/base"),
-        "scaled": probe(spark, args.src, args.factor, f"{work}/scaled"),
-    }
+    shapes = set(args.shapes.split(","))
+    fns = {"inner": probe, "left": probe_left, "retract": probe_retract}
+    report: dict = {"factor": args.factor}
+    for shape in ("inner", "left", "retract"):
+        if shape not in shapes:
+            continue
+        fn = fns[shape]
+        key = "" if shape == "inner" else f"{shape}_"
+        report[f"{key}base"] = fn(spark, args.src, 1, f"{work}/{shape}_base")
+        report[f"{key}scaled"] = fn(
+            spark, args.src, args.factor, f"{work}/{shape}_scaled"
+        )
     print(json.dumps(report, indent=2))
     shutil.rmtree(work, ignore_errors=True)
 
