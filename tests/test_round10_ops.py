@@ -253,3 +253,31 @@ def test_ivfpq_compact_single_writer_lock(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "codes.compact.lock"))
     merged = spark.read.parquet(sim._codes_dir(path))
     assert merged.count() == 3
+
+
+def test_staleness_table_matches_generator():
+    """VERDICT r9 #6: COVERAGE.md's per-family staleness table is
+    generated (tools/gen_staleness.py) from the same committed
+    CORRECTNESS_r*.json history the rotation computes from — assert
+    the committed block matches a fresh generation, the plan-audit
+    discipline (doc and code cannot diverge)."""
+    import os
+    import re
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    import gen_staleness
+
+    with open(
+        os.path.join(os.path.dirname(__file__), os.pardir, "COVERAGE.md")
+    ) as fh:
+        text = fh.read()
+    m = re.search(
+        re.escape(gen_staleness.BEGIN) + r"\n(.*?)\n" + re.escape(gen_staleness.END),
+        text,
+        flags=re.S,
+    )
+    assert m, "COVERAGE.md is missing the generated staleness block"
+    assert m.group(1) == gen_staleness.build_table()
