@@ -291,6 +291,103 @@ def scd2_intervals(
     )
 
 
+def scd2_apply_arrivals(
+    history: DataFrame,
+    arrivals: DataFrame,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally maintain a materialized SCD2 history under
+    ARRIVING events (round 10) — the IVM algebra composed with
+    :func:`scd2_intervals`: the stored dimension is never recomputed
+    from the event log; arriving events only (a) CLOSE the open
+    interval of a user whose state changed — ``valid_to`` = the ts of
+    that user's FIRST state change among the arrivals — and (b) APPEND
+    the new runs as effective-dated rows. Closed intervals are
+    immutable, so a deployment that partitions the view by
+    ``is_current`` rewrites ONLY the (tiny) open partition and appends
+    to the closed one; this function re-emits the full view so the
+    registry row's oracle — :func:`scd2_intervals` recomputed over the
+    union of the event log — can certify refresh == recompute by hash.
+
+    The boundary seam is the novel bit: the first arriving run of a
+    user whose state EQUALS their open interval's state is NOT a
+    change (the open interval simply extends — SCD2 rows carry no
+    end-date churn for repeated states), which the recompute oracle
+    enforces because lag() sees the historical run. Here the seam is
+    seeded by joining each user's open state under the arrivals' first
+    lag() slot.
+
+    Requires arrivals to sort strictly after each user's history
+    (append-only CDC; ts then ``id_col`` is the order). Late/
+    out-of-order events need interval retraction — the documented
+    non-goal here, same class as keyless bag deletion
+    (:func:`big_data_project_implementation_spark.operators.relational.delta_join_retract`).
+
+    Scale shape: ONE user-key exchange over the ARRIVALS (two windows
+    + the change filter share it, as in :func:`scd2_intervals`); the
+    history is touched by one broadcast-probed scan (no shuffle, no
+    exceptAll) — per-user open rows are unique so removal is keyed,
+    not bag-subtracted. ``broadcast_deltas=False`` for backfills where
+    the arriving-user set rivals the dimension."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    out_cols = ["user_id", "state", "valid_from", "valid_to", "is_current"]
+    open_iv = history.filter(F.col("is_current"))
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seed = open_iv.select(
+        F.col("user_id"), F.col("state").alias("_open_state")
+    )
+    marked = (
+        arrivals.select(
+            F.col(user_col).alias("user_id"),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("event_id"),
+        )
+        .withColumn("prev_state", F.lag("state").over(w))
+        .join(maybe_b(seed), "user_id", "left")
+    )
+    changes = marked.filter(
+        F.when(
+            F.col("prev_state").isNull(),
+            F.col("_open_state").isNull()
+            | (F.col("_open_state") != F.col("state")),
+        ).otherwise(F.col("prev_state") != F.col("state"))
+    )
+    new_rows = (
+        changes.select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*out_cols)
+    )
+    # first change per user: min(struct(ts, id)) = (ts, id_col) order
+    first_change = changes.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id"))["ts"].alias("_close_ts")
+    )
+    # ONE history scan: open rows of changed users close (keyed by
+    # (user, is_current) — an SCD2 view has at most one open row per
+    # user), everything else passes through untouched
+    joined = history.join(maybe_b(first_change), "user_id", "left")
+    untouched = joined.filter(
+        ~F.col("is_current") | F.col("_close_ts").isNull()
+    ).select(*out_cols)
+    closed = (
+        joined.filter(F.col("is_current") & F.col("_close_ts").isNotNull())
+        .withColumn("valid_to", F.col("_close_ts"))
+        .withColumn("is_current", F.lit(False))
+        .select(*out_cols)
+    )
+    return untouched.unionByName(closed).unionByName(new_rows)
+
+
 def anomalies_mad(
     events: DataFrame,
     value_col: str = "value",

@@ -185,6 +185,50 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_scd2_incremental",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts, event_id FROM marked
+      WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+)
+def events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD2 dimension (round 10,
+    operators.events.scd2_apply_arrivals — the IVM family composed
+    with events_scd2): the history is materialized over the first 23
+    days of the log, then the remaining week of arrivals folds in —
+    open intervals of users whose state changed CLOSE at the user's
+    first arriving change, new runs APPEND, and a user whose arrivals
+    repeat their open state extends that interval with NO new row (the
+    boundary seam, seeded by joining the open state under the
+    arrivals' first lag slot). The ORACLE recomputes scd2_intervals
+    over the FULL log, so the hash match certifies refresh ==
+    recompute across the seam: a double-opened interval, a missed
+    close, a wrong close ts, or end-date churn on a repeated state all
+    break it. Closed intervals are immutable — a deployment
+    partitioning by is_current rewrites only the open partition."""
+    e = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-24").cast("timestamp")
+    hist = ev.scd2_intervals(e.filter(F.col("ts") < cut))
+    out = ev.scd2_apply_arrivals(hist, e.filter(F.col("ts") >= cut))
+    return out.orderBy("user_id", "valid_from")
+
+
+@query(
     "events_point_in_interval",
     oracle="""
     WITH marked AS (

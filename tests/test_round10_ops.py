@@ -281,3 +281,53 @@ def test_staleness_table_matches_generator():
     )
     assert m, "COVERAGE.md is missing the generated staleness block"
     assert m.group(1) == gen_staleness.build_table()
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_scd2_apply_arrivals_seam(spark, broadcast):
+    """The SCD2-IVM boundary seam, pinned by hand: a repeated state
+    EXTENDS the open interval (no new row, no end-date churn), a
+    changed state CLOSES it at the user's first arriving change, a
+    brand-new user opens normally, and an untouched user's history is
+    byte-identical. Result == scd2_intervals over the full log."""
+    from datetime import datetime as dt
+
+    from big_data_project_implementation_spark.operators import events as ev
+
+    def e(eid, ts_s, u, st):
+        return (eid, dt(2024, 1, 1, 0, 0, ts_s), u, st)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    old = spark.createDataFrame(
+        [
+            e(1, 1, 1, "A"), e(2, 2, 1, "A"), e(3, 5, 1, "B"),
+            e(4, 1, 2, "A"),
+            e(5, 2, 3, "C"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            e(10, 10, 1, "B"),   # same as open state: extends, no row
+            e(11, 12, 1, "C"),   # closes B at :12, opens C
+            e(12, 11, 2, "A"),   # pure extension: user 2 untouched
+            e(13, 10, 4, "X"), e(14, 11, 4, "Y"),  # new user
+        ],
+        schema,
+    )
+    hist = ev.scd2_intervals(old)
+    out = ev.scd2_apply_arrivals(hist, new, broadcast_deltas=broadcast)
+    want = ev.scd2_intervals(old.unionByName(new))
+    assert _rows(out) == _rows(want)
+    got = {(r.user_id, r.state, r.valid_from, r.valid_to): r.is_current
+           for r in out.collect()}
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    # user 1: B closed at the CHANGE ts (:12), not the repeat (:10)
+    assert got[(1, "B", t(5), t(12))] is False
+    assert got[(1, "C", t(12), None)] is True
+    # user 2: one open row, valid_from still the HISTORICAL :01
+    assert got[(2, "A", t(1), None)] is True
+    # user 3 untouched; user 4 opened fresh
+    assert got[(3, "C", t(2), None)] is True
+    assert got[(4, "X", t(10), t(11))] is False
+    assert got[(4, "Y", t(11), None)] is True

@@ -243,13 +243,59 @@ def probe_retract(spark, sf_dir: str, factor: int, work: str) -> dict:
     }
 
 
+def probe_scd2(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 10: SCD2-view maintenance — the user-base (and its SCD2
+    history) grows factor x (user-id stride keeps replicas disjoint)
+    while the arrivals stay one week of replica-0 events, the
+    production shape (a dimension grows; a day's CDC does not). Times
+    scd2_apply_arrivals against scd2_intervals recomputed over the
+    full log."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators import events as ev
+    from big_data_project_implementation_spark.queries.registry import t
+
+    stride = 1_000_000_000
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cut = F.lit("2024-01-24").cast("timestamp")
+    old, arrivals = e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut)
+    if factor > 1:
+        old = old.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        ).withColumn(
+            "user_id",
+            F.col("user_id") + F.col("_r").cast("bigint") * F.lit(stride),
+        ).drop("_r")
+    old.write.mode("overwrite").parquet(f"{work}/ev_old.parquet")
+    old = spark.read.parquet(f"{work}/ev_old.parquet")
+
+    hist_path = f"{work}/scd2_hist.parquet"
+    t0 = time.time()
+    ev.scd2_intervals(old).write.mode("overwrite").parquet(hist_path)
+    t_mat = round(time.time() - t0, 2)
+    hist = spark.read.parquet(hist_path)
+
+    t_apply = timed(ev.scd2_apply_arrivals(hist, arrivals))
+    t_recompute = timed(ev.scd2_intervals(old.unionByName(arrivals)))
+    return {
+        "history_rows": hist.count(),
+        "arrival_rows": arrivals.count(),
+        "materialize_history_s": t_mat,
+        "apply_arrivals_s": t_apply,
+        "recompute_s": t_recompute,
+        "recompute_over_apply": round(t_recompute / t_apply, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--shapes",
-        default="inner,left,retract",
+        default="inner,left,retract,scd2",
         help="comma list of probe families to run",
     )
     args = ap.parse_args()
@@ -260,9 +306,14 @@ def main() -> None:
     work = "/tmp/ivmprobe_work"
     os.makedirs(work, exist_ok=True)
     shapes = set(args.shapes.split(","))
-    fns = {"inner": probe, "left": probe_left, "retract": probe_retract}
+    fns = {
+        "inner": probe,
+        "left": probe_left,
+        "retract": probe_retract,
+        "scd2": probe_scd2,
+    }
     report: dict = {"factor": args.factor}
-    for shape in ("inner", "left", "retract"):
+    for shape in ("inner", "left", "retract", "scd2"):
         if shape not in shapes:
             continue
         fn = fns[shape]
