@@ -141,6 +141,13 @@ BENCH_QUERIES = [
     # round 10: rowid-keyed deletion — two anti-joins, no view-sized
     # exceptAll shuffle (the keyless form's honest cost, avoided)
     "incremental_join_retract_keyed",
+    # round 10: the FULL OUTER completion — null flips maintained on
+    # BOTH sides (arriving facts before their dimension member, and
+    # the member landing later)
+    "incremental_full_join_refresh",
+    # round 10: per-group top-k maintenance — anti/semi pass-through
+    # for untouched groups, delta-sized re-rank for touched ones
+    "topk_view_refresh",
 ]
 
 # localCheckpoint-heavy iterative rows: same-box wall times on these

@@ -754,6 +754,177 @@ def delta_left_join_retract(
     return view.exceptAll(gone).unionByName(flips)
 
 
+def delta_full_join_increment(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The (appends, retractions) pair that maintains a FULL OUTER
+    equi-join view under arrivals (round 10) — the last outer shape of
+    the IVM algebra (reference full-outer execution:
+    sql/core/src/main/scala/org/apache/spark/sql/execution/joins/
+    SortMergeOuterJoin.scala:34): null extensions now live on BOTH
+    sides, so arrivals flip in both directions — an arriving ΔB row
+    kills left-null extensions of matching A_old rows (the LEFT case),
+    and an arriving ΔA row kills RIGHT-null extensions of matching
+    B_old rows (the new direction). With ``M = A_old ⟗ B_old``
+    materialized and ``A_new/B_new`` the post-arrival sides:
+
+        appends     = (ΔA ⟕ B_new) ∪ (A_old ⋈ ΔB)
+                      ∪ null_extend_right(ΔB ▷ A_new)
+        retractions = null_extend(A_old ⋉ ΔB ▷ B_old)
+                      ∪ null_extend_right(B_old ⋉ ΔA ▷ A_old)
+
+    ``ΔA ⟕ B_new`` settles each arriving A row's matched-or-left-null
+    status in one pass (folding ΔA ⋈ ΔB in); ``ΔB ▷ A_new`` is the
+    arriving B rows that match NOTHING — note A_new, not A_old, so a
+    cross-delta match never materializes a doomed right-null row. The
+    two retraction terms are the anti∘semi flip selections, one per
+    direction; anti/semi preserve multiplicities, so k copies retract
+    k null rows, bag-exactly. Every term is delta-driven — with
+    ``broadcast_deltas`` (arrival-sized deltas, the default) neither
+    base side shuffles: base scans are probed by broadcasts of delta
+    keys. ``broadcast_deltas=False`` for bulk backfills (AQE picks).
+    Key columns of null-extended rows carry the surviving side's key,
+    matching Spark's coalesced USING-key output for full outer."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    a_new = a_old.unionByName(delta_a)
+    b_new = b_old.unionByName(delta_b)
+    matched_or_left_null = _small_left_outer(
+        delta_a, b_new, on, broadcast_deltas
+    ).unionByName(a_old.join(maybe_b(delta_b), on))
+    view_cols = matched_or_left_null.columns
+    # arriving B rows with no match anywhere (incl. the fresh ΔA):
+    # semi-probe A_new with a broadcast of ΔB's keys so the big side
+    # is scanned once and never shuffled, then anti the keys back
+    db_matched_keys = (
+        a_new.join(maybe_b(delta_b.select(*on).distinct()), on, "semi")
+        .select(*on)
+        .distinct()
+    )
+    right_nulls = _null_extend(
+        delta_b.join(maybe_b(db_matched_keys), on, "anti"),
+        view_cols,
+        a_old.schema,
+    )
+    appends = matched_or_left_null.unionByName(right_nulls)
+    left_flips = _null_extend(
+        a_old.join(maybe_b(delta_b.select(*on).distinct()), on, "semi").join(
+            b_old, on, "anti"
+        ),
+        view_cols,
+        delta_b.schema,
+    )
+    right_flips = _null_extend(
+        b_old.join(maybe_b(delta_a.select(*on).distinct()), on, "semi").join(
+            a_old, on, "anti"
+        ),
+        view_cols,
+        delta_a.schema,
+    )
+    return appends, left_flips.unionByName(right_flips)
+
+
+def delta_full_join_refresh(
+    view: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally refresh a materialized FULL OUTER equi-join view
+    (round 10): with (appends, retractions) from
+    :func:`delta_full_join_increment`,
+
+        M' = (M exceptAll retractions) ∪ appends
+
+    Bag-exact: refresh == full FULL JOIN recompute row-for-row (the
+    registry row's oracle recomputes ``A_new ⟗ B_new`` from scratch;
+    the hash match is the audit — a stale null row on EITHER side, a
+    missed flip in either direction, or a double-appended cross-delta
+    match all break it). Cost notes as :func:`delta_left_join_refresh`:
+    deltas drive everything except the one view-sized exceptAll, the
+    honest price of keyless bag-exact retraction."""
+    appends, retractions = delta_full_join_increment(
+        a_old, delta_a, b_old, delta_b, on, broadcast_deltas
+    )
+    return view.exceptAll(retractions).unionByName(appends)
+
+
+def delta_full_join_retract(
+    view: DataFrame,
+    a_new: DataFrame,
+    retract_a: DataFrame,
+    b_new: DataFrame,
+    retract_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Apply DELETIONS to a materialized FULL OUTER equi-join view
+    (round 10) — reverse null-flips on BOTH sides: deleting a
+    surviving A row's last match flips it back to left-null (the LEFT
+    case), and deleting a surviving B row's last match flips it back
+    to RIGHT-null. With ``A = a_new ∪ Δ⁻A``, ``B = b_new ∪ Δ⁻B``:
+
+        gone  = (Δ⁻A ⟕ B) ∪ (a_new ⋈ Δ⁻B)
+                ∪ null_extend_right(Δ⁻B ▷ A)
+        flips = null_extend(a_new ⋉ Δ⁻B ▷ b_new)
+                ∪ null_extend_right(b_new ⋉ Δ⁻A ▷ a_new)
+        M'    = (M exceptAll gone) ∪ flips
+
+    ``Δ⁻A ⟕ B`` is every view row a deleted A row owned (matched or
+    left-null); ``Δ⁻B ▷ A`` is the deleted B rows that owned a
+    RIGHT-null row (no match in either part of A — the three gone
+    terms are disjoint, so nothing retracts twice). The registry
+    row's oracle recomputes the post-delete FULL JOIN from scratch;
+    the hash match certifies all four flip directions across this
+    function and the increment. Scale notes as
+    :func:`delta_left_join_retract`."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    a_all = a_new.unionByName(retract_a)
+    b_all = b_new.unionByName(retract_b)
+    owned_by_dead_a = _small_left_outer(
+        retract_a, b_all, on, broadcast_deltas
+    )
+    view_cols = owned_by_dead_a.columns
+    rb_matched_keys = (
+        a_all.join(maybe_b(retract_b.select(*on).distinct()), on, "semi")
+        .select(*on)
+        .distinct()
+    )
+    gone = owned_by_dead_a.unionByName(
+        a_new.join(maybe_b(retract_b), on)
+    ).unionByName(
+        _null_extend(
+            retract_b.join(maybe_b(rb_matched_keys), on, "anti"),
+            view_cols,
+            a_new.schema,
+        )
+    )
+    left_flips = _null_extend(
+        a_new.join(maybe_b(retract_b.select(*on).distinct()), on, "semi").join(
+            b_new, on, "anti"
+        ),
+        view_cols,
+        retract_b.schema,
+    )
+    right_flips = _null_extend(
+        b_new.join(maybe_b(retract_a.select(*on).distinct()), on, "semi").join(
+            a_new, on, "anti"
+        ),
+        view_cols,
+        retract_a.schema,
+    )
+    return view.exceptAll(gone).unionByName(left_flips).unionByName(
+        right_flips
+    )
+
+
 def delta_join_retract_keyed(
     view: DataFrame,
     retract_a_ids: DataFrame,
@@ -892,5 +1063,112 @@ def retract_agg_state(
         )
         .join(broken_keys, keys)
         .select(*keys, "n", "sum", "min", "max")
+    )
+    return clean.unionByName(repaired)
+
+
+def topk_view_refresh(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally refresh a per-group TOP-K view under APPEND-ONLY
+    deltas (round 10) — the rank twin of ``merge_agg_states``: a
+    materialized "top k rows per group" view (reference top-k
+    execution: sql/core/src/main/scala/org/apache/spark/sql/execution/
+    basicOperators.scala TakeOrderedAndProject, here per-group) is a
+    sub-bag of the base, and under inserts the new top-k of any group
+    is contained in ``state ∪ delta`` — so the refresh never re-reads
+    the base. Only groups the delta TOUCHES re-rank:
+
+        untouched = state ▷ Δkeys        (passes through, no shuffle
+                                          of the big state with
+                                          broadcast Δkeys)
+        touched   = rank(state ⋉ Δkeys ∪ Δ) keep ≤ k
+
+    ``order_by`` must be a TOTAL order (include a tie-breaker column)
+    — with ties at the horizon row_number picks arbitrarily and
+    refresh-equals-recompute breaks; with a total order the registry
+    row's oracle (full recompute via ROW_NUMBER) hash-matches
+    row-for-row. Scale: state is ≤ k·|groups| rows — the per-group
+    window runs on delta-sized candidate sets (|Δ| + k per touched
+    group), and the untouched pass-through is an anti-join probe of
+    the state scan with broadcast delta keys, so nothing base-sized
+    ever shuffles. ``broadcast_deltas=False`` for backfills whose key
+    set rivals the group cardinality."""
+    from pyspark.sql.window import Window
+
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    touched_keys = delta.select(*keys).distinct()
+    untouched = state.join(maybe_b(touched_keys), keys, "anti")
+    cand = state.join(maybe_b(touched_keys), keys, "semi").unionByName(
+        delta.select(*state.columns)
+    )
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    touched = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return untouched.unionByName(touched)
+
+
+def topk_view_retract(
+    state: DataFrame,
+    retract: DataFrame,
+    base_remaining: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Apply DELETIONS to a per-group TOP-K view (round 10) — the rank
+    twin of ``retract_agg_state``'s surgical min/max repair: deleting
+    a row BELOW a group's stored horizon leaves its top-k intact, but
+    deleting a stored row opens a hole whose replacement lives below
+    the horizon — outside the state — so that group must re-rank from
+    the post-delete base. The repair is surgical:
+
+        broken = keys of (Δ⁻ ⋉_value state)   — a deleted row whose
+                 VALUE appears in the stored top-k can dent it; a
+                 deleted row ranking strictly below the horizon never
+                 can (its value would otherwise be stored)
+        clean  = state ▷ broken ∖ nothing      (passes through)
+        repaired = rank(base_remaining ⋉ broken) keep ≤ k
+
+    The value-level semi-join is conservative-correct under
+    duplicates: flagging a group whose identical-valued copy survived
+    merely re-ranks it to the same answer. ``order_by`` must be a
+    total order (tie-breaker column), same contract as
+    :func:`topk_view_refresh`; the registry row's oracle recomputes
+    top-k from the full post-delete table, certifying both the
+    pass-through and the repair path. Scale: only broken groups
+    rescan ``base_remaining``, pruned by a semi-join on their keys —
+    with key-partitioned or clustered storage that prunes to the
+    affected partitions. ``broadcast_deltas`` (default True) hints the
+    delta-derived key sets; pass False for adversarial purges that
+    touch most groups (same driver-OOM lesson as the agg twin,
+    SCALING.md round-9/round-10)."""
+    from pyspark.sql.window import Window
+
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    value_cols = list(state.columns)
+    broken_keys = (
+        retract.select(*value_cols)
+        .join(state, value_cols, "semi")
+        .select(*keys)
+        .distinct()
+    )
+    clean = state.join(maybe_b(broken_keys), keys, "anti")
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    repaired = (
+        base_remaining.select(*value_cols)
+        .join(maybe_b(broken_keys), keys, "semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
     return clean.unionByName(repaired)

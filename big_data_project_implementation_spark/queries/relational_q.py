@@ -1285,3 +1285,342 @@ def incremental_join_retract_keyed(
     return kept.select(
         "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
     ).orderBy("o_orderkey", "l_linenumber")
+
+
+def _fj_sides(spark: SparkSession, sf_dir: str):
+    """Shared customer/orders shaping for the FULL-OUTER IVM rows —
+    the late-arriving-dimension scenario where full outer is what a
+    warehouse actually materializes: fact rows (orders) can arrive
+    BEFORE their dimension row (customer) exists, so the view keeps
+    them right-null-extended until the member lands; dimension members
+    with no facts yet sit left-null-extended. One in seven members
+    (c_custkey % 7 = 3) never resolves at all, so orphan facts are a
+    standing population, not a transient."""
+    a = t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 != 3
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    b = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderdate",
+    )
+    return a, b
+
+
+_FJ_COLS = [
+    "c_custkey", "c_mktsegment", "bal_cents",
+    "o_orderkey", "o_orderstatus", "price_cents",
+]
+
+
+@query(
+    "incremental_full_join_refresh",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+           c.c_mktsegment,
+           CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+           o.o_orderkey, o.o_orderstatus,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM (SELECT * FROM customer WHERE c_custkey % 7 <> 3) c
+    FULL JOIN orders o ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def incremental_full_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained FULL OUTER join view (round 10,
+    operators.relational.delta_full_join_refresh) — the last outer
+    shape of the IVM algebra (reference full-outer execution:
+    sql/core/.../execution/joins/SortMergeOuterJoin.scala:34), on the
+    late-arriving-dimension scenario: the customer ⟗ orders view is
+    materialized with 20% of customers NOT YET ARRIVED (c_custkey %
+    5 = 0) and only pre-1997 orders; then both arrive. Arriving orders
+    kill left-null customer rows (49 flips at sf0.01), arriving
+    customers kill RIGHT-null order rows (788 flips — the direction
+    LEFT-outer IVM cannot express), and arriving orders of
+    never-resolved members append as standing right-null rows (1,513).
+    The ORACLE recomputes the full
+    FULL JOIN from scratch, so the hash match is the refresh-equals-
+    recompute audit across both flip directions at once."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _fj_sides(spark, sf_dir)
+    cut_b = F.lit("1997-01-01").cast("date")
+    a_old = a.filter(F.col("c_custkey") % 5 != 0)
+    delta_a = a.filter(F.col("c_custkey") % 5 == 0)
+    b_old = b.filter(F.col("o_orderdate") < cut_b).drop("o_orderdate")
+    delta_b = b.filter(F.col("o_orderdate") >= cut_b).drop("o_orderdate")
+    view = a_old.join(b_old, ["c_custkey"], "full")
+    refreshed = relational.delta_full_join_refresh(
+        view, a_old, delta_a, b_old, delta_b, on=["c_custkey"]
+    )
+    return refreshed.select(*_FJ_COLS).orderBy("c_custkey", "o_orderkey")
+
+
+@query(
+    "incremental_full_join_increment",
+    oracle="""
+    WITH cust AS (SELECT c_custkey, c_mktsegment,
+                         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                           AS bal_cents
+                  FROM customer WHERE c_custkey % 7 <> 3),
+         a_old AS (SELECT * FROM cust WHERE c_custkey % 5 <> 0),
+         delta_a AS (SELECT * FROM cust WHERE c_custkey % 5 = 0),
+         b AS (SELECT o_custkey AS c_custkey, o_orderkey, o_orderstatus,
+                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS price_cents, o_orderdate
+               FROM orders),
+         b_old AS (SELECT * FROM b WHERE o_orderdate < DATE '1997-01-01'),
+         delta_b AS (SELECT * FROM b WHERE o_orderdate >= DATE '1997-01-01')
+    SELECT da.c_custkey, da.c_mktsegment, da.bal_cents,
+           bn.o_orderkey, bn.o_orderstatus, bn.price_cents,
+           FALSE AS is_retraction
+    FROM delta_a da LEFT JOIN b bn ON da.c_custkey = bn.c_custkey
+    UNION ALL
+    SELECT ao.c_custkey, ao.c_mktsegment, ao.bal_cents,
+           db.o_orderkey, db.o_orderstatus, db.price_cents,
+           FALSE AS is_retraction
+    FROM a_old ao JOIN delta_b db ON ao.c_custkey = db.c_custkey
+    UNION ALL
+    SELECT db.c_custkey, CAST(NULL AS VARCHAR) AS c_mktsegment,
+           CAST(NULL AS BIGINT) AS bal_cents,
+           db.o_orderkey, db.o_orderstatus, db.price_cents,
+           FALSE AS is_retraction
+    FROM delta_b db
+    WHERE NOT EXISTS (SELECT 1 FROM cust c
+                      WHERE c.c_custkey = db.c_custkey)
+    UNION ALL
+    SELECT ao.c_custkey, ao.c_mktsegment, ao.bal_cents,
+           CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(NULL AS VARCHAR) AS o_orderstatus,
+           CAST(NULL AS BIGINT) AS price_cents,
+           TRUE AS is_retraction
+    FROM a_old ao
+    WHERE EXISTS (SELECT 1 FROM delta_b db
+                  WHERE db.c_custkey = ao.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM b_old bo
+                      WHERE bo.c_custkey = ao.c_custkey)
+    UNION ALL
+    SELECT bo.c_custkey, CAST(NULL AS VARCHAR) AS c_mktsegment,
+           CAST(NULL AS BIGINT) AS bal_cents,
+           bo.o_orderkey, bo.o_orderstatus, bo.price_cents,
+           TRUE AS is_retraction
+    FROM b_old bo
+    WHERE bo.c_custkey % 5 = 0 AND bo.c_custkey % 7 <> 3
+    ORDER BY c_custkey, o_orderkey, is_retraction
+    """,
+)
+def incremental_full_join_increment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The (appends, retractions) DELTA PAIR of the maintained FULL
+    OUTER view (round 10, operators.relational.delta_full_join_increment)
+    — what a refresh cycle ships, flagged ``is_retraction``. The
+    ORACLE derives all five terms independently: the two matched-
+    append joins, the right-null appends as a NOT-EXISTS against the
+    whole dimension, the left flips as the EXISTS/NOT-EXISTS
+    ("no historical order, gained one"), and the right flips as the
+    closed-form membership test (b_old facts of late-arriving
+    customers, c_custkey % 5 = 0 — exact because the synthetic data
+    has no orphan facts below the split). The hash match certifies
+    each append exactly once and both flip selections row-for-row —
+    a doomed right-null row materialized for a cross-delta match
+    breaks it (the ΔB ▷ A_new term uses A_NEW, not A_old)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _fj_sides(spark, sf_dir)
+    cut_b = F.lit("1997-01-01").cast("date")
+    appends, retractions = relational.delta_full_join_increment(
+        a.filter(F.col("c_custkey") % 5 != 0),
+        a.filter(F.col("c_custkey") % 5 == 0),
+        b.filter(F.col("o_orderdate") < cut_b).drop("o_orderdate"),
+        b.filter(F.col("o_orderdate") >= cut_b).drop("o_orderdate"),
+        on=["c_custkey"],
+    )
+    return (
+        appends.select(*_FJ_COLS)
+        .withColumn("is_retraction", F.lit(False))
+        .unionByName(
+            retractions.select(*_FJ_COLS).withColumn(
+                "is_retraction", F.lit(True)
+            )
+        )
+        .orderBy("c_custkey", "o_orderkey", "is_retraction")
+    )
+
+
+@query(
+    "incremental_full_join_retract",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+           c.c_mktsegment,
+           CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+           o.o_orderkey, o.o_orderstatus,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM (SELECT * FROM customer
+          WHERE c_custkey % 7 <> 3 AND c_custkey % 13 <> 0) c
+    FULL JOIN (SELECT * FROM orders
+               WHERE o_orderdate < DATE '1998-01-01') o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def incremental_full_join_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION maintenance of the FULL OUTER join view (round 10,
+    operators.relational.delta_full_join_retract) — a GDPR purge
+    (every 13th customer) plus a retention purge (orders from 1998 on)
+    hitting the same refresh: purged customers' matched rows flip to
+    RIGHT-null (their orders survive, 446 rows at sf0.01), and
+    surviving customers whose orders were ALL recent flip back to
+    left-null (17 rows) — the two reverse directions at once, plus
+    right-null rows whose order died outright. The ORACLE recomputes
+    the post-delete FULL JOIN from scratch; the hash match certifies
+    the three disjoint ``gone`` terms retract exactly once each and
+    both flip re-emissions land."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _fj_sides(spark, sf_dir)
+    b = b.withColumn("_recent", F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")).drop("o_orderdate")
+    del_a = F.col("c_custkey") % 13 == 0
+    view = a.join(b, ["c_custkey"], "full")
+    kept = relational.delta_full_join_retract(
+        view.drop("_recent"),
+        a.filter(~del_a),
+        a.filter(del_a),
+        b.filter(~F.coalesce(F.col("_recent"), F.lit(False))).drop("_recent"),
+        b.filter(F.coalesce(F.col("_recent"), F.lit(False))).drop("_recent"),
+        on=["c_custkey"],
+    )
+    return kept.select(*_FJ_COLS).orderBy("c_custkey", "o_orderkey")
+
+
+def _topk_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders shaped for the top-k view rows: top purchases per
+    account, totally ordered by (price desc, orderkey asc) so
+    refresh-equals-recompute is hash-exact."""
+    return t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderdate",
+    )
+
+
+def _topk(df: DataFrame, k: int = 3) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+@query(
+    "topk_view_refresh",
+    oracle="""
+    SELECT c_custkey, o_orderkey, price_cents
+    FROM (SELECT o_custkey AS c_custkey, o_orderkey,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY FLOOR(o_totalprice * 100 + 0.5) DESC,
+                            o_orderkey ASC) AS rn
+          FROM orders) s
+    WHERE rn <= 3
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def topk_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-group TOP-K view (round 10,
+    operators.relational.topk_view_refresh) — the rank twin of the
+    mergeable-aggregate refresh (reference per-query top-k:
+    sql/core/.../execution/basicOperators.scala TakeOrderedAndProject,
+    here maintained per account): the "top-3 purchases per customer"
+    view is materialized over pre-1997 orders, then 1997+ arrivals
+    fold in WITHOUT re-reading the base — under inserts the new top-k
+    is contained in state ∪ delta, so only the ~64% of accounts the
+    delta touches re-rank over delta-sized candidate sets and the rest
+    pass through an anti-join probe. The ORACLE recomputes ROW_NUMBER
+    over the full table; the hash match is the refresh-equals-
+    recompute audit (a stale horizon row kept, an eviction missed, or
+    a tie broken differently all break it — the order is total by
+    construction)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    base = _topk_base(spark, sf_dir)
+    cut = F.lit("1997-01-01").cast("date")
+    state = _topk(base.filter(F.col("o_orderdate") < cut).drop("o_orderdate"))
+    delta = base.filter(F.col("o_orderdate") >= cut).drop("o_orderdate")
+    out = relational.topk_view_refresh(
+        state,
+        delta,
+        ["c_custkey"],
+        [F.col("price_cents").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return out.orderBy("c_custkey", "o_orderkey")
+
+
+@query(
+    "topk_view_retract",
+    oracle="""
+    SELECT c_custkey, o_orderkey, price_cents
+    FROM (SELECT o_custkey AS c_custkey, o_orderkey,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY FLOOR(o_totalprice * 100 + 0.5) DESC,
+                            o_orderkey ASC) AS rn
+          FROM orders WHERE o_orderkey % 11 <> 0) s
+    WHERE rn <= 3
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def topk_view_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION maintenance of the per-group TOP-K view (round 10,
+    operators.relational.topk_view_retract) — the rank twin of
+    retract_agg_state's surgical min/max repair: purging every 11th
+    order dents some accounts' stored top-3, and the replacement rows
+    live BELOW the stored horizon — outside the state — so exactly
+    those broken groups re-rank from the post-delete base (semi-join-
+    pruned; at 100 TB with key-clustered storage that prunes to the
+    affected partitions), while groups whose deletions all ranked
+    below the horizon pass through untouched. The ORACLE recomputes
+    top-3 over the post-delete table; the hash match certifies both
+    the value-level broken-group selection (conservative-correct
+    under duplicate values) and the repair ranking."""
+    from big_data_project_implementation_spark.operators import relational
+
+    base = _topk_base(spark, sf_dir).drop("o_orderdate")
+    dead = F.col("o_orderkey") % 11 == 0
+    state = _topk(base)
+    out = relational.topk_view_retract(
+        state,
+        base.filter(dead),
+        base.filter(~dead),
+        ["c_custkey"],
+        [F.col("price_cents").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return out.orderBy("c_custkey", "o_orderkey")

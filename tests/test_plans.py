@@ -474,6 +474,17 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # round 10: keyed deletion — both id anti-joins broadcast; the
     # view is scanned once, never shuffled by the retraction itself
     "incremental_join_retract_keyed": (3, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    # round 10: FULL OUTER IVM — every delta-driven term is a
+    # broadcast join (12 of them: appends on both sides + both-side
+    # flip selections); the ONE SortMergeJoin is the inline view
+    # construction (a full outer of two base sides cannot broadcast —
+    # in deployment the view is a parquet read, not a join)
+    "incremental_full_join_refresh": (12, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'SortMergeJoin')),
+    # round 10: top-k maintenance — untouched groups pass through a
+    # broadcast anti probe, touched ones a broadcast semi; the
+    # remaining exchanges are the two per-group rank windows (inline
+    # state build + delta-sized re-rank) and the deterministic orderBy
+    "topk_view_refresh": (6, ('BroadcastHashJoin', 'BroadcastHashJoin')),
 }
 
 

@@ -331,3 +331,163 @@ def test_scd2_apply_arrivals_seam(spark, broadcast):
     assert got[(3, "C", t(2), None)] is True
     assert got[(4, "X", t(10), t(11))] is False
     assert got[(4, "Y", t(11), None)] is True
+
+
+def _rowsr(df):
+    """Sorted row tuples, None-safe (repr key avoids None<str ties)."""
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_full_ivm_increment_flips_both_sides(spark, broadcast):
+    """FULL OUTER arrivals flip in BOTH directions: an arriving ΔB
+    match kills an A row's left-null extension (key 2), an arriving
+    ΔA match kills a B row's RIGHT-null extension (key 10, duplicated
+    — once per copy), a cross-delta pair (key 7) appends exactly once
+    and never materializes a doomed right-null row (ΔB ▷ A_NEW, not
+    A_old), an unmatched ΔB row appends right-null (key 11), and an
+    unmatched ΔA row appends left-null (key 6). Refresh == full
+    recompute of A_new ⟗ B_new, bag-exact, both broadcast settings."""
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3")], "k int, av string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (3, "b3"), (10, "b10"), (10, "b10")], "k int, bv string"
+    )
+    delta_a = spark.createDataFrame(
+        [(6, "a6"), (7, "a7"), (10, "a10")], "k int, av string"
+    )
+    delta_b = spark.createDataFrame(
+        [(2, "b2"), (7, "b7"), (11, "b11")], "k int, bv string"
+    )
+    appends, retractions = relational.delta_full_join_increment(
+        a_old, delta_a, b_old, delta_b, on=["k"], broadcast_deltas=broadcast
+    )
+    # left flip (2) once, right flip (10) once per stored copy
+    assert _rowsr(retractions) == _rowsr(
+        spark.createDataFrame(
+            [(2, "a2", None), (10, None, "b10"), (10, None, "b10")],
+            "k int, av string, bv string",
+        )
+    )
+    ap = _rowsr(appends)
+    assert (7, "a7", "b7") in ap          # cross-delta folded in once
+    assert ap.count((7, "a7", "b7")) == 1
+    assert (7, None, "b7") not in ap      # no doomed right-null row
+    assert (11, None, "b11") in ap        # standing right-null append
+    assert (6, "a6", None) in ap          # left-null append
+    refreshed = relational.delta_full_join_refresh(
+        a_old.join(b_old, ["k"], "full"),
+        a_old, delta_a, b_old, delta_b,
+        on=["k"], broadcast_deltas=broadcast,
+    )
+    assert _rowsr(refreshed) == _rowsr(
+        a_old.unionByName(delta_a).join(
+            b_old.unionByName(delta_b), ["k"], "full"
+        )
+    )
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_full_ivm_retract_flips_both_sides(spark, broadcast):
+    """FULL OUTER deletions flip back in BOTH directions: deleting a
+    surviving B row's only A match flips it to right-null (key 1),
+    deleting a surviving A row's only B match flips it to left-null
+    (key 3), a deleted left-null A row just disappears (key 5), a
+    deleted right-null B row just disappears (key 9), and a key with
+    two matches keeps the survivor un-flipped (key 4). Result ==
+    post-delete FULL JOIN recompute, bag-exact."""
+    a = spark.createDataFrame(
+        [(1, "a1"), (3, "a3"), (4, "a4"), (5, "a5")], "k int, av string"
+    )
+    b = spark.createDataFrame(
+        [(1, "b1"), (3, "b3"), (4, "b4a"), (4, "b4b"), (9, "b9")],
+        "k int, bv string",
+    )
+    retract_a = a.filter(F.col("av").isin("a1", "a5"))
+    a_new = a.exceptAll(retract_a)
+    retract_b = b.filter(F.col("bv").isin("b3", "b4b", "b9"))
+    b_new = b.exceptAll(retract_b)
+    kept = relational.delta_full_join_retract(
+        a.join(b, ["k"], "full"),
+        a_new, retract_a, b_new, retract_b,
+        on=["k"], broadcast_deltas=broadcast,
+    )
+    expected = _rowsr(a_new.join(b_new, ["k"], "full"))
+    assert _rowsr(kept) == expected
+    assert (1, None, "b1") in expected    # right flip happened
+    assert (3, "a3", None) in expected    # left flip happened
+    assert (4, "a4", "b4a") in expected   # survivor kept matched
+    assert all(r[0] not in (5, 9) for r in expected)  # nulls purged
+
+
+def test_topk_view_refresh_only_touched_groups_rerank(spark):
+    """Append-only top-k maintenance: groups untouched by the delta
+    pass through; touched groups re-rank over state ∪ delta only —
+    and the result equals the full ROW_NUMBER recompute over
+    base ∪ delta. k=2, total order (score desc, id asc)."""
+    base = spark.createDataFrame(
+        [("g1", 1, 50), ("g1", 2, 40), ("g1", 3, 30),
+         ("g2", 4, 10), ("g2", 5, 20)],
+        "g string, id int, score int",
+    )
+    delta = spark.createDataFrame(
+        [("g1", 6, 45), ("g3", 7, 5)], "g string, id int, score int"
+    )
+    from pyspark.sql.window import Window
+
+    order = [F.col("score").desc(), F.col("id").asc()]
+    w = Window.partitionBy("g").orderBy(*order)
+
+    def topk(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 2)
+            .drop("_rn")
+        )
+
+    state = topk(base)
+    out = relational.topk_view_refresh(state, delta, ["g"], order, 2)
+    assert _rowsr(out) == _rowsr(topk(base.unionByName(delta)))
+    rows = _rowsr(out)
+    assert ("g1", 6, 45) in rows and ("g1", 2, 40) not in rows  # evicted
+    assert ("g2", 5, 20) in rows                                # untouched
+    assert ("g3", 7, 5) in rows                                 # new group
+
+
+def test_topk_view_retract_surgical_repair(spark):
+    """Deletion top-k maintenance: deleting a stored row opens a hole
+    filled from BELOW the horizon (g1 loses its #1; #3 must surface —
+    it lives only in the base), deleting a below-horizon row leaves
+    the stored group untouched (g2), and deleting a whole group's
+    rows removes it. Equals full recompute over the post-delete
+    base."""
+    base = spark.createDataFrame(
+        [("g1", 1, 50), ("g1", 2, 40), ("g1", 3, 30),
+         ("g2", 4, 20), ("g2", 5, 15), ("g2", 6, 10),
+         ("g3", 7, 9)],
+        "g string, id int, score int",
+    )
+    retract = base.filter(F.col("id").isin(1, 6, 7))
+    remaining = base.exceptAll(retract)
+    from pyspark.sql.window import Window
+
+    order = [F.col("score").desc(), F.col("id").asc()]
+    w = Window.partitionBy("g").orderBy(*order)
+
+    def topk(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 2)
+            .drop("_rn")
+        )
+
+    state = topk(base)
+    out = relational.topk_view_retract(
+        state, retract, remaining, ["g"], order, 2
+    )
+    assert _rowsr(out) == _rowsr(topk(remaining))
+    rows = _rowsr(out)
+    assert ("g1", 3, 30) in rows      # below-horizon replacement found
+    assert ("g2", 4, 20) in rows      # untouched group passed through
+    assert all(r[0] != "g3" for r in rows)  # fully-deleted group gone

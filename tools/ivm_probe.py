@@ -243,6 +243,125 @@ def probe_retract(spark, sf_dir: str, factor: int, work: str) -> dict:
     }
 
 
+def probe_full(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 10: the FULL OUTER twin — refresh (appends + BOTH-side
+    null-flip retractions) and the increment pair vs full FULL JOIN
+    recompute. Note the deltas here are production-shaped in the
+    interesting way: most arriving lineitems reference orders arriving
+    in the SAME refresh (the cross-delta term), and the rest go
+    right-null until their order lands — both paths exercised."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
+    a_old = replicate(a_old, factor, f"{work}/fa_old.parquet", spark)
+    b_old = replicate(b_old, factor, f"{work}/fb_old.parquet", spark)
+
+    view_path = f"{work}/fview.parquet"
+    t0 = time.time()
+    a_old.join(b_old, ["o_orderkey"], "full").write.mode(
+        "overwrite"
+    ).parquet(view_path)
+    t_mat = round(time.time() - t0, 2)
+    view = spark.read.parquet(view_path)
+
+    appends, retractions = relational.delta_full_join_increment(
+        a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    )
+    t_inc = timed(appends.unionByName(retractions))
+    t_refresh = timed(
+        relational.delta_full_join_refresh(
+            view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        )
+    )
+    t_recompute = timed(
+        a_old.unionByName(delta_a).join(
+            b_old.unionByName(delta_b), ["o_orderkey"], "full"
+        )
+    )
+    return {
+        "materialize_view_s": t_mat,
+        "increment_pair_s": t_inc,
+        "refresh_s": t_refresh,
+        "recompute_s": t_recompute,
+        "recompute_over_increment": round(t_recompute / t_inc, 2),
+        "recompute_over_refresh": round(t_recompute / t_refresh, 2),
+    }
+
+
+def probe_topk(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 10: per-group TOP-K view maintenance — the account base
+    grows factor x (custkey stride keeps replicas disjoint) while the
+    delta stays one day's arrivals; state is ≤ 3·|accounts| rows.
+    Times refresh (anti/semi split + delta-sized re-rank) and the
+    surgical deletion repair against full ROW_NUMBER recomputes."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators import relational
+    from pyspark.sql.window import Window
+
+    stride = 1_000_000_000
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderdate",
+    )
+    cut = F.lit(CUT_A).cast("date")
+    old = o.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    delta = o.filter(F.col("o_orderdate") >= cut).drop("o_orderdate")
+    if factor > 1:
+        old = old.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        ).withColumn(
+            "o_custkey",
+            F.col("o_custkey").cast("bigint")
+            + F.col("_r").cast("bigint") * F.lit(stride),
+        ).drop("_r")
+    old.write.mode("overwrite").parquet(f"{work}/tk_base.parquet")
+    old = spark.read.parquet(f"{work}/tk_base.parquet")
+
+    order = [F.col("price_cents").desc(), F.col("o_orderkey").asc()]
+    w = Window.partitionBy("o_custkey").orderBy(*order)
+
+    def topk(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+            .drop("_rn")
+        )
+
+    state_path = f"{work}/tk_state.parquet"
+    t0 = time.time()
+    topk(old).write.mode("overwrite").parquet(state_path)
+    t_mat = round(time.time() - t0, 2)
+    state = spark.read.parquet(state_path)
+
+    t_refresh = timed(
+        relational.topk_view_refresh(state, delta, ["o_custkey"], order, 3)
+    )
+    t_recompute = timed(topk(old.unionByName(delta)))
+    dead = F.col("o_orderkey") % 11 == 0
+    t_retract = timed(
+        relational.topk_view_retract(
+            state, old.filter(dead), old.filter(~dead),
+            ["o_custkey"], order, 3,
+        )
+    )
+    t_recompute_del = timed(topk(old.filter(~dead)))
+    return {
+        "state_rows": state.count(),
+        "delta_rows": delta.count(),
+        "materialize_state_s": t_mat,
+        "refresh_s": t_refresh,
+        "recompute_s": t_recompute,
+        "retract_s": t_retract,
+        "recompute_post_delete_s": t_recompute_del,
+        "recompute_over_refresh": round(t_recompute / t_refresh, 2),
+        "recompute_over_retract": round(t_recompute_del / t_retract, 2),
+    }
+
+
 def probe_scd2(spark, sf_dir: str, factor: int, work: str) -> dict:
     """Round 10: SCD2-view maintenance — the user-base (and its SCD2
     history) grows factor x (user-id stride keeps replicas disjoint)
@@ -295,7 +414,7 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--shapes",
-        default="inner,left,retract,scd2",
+        default="inner,left,full,retract,topk,scd2",
         help="comma list of probe families to run",
     )
     args = ap.parse_args()
@@ -309,11 +428,13 @@ def main() -> None:
     fns = {
         "inner": probe,
         "left": probe_left,
+        "full": probe_full,
         "retract": probe_retract,
+        "topk": probe_topk,
         "scd2": probe_scd2,
     }
     report: dict = {"factor": args.factor}
-    for shape in ("inner", "left", "retract", "scd2"):
+    for shape in ("inner", "left", "full", "retract", "topk", "scd2"):
         if shape not in shapes:
             continue
         fn = fns[shape]
