@@ -605,8 +605,11 @@ def ab_welch_t2(
     |S1a·nb − S1b·na|·√(na·nb) < 10¹⁹, e.g. micro-unit per-unit means
     up to 10⁶ with arms up to ~3·10⁶ units. PAST the envelope the
     result is never silently NULL: overflow NULLs are caught by the
-    assert and fail loudly. df_q6's reduced form has no practical
-    ceiling (exact to arms of ~10¹³ units).
+    assert and fail loudly, and inside the envelope the t² floor is a
+    two-step form (quotient·1e6 + scaled remainder) with an exact 2e19
+    pre-shrink branch for denominators past 10³², so no intermediate
+    of the division itself can overflow either. df_q6's reduced form
+    has no practical ceiling (exact to arms of ~10¹³ units).
 
     Scale shape: one per-unit groupBy (map-side combined), then one
     always-exactly-one-row conditional rollup — no corpus-sized
@@ -706,9 +709,25 @@ def ab_welch_t2(
         "sum_b",
         (F.expr("sum_a * 1000000 div n_a") / 1e6).alias("mean_a_q6"),
         (F.expr("sum_b * 1000000 div n_b") / 1e6).alias("mean_b_q6"),
+        # two-step floor (exact, no 1e6 blow-up of a near-38-digit
+        # numerator); a denominator past 10^32 — where even the
+        # remainder·1e6 product would overflow — takes the same exact
+        # 2e19 pre-shrink branch as the _u fixed-point (relative error
+        # ~4e-13, below the q6 quantum), so t2_q6 is NEVER silently
+        # NULL inside the guard
         F.when(
             guarded,
-            F.expr("CAST(_num * 1000000 DIV _den AS DOUBLE)") / 1e6,
+            F.expr(
+                "CASE WHEN _den < CAST("
+                f" 100000000000000000000000000000000 AS {d38})"
+                " THEN CAST((_num div _den) * 1000000 +"
+                f" (CAST(_num % _den AS {d38}) * 1000000) div _den"
+                " AS DOUBLE)"
+                " ELSE CAST((CAST(_num div 20000000000000000000 AS"
+                f" {d38}) * 1000000) div"
+                " (_den div 20000000000000000000) AS DOUBLE) END"
+            )
+            / 1e6,
         ).alias("t2_q6"),
         # two-step floor: floor(1e6 N/D) = 1e6 floor(N/D) +
         # floor(1e6 (N mod D) / D) — exact without the 1e6 blow-up

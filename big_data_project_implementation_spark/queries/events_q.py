@@ -571,7 +571,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_a, n_b, sum_a, sum_b,
            CAST(sum_a * 1000000 // n_a AS DOUBLE) / 1e6 AS mean_a_q6,
            CAST(sum_b * 1000000 // n_b AS DOUBLE) / 1e6 AS mean_b_q6,
-           CAST(num * 1000000 // den AS DOUBLE) / 1e6 AS t2_q6,
+           CASE WHEN den < 100000000000000000000000000000000
+                THEN CAST((num // den) * 1000000
+                          + ((num % den) * 1000000) // den AS DOUBLE) / 1e6
+                ELSE CAST(((num // 20000000000000000000) * 1000000)
+                          // (den // 20000000000000000000) AS DOUBLE) / 1e6
+           END AS t2_q6,
            CAST((dfnum // dfden) * 1000000
                 + ((dfnum % dfden) * 1000000) // dfden AS DOUBLE)
              / 1e6 AS df_q6

@@ -1624,3 +1624,76 @@ def topk_view_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         3,
     )
     return out.orderBy("c_custkey", "o_orderkey")
+
+
+@query(
+    "incremental_join_agg_refresh",
+    oracle="""
+    SELECT o.o_orderstatus, l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MIN(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus, l.l_returnflag
+    ORDER BY o.o_orderstatus, l.l_returnflag
+    """,
+)
+def incremental_join_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED view maintenance (round 10): an AGGREGATE OVER A JOIN
+    — revenue stats per (order status, return flag) over
+    orders ⋈ lineitem — maintained end-to-end from deltas alone,
+    stacking the two IVM algebras: the join increment
+    ΔM = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB) feeds mergeable_agg_state, which
+    folds into the stored state via merge_agg_states — so a refresh
+    cycle touches |Δ|·match-rate join rows and a keys-sized state,
+    NEVER the base join (at 100 TB the interesting case: the join
+    view itself may be too big to keep, but the agg-over-join state
+    is thousands of rows — this composition maintains it without
+    materializing ΔM beyond the shuffle). Composition is exactly why
+    the state algebra demands integer measures and bag-exact deltas:
+    any slack in either layer and the stacked hash breaks. The ORACLE
+    recomputes the full join + GROUP BY from scratch; the hash match
+    certifies the increment's multiplicities THROUGH the aggregation
+    (a double-folded cross-delta term shifts n; a missed A_old ⋈ ΔB
+    row shifts sum)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    b = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        "l_shipdate",
+    )
+    cut_a = F.lit("1997-01-01").cast("date")
+    cut_b = F.lit("1996-01-01").cast("date")
+    a_old = a.filter(F.col("o_orderdate") < cut_a).drop("o_orderdate")
+    delta_a = a.filter(F.col("o_orderdate") >= cut_a).drop("o_orderdate")
+    b_old = b.filter(F.col("l_shipdate") < cut_b).drop("l_shipdate")
+    delta_b = b.filter(F.col("l_shipdate") >= cut_b).drop("l_shipdate")
+    keys = ["o_orderstatus", "l_returnflag"]
+    state = relational.mergeable_agg_state(
+        a_old.join(b_old, ["o_orderkey"]), keys, "price_cents"
+    )
+    delta_m = relational.delta_join_increment(
+        a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    )
+    merged = relational.merge_agg_states(
+        state, relational.mergeable_agg_state(delta_m, keys, "price_cents"),
+        keys,
+    )
+    return merged.select(
+        *keys,
+        "n",
+        F.col("sum").alias("total_cents"),
+        F.col("min").alias("min_cents"),
+        F.col("max").alias("max_cents"),
+    ).orderBy(*keys)
