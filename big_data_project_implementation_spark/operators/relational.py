@@ -1172,3 +1172,53 @@ def topk_view_retract(
         .drop("_rn")
     )
     return clean.unionByName(repaired)
+
+
+def distinct_view_state(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Count-annotated state for a maintained DISTINCT view (round 10)
+    — the classic third IVM shape next to SPJ views and aggregate
+    states: a DISTINCT projection is not directly maintainable under
+    deletions (removing one duplicate must NOT remove the view row),
+    so the state carries per-value multiplicity ``n`` and the view is
+    its n > 0 projection. State size is |distinct values|, never the
+    base."""
+    return df.groupBy(*cols).agg(F.count("*").cast("bigint").alias("n"))
+
+
+def distinct_view_apply(
+    state: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Apply one batch of INSERTS and DELETES to a count-annotated
+    DISTINCT view state (round 10): multiplicities are a group under
+    addition, so the new state is one union + groupBy —
+
+        n' = n + |inserts per value| − |deletes per value|,  keep n' > 0
+
+    A value whose last copy dies leaves the view; a value deleted and
+    re-inserted in the same batch survives with the net count; a brand
+    new value enters with its insert count. ``deletes`` must be a
+    sub-bag of state ∪ inserts (the caller's CDC contract — same as
+    ``retract_agg_state``). Scale: cost ∝ |state| + |Δ| — one
+    map-side-combined aggregation over the three terms, no base scan,
+    no min/max-style repair needed (counts are a group, not a
+    semilattice). The registry row's oracle recomputes SELECT DISTINCT
+    from the post-change base; the view projection is the n > 0
+    filter."""
+    delta = (
+        inserts.select(*cols)
+        .withColumn("n", F.lit(1).cast("bigint"))
+        .unionByName(
+            deletes.select(*cols).withColumn(
+                "n", F.lit(-1).cast("bigint")
+            )
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy(*cols)
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .filter(F.col("n") > 0)
+    )

@@ -1697,3 +1697,48 @@ def incremental_join_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min").alias("min_cents"),
         F.col("max").alias("max_cents"),
     ).orderBy(*keys)
+
+
+@query(
+    "incremental_distinct_apply",
+    oracle="""
+    SELECT DISTINCT CAST(o_custkey % 100 AS BIGINT) AS cust_bucket,
+           o_orderstatus
+    FROM orders
+    WHERE NOT (o_orderdate < DATE '1997-01-01' AND o_orderkey % 13 = 0)
+    ORDER BY cust_bucket, o_orderstatus
+    """,
+)
+def incremental_distinct_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained DISTINCT view (round 10,
+    operators.relational.distinct_view_state / distinct_view_apply) —
+    the third classic IVM shape: the distinct (customer bucket, order
+    status) pairs are materialized as a count-annotated state over the
+    historical partition, then ONE apply folds in a batch of arrivals
+    (1997+ orders) AND a GDPR purge (every 13th historical order) —
+    inserts and deletes in the same cycle, the CDC shape. Counts are a
+    group under addition, so there is no repair path: one union +
+    map-side-combined groupBy, cost ∝ |state| + |Δ|. The ORACLE
+    recomputes SELECT DISTINCT from the post-change base; the hash
+    match certifies the multiplicity bookkeeping (a value whose last
+    copy died must leave; one surviving duplicate must keep its row;
+    a same-batch delete+insert must net out)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).cast("bigint").alias("cust_bucket"),
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    cut = F.lit("1997-01-01").cast("date")
+    old = o.filter(F.col("o_orderdate") < cut)
+    cols = ["cust_bucket", "o_orderstatus"]
+    state = relational.distinct_view_state(old, cols)
+    new_state = relational.distinct_view_apply(
+        state,
+        inserts=o.filter(F.col("o_orderdate") >= cut),
+        deletes=old.filter(F.col("o_orderkey") % 13 == 0),
+        cols=cols,
+    )
+    return new_state.select(*cols).orderBy(*cols)

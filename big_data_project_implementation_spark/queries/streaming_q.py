@@ -1611,3 +1611,130 @@ def stream_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "l_linenumber")
     )
+
+
+def _stream_left_join_machinery(spark: SparkSession, sf_dir: str, out_dir: str):
+    """(stream builder, foreachBatch gate, view reader) for the
+    streaming LEFT OUTER view — shared by the registry row and the
+    restart pytest. A LEFT OUTER view is NOT monotone under arriving
+    facts (each arrival can kill a null-extension row), so a naive
+    append sink cannot maintain it. The factorization that restores
+    monotonicity: store (1) the INNER increments per batch — append-
+    only, exactly the one-sided `delta_join_increment` — and (2) the
+    arriving join KEYS per batch — also append-only, since an order
+    once matched never un-matches under append-only streams. The
+    null complement is derived at read as orders ▷ matched-keys
+    (dimension-sized, pruned by a compact key log), so NOTHING stored
+    is ever rewritten and both logs stay exactly-once by batch_id
+    partition overwrite."""
+    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.queries.registry import (
+        lineitem_stream,
+    )
+
+    def project_b(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus")
+        .localCheckpoint(eager=True)
+    )
+    empty_a = orders.filter(F.lit(False))
+    view_cols = [
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents",
+    ]
+
+    def build(s: SparkSession) -> DataFrame:
+        return lineitem_stream(s, sf_dir)
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        delta_b = batch.transform(project_b)
+        inc = relational.delta_join_increment(
+            orders,
+            empty_a,
+            delta_b.filter(F.lit(False)),
+            delta_b,
+            on=["o_orderkey"],
+        )
+        inc.select(*view_cols).write.mode("overwrite").parquet(
+            f"{out_dir}/matches/batch_id={batch_id}"
+        )
+        delta_b.select("o_orderkey").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/keys/batch_id={batch_id}")
+
+    def read_view(s: SparkSession) -> DataFrame:
+        matches = (
+            s.read.option("basePath", f"{out_dir}/matches")
+            .parquet(f"{out_dir}/matches/batch_id=*")
+            .select(*view_cols)
+        )
+        matched_keys = (
+            s.read.option("basePath", f"{out_dir}/keys")
+            .parquet(f"{out_dir}/keys/batch_id=*")
+            .select("o_orderkey")
+            .distinct()
+        )
+        nulls = relational._null_extend(
+            orders.join(matched_keys, ["o_orderkey"], "anti"),
+            view_cols,
+            matches.schema,
+        )
+        return matches.unionByName(nulls)
+
+    return build, gate, read_view
+
+
+@query(
+    "stream_incremental_left_join",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def stream_incremental_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained LEFT OUTER join view (round 10): the
+    streaming twin of `incremental_left_join_refresh`, completing the
+    outer algebra's streaming symmetry. The flip problem — each
+    arriving lineitem can kill an order's null-extension row — makes
+    the view non-monotone, so the machinery stores the MONOTONE
+    factorization instead: per-batch inner increments (∝ arrivals)
+    plus an append-only matched-key log (an order once matched never
+    un-matches under append-only streams), and derives the null
+    complement at read as orders ▷ matched-keys. Nothing stored is
+    ever rewritten; exactly-once by batch_id partition overwrite on
+    BOTH logs (restart pytest). The ORACLE recomputes the full LEFT
+    JOIN, so the hash match certifies the factorization end to end —
+    a surviving stale null row for a matched order (~98.3% of them)
+    or a dropped never-matched order (~1.7%) both break it."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="stream_ljoin_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ljoin_ckpt_")
+    build, gate, read_view = _stream_left_join_machinery(
+        spark, sf_dir, out_dir
+    )
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        build(sub)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_view(spark).orderBy("o_orderkey", "l_linenumber")

@@ -491,3 +491,22 @@ def test_topk_view_retract_surgical_repair(spark):
     assert ("g1", 3, 30) in rows      # below-horizon replacement found
     assert ("g2", 4, 20) in rows      # untouched group passed through
     assert all(r[0] != "g3" for r in rows)  # fully-deleted group gone
+
+
+def test_distinct_view_apply_multiplicity_bookkeeping(spark):
+    """The count-annotated DISTINCT state handles every multiplicity
+    edge in one apply: last-copy death leaves the view ('b'),
+    a surviving duplicate keeps its row ('a': 2 − 1 = 1),
+    same-batch delete+insert nets out ('c': 1 − 1 + 2 = 2),
+    and a brand-new value enters ('d')."""
+    base = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",)], "v string"
+    )
+    state = relational.distinct_view_state(base, ["v"])
+    inserts = spark.createDataFrame([("c",), ("c",), ("d",)], "v string")
+    deletes = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    out = relational.distinct_view_apply(state, inserts, deletes, ["v"])
+    assert _rows(out) == [("a", 1), ("c", 2), ("d", 1)]
+    # idempotent view projection == recompute
+    post = base.exceptAll(deletes).unionByName(inserts)
+    assert _rows(out.select("v")) == _rows(post.select("v").distinct())

@@ -1028,3 +1028,72 @@ def test_stream_incremental_join_restart_appends_nothing(spark):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_incremental_left_join_restart_is_stable(spark):
+    """The streaming LEFT OUTER view (round 10) survives a
+    checkpointed restart: run 2 from the same checkpoint replays no
+    batch, both logs (inner increments + matched keys) are unchanged,
+    and the derived view still equals the full LEFT JOIN — including
+    exactly one null-extension row per never-matched order."""
+    from big_data_project_implementation_spark.queries.streaming_q import (
+        _stream_left_join_machinery,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="slj_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="slj_restart_ckpt_")
+    build, gate, read_view = _stream_left_join_machinery(
+        spark, SF_DIR, out_dir
+    )
+
+    def run_once():
+        sub = spark.newSession()
+        sub.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            build(sub)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def canon(df):
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    try:
+        run_once()
+        first = canon(read_view(spark))
+        assert first, "no rows in the maintained view"
+        want = canon(
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .selectExpr("o_orderkey", "o_orderstatus")
+            .join(
+                spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+                    "l_orderkey AS o_orderkey",
+                    "l_linenumber",
+                    "CAST(l_quantity AS BIGINT) AS qty",
+                    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                    " AS price_cents",
+                ),
+                ["o_orderkey"],
+                "left",
+            )
+            .select(
+                "o_orderkey",
+                "l_linenumber",
+                "o_orderstatus",
+                "qty",
+                "price_cents",
+            )
+        )
+        assert first == want
+        # never-matched orders appear exactly once, null-extended
+        nulls = [r for r in first if r[1] is None]
+        assert nulls and len(nulls) == len({r[0] for r in nulls})
+        run_once()  # restart from the same checkpoint: replays nothing
+        assert canon(read_view(spark)) == first
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
