@@ -1222,3 +1222,170 @@ def distinct_view_apply(
         .agg(F.sum("n").cast("bigint").alias("n"))
         .filter(F.col("n") > 0)
     )
+
+
+def delta_semi_join_refresh(
+    view: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally refresh a materialized LEFT SEMI join view under
+    arrivals (round 10) — with FULL OUTER done, this and the anti twin
+    complete the join-TYPE IVM matrix over §2.3 (reference semi-join
+    execution: sql/core/src/main/scala/org/apache/spark/sql/execution/
+    joins/LeftSemiJoinHash.scala). A semi view ``M = A ⋉ B`` is
+    MONOTONE under arrivals — existing rows never flip out — so the
+    refresh is pure append:
+
+        M' = M ∪ (ΔA ⋉ B_new) ∪ (A_old ▷ B_old ⋉ ΔB)
+
+    The second term is the flip INTO the view: A_old rows that had no
+    match and gained one (anti∘semi preserves left multiplicities, so
+    k copies enter k times; an A_old row that ALREADY matched must not
+    re-enter — the ▷ B_old guard). Every term is delta-driven; with
+    ``broadcast_deltas`` neither base shuffles and the view is only
+    unioned, never scanned. The registry row's oracle recomputes
+    EXISTS from the post-arrival sides."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_new = b_old.unionByName(delta_b)
+    entered = (
+        _semi_small_left(delta_a, b_new, on)
+        if broadcast_deltas
+        else delta_a.join(b_new.select(*on).distinct(), on, "semi")
+    )
+    flips = a_old.join(
+        maybe_b(delta_b.select(*on).distinct()), on, "semi"
+    ).join(b_old, on, "anti")
+    return view.unionByName(entered).unionByName(flips)
+
+
+def _semi_small_left(small_a: DataFrame, big_b: DataFrame, on: list[str]) -> DataFrame:
+    """``small_a ⋉ big_b`` without shuffling the big side: semi-probe
+    the big side with a broadcast of the small side's keys, then
+    broadcast the matched keys back — the semi twin of
+    :func:`_small_left_outer`'s decomposition."""
+    matched_keys = (
+        big_b.join(F.broadcast(small_a.select(*on).distinct()), on, "semi")
+        .select(*on)
+        .distinct()
+    )
+    return small_a.join(F.broadcast(matched_keys), on, "semi")
+
+
+def delta_semi_join_retract(
+    view: DataFrame,
+    a_new: DataFrame,
+    retract_a: DataFrame,
+    b_new: DataFrame,
+    retract_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Apply DELETIONS to a materialized LEFT SEMI join view
+    (round 10): a view row dies if its A row was deleted, or if its
+    matches ALL died —
+
+        gone = (Δ⁻A ⋉ B) ∪ (a_new ⋉ Δ⁻B ▷ b_new)
+        M'   = M exceptAll gone
+
+    (B = b_new ∪ Δ⁻B; the second term is the flip OUT — had a deleted
+    match, has no surviving one; bag-exact per A-row copy). The
+    exceptAll is the honest keyless cost, state-sized here since a
+    semi view is at most |A|. Oracle recomputes EXISTS post-delete."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_all = b_new.unionByName(retract_b)
+    dead_a = (
+        _semi_small_left(retract_a, b_all, on)
+        if broadcast_deltas
+        else retract_a.join(b_all.select(*on).distinct(), on, "semi")
+    )
+    flips_out = a_new.join(
+        maybe_b(retract_b.select(*on).distinct()), on, "semi"
+    ).join(b_new, on, "anti")
+    return view.exceptAll(dead_a.unionByName(flips_out))
+
+
+def delta_anti_join_refresh(
+    view: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally refresh a materialized LEFT ANTI join view under
+    arrivals (round 10) — the dual of :func:`delta_semi_join_refresh`
+    (reference anti/not-exists execution: the LeftSemiJoinHash family
+    with the condition negated): an anti view ``M = A ▷ B`` is
+    ANTI-monotone under B arrivals — ΔB only removes rows —
+
+        appends     = ΔA ▷ B_new
+        retractions = A_old ▷ B_old ⋉ ΔB      (= the semi twin's flip,
+                                               leaving this view)
+        M' = (M exceptAll retractions) ∪ appends
+
+    The retraction term is exactly the semi view's entry term — the
+    two views partition A, and the registry rows certify both sides of
+    that identity against independent EXISTS / NOT EXISTS oracles."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_new = b_old.unionByName(delta_b)
+    appends = (
+        _anti_small_left(delta_a, b_new, on)
+        if broadcast_deltas
+        else delta_a.join(b_new.select(*on).distinct(), on, "anti")
+    )
+    retractions = a_old.join(
+        maybe_b(delta_b.select(*on).distinct()), on, "semi"
+    ).join(b_old, on, "anti")
+    return view.exceptAll(retractions).unionByName(appends)
+
+
+def _anti_small_left(small_a: DataFrame, big_b: DataFrame, on: list[str]) -> DataFrame:
+    """``small_a ▷ big_b`` without shuffling the big side — anti the
+    broadcast matched-key set back (see :func:`_semi_small_left`)."""
+    matched_keys = (
+        big_b.join(F.broadcast(small_a.select(*on).distinct()), on, "semi")
+        .select(*on)
+        .distinct()
+    )
+    return small_a.join(F.broadcast(matched_keys), on, "anti")
+
+
+def delta_anti_join_retract(
+    view: DataFrame,
+    a_new: DataFrame,
+    retract_a: DataFrame,
+    b_new: DataFrame,
+    retract_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Apply DELETIONS to a materialized LEFT ANTI join view
+    (round 10): deleted A rows leave; surviving A rows whose matches
+    ALL died flip IN —
+
+        gone  = Δ⁻A ▷ B                       (B = b_new ∪ Δ⁻B)
+        flips = a_new ⋉ Δ⁻B ▷ b_new
+        M'    = (M exceptAll gone) ∪ flips
+
+    ``flips`` is again the semi twin's flip-out term — rows crossing
+    the partition boundary between the two views. Oracle recomputes
+    NOT EXISTS post-delete; a row flipping in twice (once per deleted
+    match) would break the hash — the semi(Δ⁻B keys)∘anti(b_new)
+    composition admits each a-row copy exactly once."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_all = b_new.unionByName(retract_b)
+    gone = (
+        _anti_small_left(retract_a, b_all, on)
+        if broadcast_deltas
+        else retract_a.join(b_all.select(*on).distinct(), on, "anti")
+    )
+    flips = a_new.join(
+        maybe_b(retract_b.select(*on).distinct()), on, "semi"
+    ).join(b_new, on, "anti")
+    return view.exceptAll(gone).unionByName(flips)

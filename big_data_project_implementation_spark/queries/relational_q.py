@@ -1742,3 +1742,181 @@ def incremental_distinct_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols=cols,
     )
     return new_state.select(*cols).orderBy(*cols)
+
+
+def _sj_sides(spark: SparkSession, sf_dir: str):
+    """Shared shaping for the SEMI/ANTI IVM rows: 'orders with (vs
+    without) at least one high-quantity lineitem' — 5,640 vs 9,360 of
+    15,000 orders at sf0.01, so both views and both flip directions
+    are real populations."""
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    b = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_shipdate"
+    )
+    return a, b
+
+
+@query(
+    "incremental_semi_join_refresh",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity >= 45)
+    ORDER BY o_orderkey
+    """,
+)
+def incremental_semi_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained LEFT SEMI join view (round 10,
+    operators.relational.delta_semi_join_refresh) — with inner, left
+    and full outer done, this and the anti twin complete the
+    join-TYPE IVM matrix over §2.3 (reference
+    sql/core/.../execution/joins/LeftSemiJoinHash.scala:30): the
+    'orders with a high-quantity item' view is monotone under
+    arrivals, so the refresh is pure append — arriving orders that
+    match (ΔA ⋉ B_new) plus historical orders FLIPPED IN by an
+    arriving item (A_old ▷ B_old ⋉ ΔB — 1,404 flips at sf0.01, each
+    admitted exactly once however many new items match). The ORACLE
+    recomputes EXISTS over the full tables; an already-matched order
+    re-entering (the ▷ B_old guard) breaks the hash as a duplicate."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _sj_sides(spark, sf_dir)
+    cut_a = F.lit("1997-01-01").cast("date")
+    cut_b = F.lit("1996-01-01").cast("date")
+    a_old = a.filter(F.col("o_orderdate") < cut_a).drop("o_orderdate")
+    delta_a = a.filter(F.col("o_orderdate") >= cut_a).drop("o_orderdate")
+    b_old = b.filter(F.col("l_shipdate") < cut_b).drop("l_shipdate")
+    delta_b = b.filter(F.col("l_shipdate") >= cut_b).drop("l_shipdate")
+    view = a_old.join(b_old, ["o_orderkey"], "semi")
+    out = relational.delta_semi_join_refresh(
+        view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    )
+    return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+
+@query(
+    "incremental_semi_join_retract",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE o_orderkey % 13 <> 0
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity >= 45
+                    AND (l.l_orderkey + l.l_linenumber) % 3 <> 0)
+    ORDER BY o_orderkey
+    """,
+)
+def incremental_semi_join_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION maintenance of the SEMI join view (round 10,
+    operators.relational.delta_semi_join_retract): purging every 13th
+    order removes its view row outright, and purging a third of the
+    high-quantity items FLIPS OUT exactly the surviving orders whose
+    matches ALL died (1,497 at sf0.01) — an order keeping one
+    surviving item must stay. The ORACLE recomputes EXISTS over the
+    post-delete sides; the exceptAll is state-sized (a semi view is
+    at most |A|)."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _sj_sides(spark, sf_dir)
+    a = a.drop("o_orderdate")
+    b = b.drop("l_shipdate")
+    del_a = F.col("o_orderkey") % 13 == 0
+    del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 3 == 0
+    view = a.join(b, ["o_orderkey"], "semi")
+    out = relational.delta_semi_join_retract(
+        view,
+        a.filter(~del_a),
+        a.filter(del_a),
+        b.filter(~del_b),
+        b.filter(del_b),
+        on=["o_orderkey"],
+    )
+    return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+
+@query(
+    "incremental_anti_join_refresh",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45)
+    ORDER BY o_orderkey
+    """,
+)
+def incremental_anti_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained LEFT ANTI join view (round 10,
+    operators.relational.delta_anti_join_refresh) — the NOT EXISTS
+    dual: anti-monotone under B arrivals, so the refresh RETRACTS the
+    orders an arriving item matches (the semi twin's 1,404 flip-ins
+    are exactly this view's retractions — the two views partition the
+    order table, and the two rows certify both sides of that identity
+    against independent EXISTS / NOT EXISTS oracles) and appends only
+    the arriving orders that match nothing. A stale flipped row kept,
+    or a ΔA row probed against B_old instead of B_NEW (it must not
+    enter if a same-cycle item covers it), breaks the hash."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _sj_sides(spark, sf_dir)
+    cut_a = F.lit("1997-01-01").cast("date")
+    cut_b = F.lit("1996-01-01").cast("date")
+    a_old = a.filter(F.col("o_orderdate") < cut_a).drop("o_orderdate")
+    delta_a = a.filter(F.col("o_orderdate") >= cut_a).drop("o_orderdate")
+    b_old = b.filter(F.col("l_shipdate") < cut_b).drop("l_shipdate")
+    delta_b = b.filter(F.col("l_shipdate") >= cut_b).drop("l_shipdate")
+    view = a_old.join(b_old, ["o_orderkey"], "anti")
+    out = relational.delta_anti_join_refresh(
+        view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    )
+    return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+
+@query(
+    "incremental_anti_join_retract",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE o_orderkey % 13 <> 0
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45
+                        AND (l.l_orderkey + l.l_linenumber) % 3 <> 0)
+    ORDER BY o_orderkey
+    """,
+)
+def incremental_anti_join_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION maintenance of the ANTI join view (round 10,
+    operators.relational.delta_anti_join_retract): deleted orders
+    leave, and the semi twin's 1,497 flip-outs FLIP IN here —
+    surviving orders whose high-quantity items all died join the
+    'no such item' population, each exactly once however many of its
+    items were purged (the semi(Δ⁻B keys) ∘ anti(b_new) composition
+    admits one row per surviving copy, not per dead match). ORACLE:
+    NOT EXISTS over the post-delete sides."""
+    from big_data_project_implementation_spark.operators import relational
+
+    a, b = _sj_sides(spark, sf_dir)
+    a = a.drop("o_orderdate")
+    b = b.drop("l_shipdate")
+    del_a = F.col("o_orderkey") % 13 == 0
+    del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 3 == 0
+    view = a.join(b, ["o_orderkey"], "anti")
+    out = relational.delta_anti_join_retract(
+        view,
+        a.filter(~del_a),
+        a.filter(del_a),
+        b.filter(~del_b),
+        b.filter(del_b),
+        on=["o_orderkey"],
+    )
+    return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")

@@ -510,3 +510,64 @@ def test_distinct_view_apply_multiplicity_bookkeeping(spark):
     # idempotent view projection == recompute
     post = base.exceptAll(deletes).unionByName(inserts)
     assert _rows(out.select("v")) == _rows(post.select("v").distinct())
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_semi_anti_ivm_flips_and_partition_identity(spark, broadcast):
+    """SEMI/ANTI view maintenance under arrivals AND deletions, on the
+    same hand graph: arrivals flip key 2 INTO the semi view (and out
+    of anti), key 3 already matched and must not re-enter, arriving
+    key 6 settles per B_NEW (a same-cycle item covers it — it enters
+    semi, not anti). Deletions flip key 1 OUT of semi (its only match
+    dies) exactly once per copy. After every step the two maintained
+    views PARTITION the a-side — bag-union equals A, intersection
+    empty — and each equals its recompute."""
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (1, "a1"), (2, "a2"), (3, "a3"), (5, "a5")],
+        "k int, av string",
+    )
+    delta_a = spark.createDataFrame([(6, "a6"), (7, "a7")], "k int, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], "k int, bv string")
+    delta_b = spark.createDataFrame(
+        [(2, "b2"), (3, "b3x"), (6, "b6")], "k int, bv string"
+    )
+    semi = relational.delta_semi_join_refresh(
+        a_old.join(b_old, ["k"], "semi"),
+        a_old, delta_a, b_old, delta_b, ["k"], broadcast_deltas=broadcast,
+    )
+    anti = relational.delta_anti_join_refresh(
+        a_old.join(b_old, ["k"], "anti"),
+        a_old, delta_a, b_old, delta_b, ["k"], broadcast_deltas=broadcast,
+    )
+    a_new = a_old.unionByName(delta_a)
+    b_new = b_old.unionByName(delta_b)
+    assert _rowsr(semi) == _rowsr(a_new.join(b_new, ["k"], "semi"))
+    assert _rowsr(anti) == _rowsr(a_new.join(b_new, ["k"], "anti"))
+    sr, ar = _rowsr(semi), _rowsr(anti)
+    assert (2, "a2") in sr and (2, "a2") not in ar      # flip in
+    assert sr.count((3, "a3")) == 1                     # no re-entry
+    assert (6, "a6") in sr and (6, "a6") not in ar      # B_new, not B_old
+    assert (7, "a7") in ar and (5, "a5") in ar
+    assert sorted(sr + ar, key=repr) == _rowsr(a_new)   # partition
+
+    # deletions: kill b1 (key 1's only match) and a copy-owner (key 3)
+    retract_a = a_new.filter(F.col("k") == 3)
+    a_kept = a_new.filter(F.col("k") != 3)
+    retract_b = b_new.filter(F.col("bv") == "b1")
+    b_kept = b_new.exceptAll(retract_b)
+    semi2 = relational.delta_semi_join_retract(
+        a_new.join(b_new, ["k"], "semi"),
+        a_kept, retract_a, b_kept, retract_b, ["k"],
+        broadcast_deltas=broadcast,
+    )
+    anti2 = relational.delta_anti_join_retract(
+        a_new.join(b_new, ["k"], "anti"),
+        a_kept, retract_a, b_kept, retract_b, ["k"],
+        broadcast_deltas=broadcast,
+    )
+    assert _rowsr(semi2) == _rowsr(a_kept.join(b_kept, ["k"], "semi"))
+    assert _rowsr(anti2) == _rowsr(a_kept.join(b_kept, ["k"], "anti"))
+    s2, a2 = _rowsr(semi2), _rowsr(anti2)
+    assert a2.count((1, "a1")) == 2 and (1, "a1") not in s2  # per-copy flip
+    assert all(r[0] != 3 for r in s2 + a2)                   # deleted A gone
+    assert sorted(s2 + a2, key=repr) == _rowsr(a_kept)       # partition
