@@ -362,6 +362,158 @@ def probe_topk(spark, sf_dir: str, factor: int, work: str) -> dict:
     }
 
 
+def probe_semianti(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 10: SEMI/ANTI view maintenance — the views are at most
+    |A|, every delta term broadcasts, and the exceptAll is state-sized
+    (not join-sized), so both shapes should track the A-side scan."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old, delta_a, b_all_old, delta_b_all = split_sides(spark, sf_dir)
+    b_old = b_all_old.filter(F.col("qty") >= 45).drop("qty")
+    delta_b = delta_b_all.filter(F.col("qty") >= 45).drop("qty")
+    a_old = replicate(a_old, factor, f"{work}/sa_old.parquet", spark)
+    b_old = replicate(b_old, factor, f"{work}/sb_old.parquet", spark)
+
+    semi_path = f"{work}/semi_view.parquet"
+    t0 = time.time()
+    a_old.join(b_old, ["o_orderkey"], "semi").write.mode(
+        "overwrite"
+    ).parquet(semi_path)
+    t_mat = round(time.time() - t0, 2)
+    semi_view = spark.read.parquet(semi_path)
+
+    t_semi = timed(
+        relational.delta_semi_join_refresh(
+            semi_view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        )
+    )
+    t_semi_re = timed(
+        a_old.unionByName(delta_a).join(
+            b_old.unionByName(delta_b), ["o_orderkey"], "semi"
+        )
+    )
+    anti_path = f"{work}/anti_view.parquet"
+    a_old.join(b_old, ["o_orderkey"], "anti").write.mode(
+        "overwrite"
+    ).parquet(anti_path)
+    anti_view = spark.read.parquet(anti_path)
+    t_anti = timed(
+        relational.delta_anti_join_refresh(
+            anti_view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        )
+    )
+    t_anti_re = timed(
+        a_old.unionByName(delta_a).join(
+            b_old.unionByName(delta_b), ["o_orderkey"], "anti"
+        )
+    )
+    return {
+        "materialize_semi_s": t_mat,
+        "semi_refresh_s": t_semi,
+        "semi_recompute_s": t_semi_re,
+        "anti_refresh_s": t_anti,
+        "anti_recompute_s": t_anti_re,
+        "recompute_over_semi": round(t_semi_re / t_semi, 2),
+        "recompute_over_anti": round(t_anti_re / t_anti, 2),
+    }
+
+
+def probe_distinct(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 10: DISTINCT view maintenance — state is |distinct
+    values| (constant here: 300 buckets·statuses), the apply is one
+    union + map-side-combined groupBy over state ∪ Δ, so the refresh
+    should be FLAT in base size while recompute scans the base."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old, delta_a, _, _ = split_sides(spark, sf_dir)
+    a_old = replicate(a_old, factor, f"{work}/da_old.parquet", spark)
+    cols = ["bucket", "o_orderstatus"]
+
+    def shape(df):
+        return df.select(
+            (F.col("o_orderkey") % 100).cast("bigint").alias("bucket"),
+            "o_orderstatus",
+        )
+
+    state_path = f"{work}/dstate.parquet"
+    t0 = time.time()
+    relational.distinct_view_state(shape(a_old), cols).write.mode(
+        "overwrite"
+    ).parquet(state_path)
+    t_mat = round(time.time() - t0, 2)
+    state = spark.read.parquet(state_path)
+
+    deletes = shape(a_old.filter(F.col("o_orderkey") % 9999 == 0))
+    t_apply = timed(
+        relational.distinct_view_apply(state, shape(delta_a), deletes, cols)
+    )
+    t_recompute = timed(
+        shape(a_old).exceptAll(deletes).unionByName(shape(delta_a)).distinct()
+    )
+    return {
+        "materialize_state_s": t_mat,
+        "apply_s": t_apply,
+        "recompute_s": t_recompute,
+        "recompute_over_apply": round(t_recompute / t_apply, 2),
+    }
+
+
+def probe_joinagg(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 10: the agg-over-join COMPOSITION — state merge from join
+    increments vs recomputing the full join + GROUP BY. The payoff
+    case: the join view is never materialized at all; refresh cost is
+    the delta joins + a keys-sized merge."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators import relational
+
+    a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
+    a_old = replicate(a_old, factor, f"{work}/ja_old.parquet", spark)
+    b_old = replicate(b_old, factor, f"{work}/jb_old.parquet", spark)
+    keys = ["o_orderstatus"]
+
+    state_path = f"{work}/jstate.parquet"
+    t0 = time.time()
+    relational.mergeable_agg_state(
+        a_old.join(b_old, ["o_orderkey"]), keys, "qty"
+    ).write.mode("overwrite").parquet(state_path)
+    t_mat = round(time.time() - t0, 2)
+    state = spark.read.parquet(state_path)
+
+    t_refresh = timed(
+        relational.merge_agg_states(
+            state,
+            relational.mergeable_agg_state(
+                relational.delta_join_increment(
+                    a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+                ),
+                keys,
+                "qty",
+            ),
+            keys,
+        )
+    )
+    t_recompute = timed(
+        relational.mergeable_agg_state(
+            a_old.unionByName(delta_a).join(
+                b_old.unionByName(delta_b), ["o_orderkey"]
+            ),
+            keys,
+            "qty",
+        )
+    )
+    return {
+        "materialize_state_s": t_mat,
+        "refresh_s": t_refresh,
+        "recompute_s": t_recompute,
+        "recompute_over_refresh": round(t_recompute / t_refresh, 2),
+    }
+
+
 def probe_scd2(spark, sf_dir: str, factor: int, work: str) -> dict:
     """Round 10: SCD2-view maintenance — the user-base (and its SCD2
     history) grows factor x (user-id stride keeps replicas disjoint)
@@ -414,7 +566,7 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--shapes",
-        default="inner,left,full,retract,topk,scd2",
+        default="inner,left,full,retract,topk,semianti,distinct,joinagg,scd2",
         help="comma list of probe families to run",
     )
     args = ap.parse_args()
@@ -431,10 +583,14 @@ def main() -> None:
         "full": probe_full,
         "retract": probe_retract,
         "topk": probe_topk,
+        "semianti": probe_semianti,
+        "distinct": probe_distinct,
+        "joinagg": probe_joinagg,
         "scd2": probe_scd2,
     }
     report: dict = {"factor": args.factor}
-    for shape in ("inner", "left", "full", "retract", "topk", "scd2"):
+    for shape in ("inner", "left", "full", "retract", "topk",
+                  "semianti", "distinct", "joinagg", "scd2"):
         if shape not in shapes:
             continue
         fn = fns[shape]
