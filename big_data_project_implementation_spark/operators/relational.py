@@ -627,6 +627,35 @@ def _small_left_outer(
     )
 
 
+def _flip_select(
+    a_side: DataFrame,
+    delta_keys_src: DataFrame,
+    big_b: DataFrame,
+    on: list[str],
+    broadcast: bool,
+) -> DataFrame:
+    """``a_side ⋉ Δkeys ▷ big_b`` — the flip selection every outer/
+    semi/anti maintenance shape shares — computed SCALE-STABLY: the
+    candidates are delta-keyed, so the ``▷ big_b`` may be replaced by
+    an anti against big_b's TOUCHED key set (big_b ⋉ broadcast(Δkeys),
+    delta-sized at any base size, scanned with broadcast probes). The
+    naive form leaves the anti's build side base-sized — AQE
+    broadcast-converts it at test SF but degrades to a base-wide
+    sort-merge shuffle at 100× (measured: the left increment ran at
+    0.75× of recompute before this rewrite, 3.5× after —
+    SCALING.md round-10). Exact under bag semantics: candidate keys
+    ⊆ Δkeys, so big_b rows outside Δkeys can never match a candidate,
+    and semi/anti preserve a_side multiplicities."""
+    if not broadcast:
+        dk = delta_keys_src.select(*on).distinct()
+        return a_side.join(dk, on, "semi").join(big_b, on, "anti")
+    dk = F.broadcast(delta_keys_src.select(*on).distinct())
+    touched = big_b.join(dk, on, "semi").select(*on).distinct()
+    return (
+        a_side.join(dk, on, "semi").join(F.broadcast(touched), on, "anti")
+    )
+
+
 def delta_left_join_increment(
     a_old: DataFrame,
     delta_a: DataFrame,
@@ -669,9 +698,7 @@ def delta_left_join_increment(
         delta_a, b_new, on, broadcast_deltas
     ).unionByName(a_old.join(maybe_b(delta_b), on))
     view_cols = appends.columns
-    flipped = a_old.join(
-        maybe_b(delta_b.select(*on).distinct()), on, "semi"
-    ).join(b_old, on, "anti")
+    flipped = _flip_select(a_old, delta_b, b_old, on, broadcast_deltas)
     retractions = _null_extend(flipped, view_cols, delta_b.schema)
     return appends, retractions
 
@@ -745,9 +772,7 @@ def delta_left_join_retract(
         retract_a, b_all, on, broadcast_deltas
     ).unionByName(a_new.join(maybe_b(retract_b), on))
     flips = _null_extend(
-        a_new.join(maybe_b(retract_b.select(*on).distinct()), on, "semi").join(
-            b_new, on, "anti"
-        ),
+        _flip_select(a_new, retract_b, b_new, on, broadcast_deltas),
         gone.columns,
         retract_b.schema,
     )
@@ -812,16 +837,12 @@ def delta_full_join_increment(
     )
     appends = matched_or_left_null.unionByName(right_nulls)
     left_flips = _null_extend(
-        a_old.join(maybe_b(delta_b.select(*on).distinct()), on, "semi").join(
-            b_old, on, "anti"
-        ),
+        _flip_select(a_old, delta_b, b_old, on, broadcast_deltas),
         view_cols,
         delta_b.schema,
     )
     right_flips = _null_extend(
-        b_old.join(maybe_b(delta_a.select(*on).distinct()), on, "semi").join(
-            a_old, on, "anti"
-        ),
+        _flip_select(b_old, delta_a, a_old, on, broadcast_deltas),
         view_cols,
         delta_a.schema,
     )
@@ -907,16 +928,12 @@ def delta_full_join_retract(
         )
     )
     left_flips = _null_extend(
-        a_new.join(maybe_b(retract_b.select(*on).distinct()), on, "semi").join(
-            b_new, on, "anti"
-        ),
+        _flip_select(a_new, retract_b, b_new, on, broadcast_deltas),
         view_cols,
         retract_b.schema,
     )
     right_flips = _null_extend(
-        b_new.join(maybe_b(retract_a.select(*on).distinct()), on, "semi").join(
-            a_new, on, "anti"
-        ),
+        _flip_select(b_new, retract_a, a_new, on, broadcast_deltas),
         view_cols,
         retract_a.schema,
     )
@@ -1250,16 +1267,13 @@ def delta_semi_join_refresh(
     ``broadcast_deltas`` neither base shuffles and the view is only
     unioned, never scanned. The registry row's oracle recomputes
     EXISTS from the post-arrival sides."""
-    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
     b_new = b_old.unionByName(delta_b)
     entered = (
         _semi_small_left(delta_a, b_new, on)
         if broadcast_deltas
         else delta_a.join(b_new.select(*on).distinct(), on, "semi")
     )
-    flips = a_old.join(
-        maybe_b(delta_b.select(*on).distinct()), on, "semi"
-    ).join(b_old, on, "anti")
+    flips = _flip_select(a_old, delta_b, b_old, on, broadcast_deltas)
     return view.unionByName(entered).unionByName(flips)
 
 
@@ -1296,16 +1310,13 @@ def delta_semi_join_retract(
     match, has no surviving one; bag-exact per A-row copy). The
     exceptAll is the honest keyless cost, state-sized here since a
     semi view is at most |A|. Oracle recomputes EXISTS post-delete."""
-    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
     b_all = b_new.unionByName(retract_b)
     dead_a = (
         _semi_small_left(retract_a, b_all, on)
         if broadcast_deltas
         else retract_a.join(b_all.select(*on).distinct(), on, "semi")
     )
-    flips_out = a_new.join(
-        maybe_b(retract_b.select(*on).distinct()), on, "semi"
-    ).join(b_new, on, "anti")
+    flips_out = _flip_select(a_new, retract_b, b_new, on, broadcast_deltas)
     return view.exceptAll(dead_a.unionByName(flips_out))
 
 
@@ -1332,16 +1343,13 @@ def delta_anti_join_refresh(
     The retraction term is exactly the semi view's entry term — the
     two views partition A, and the registry rows certify both sides of
     that identity against independent EXISTS / NOT EXISTS oracles."""
-    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
     b_new = b_old.unionByName(delta_b)
     appends = (
         _anti_small_left(delta_a, b_new, on)
         if broadcast_deltas
         else delta_a.join(b_new.select(*on).distinct(), on, "anti")
     )
-    retractions = a_old.join(
-        maybe_b(delta_b.select(*on).distinct()), on, "semi"
-    ).join(b_old, on, "anti")
+    retractions = _flip_select(a_old, delta_b, b_old, on, broadcast_deltas)
     return view.exceptAll(retractions).unionByName(appends)
 
 
@@ -1378,14 +1386,11 @@ def delta_anti_join_retract(
     NOT EXISTS post-delete; a row flipping in twice (once per deleted
     match) would break the hash — the semi(Δ⁻B keys)∘anti(b_new)
     composition admits each a-row copy exactly once."""
-    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
     b_all = b_new.unionByName(retract_b)
     gone = (
         _anti_small_left(retract_a, b_all, on)
         if broadcast_deltas
         else retract_a.join(b_all.select(*on).distinct(), on, "anti")
     )
-    flips = a_new.join(
-        maybe_b(retract_b.select(*on).distinct()), on, "semi"
-    ).join(b_new, on, "anti")
+    flips = _flip_select(a_new, retract_b, b_new, on, broadcast_deltas)
     return view.exceptAll(gone).unionByName(flips)

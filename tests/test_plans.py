@@ -466,20 +466,26 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # exchange is the deterministic orderBy)
     "incremental_join_refresh": (1, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
     # round 10: LEFT OUTER IVM — the small-left outer join decomposes
-    # into broadcast inner + broadcast-probed null extension (8
-    # broadcast joins total); the exceptAll retraction of flipped null
-    # rows is a view shuffle, the documented honest cost of keyless
-    # bag-exact retraction
-    "incremental_left_join_refresh": (6, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    # into broadcast inner + broadcast-probed null extension, and the
+    # flip selection antis against the big side's TOUCHED key set
+    # (delta-sized at any scale; the naive base-sized anti degraded to
+    # a base-wide SMJ at 100× — SCALING.md round-10), so all 9 joins
+    # broadcast; the 2 extra exchanges vs the naive form are the
+    # delta-sized touched-key distincts, the price of scale stability.
+    # The exceptAll retraction of flipped null rows is a view shuffle,
+    # the documented honest cost of keyless bag-exact retraction
+    "incremental_left_join_refresh": (8, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
     # round 10: keyed deletion — both id anti-joins broadcast; the
     # view is scanned once, never shuffled by the retraction itself
     "incremental_join_retract_keyed": (3, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
     # round 10: FULL OUTER IVM — every delta-driven term is a
-    # broadcast join (12 of them: appends on both sides + both-side
-    # flip selections); the ONE SortMergeJoin is the inline view
-    # construction (a full outer of two base sides cannot broadcast —
-    # in deployment the view is a parquet read, not a join)
-    "incremental_full_join_refresh": (12, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'SortMergeJoin')),
+    # broadcast join (14 of them: appends on both sides + both-side
+    # flip selections via the scale-stable touched-key anti); the ONE
+    # SortMergeJoin is the inline view construction (a full outer of
+    # two base sides cannot broadcast — in deployment the view is a
+    # parquet read, not a join); the extra exchanges are the
+    # delta-sized touched-key distincts
+    "incremental_full_join_refresh": (16, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'SortMergeJoin')),
     # round 10: top-k maintenance — untouched groups pass through a
     # broadcast anti probe, touched ones a broadcast semi; the
     # remaining exchanges are the two per-group rank windows (inline
