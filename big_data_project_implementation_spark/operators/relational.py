@@ -656,6 +656,25 @@ def _flip_select(
     )
 
 
+def _flip_keys(
+    a_side: DataFrame,
+    delta_keys_src: DataFrame,
+    big_b: DataFrame,
+    on: list[str],
+    broadcast: bool,
+) -> DataFrame:
+    """The KEY set of :func:`_flip_select` — keys present in a_side,
+    absent from big_b, touched by the delta. Both operands are
+    delta-sized (each side is semi-probed by a broadcast of Δkeys
+    before the key-level anti), so the result is always
+    broadcast-safe."""
+    maybe_b = F.broadcast if broadcast else (lambda d: d)
+    dk = maybe_b(delta_keys_src.select(*on).distinct())
+    a_touched = a_side.join(dk, on, "semi").select(*on).distinct()
+    b_touched = big_b.join(dk, on, "semi").select(*on).distinct()
+    return a_touched.join(maybe_b(b_touched), on, "anti")
+
+
 def delta_left_join_increment(
     a_old: DataFrame,
     delta_a: DataFrame,
@@ -713,28 +732,30 @@ def delta_left_join_refresh(
     broadcast_deltas: bool = True,
 ) -> DataFrame:
     """Incrementally refresh a materialized LEFT OUTER equi-join view
-    (round 10): with (appends, retractions) from
-    :func:`delta_left_join_increment`,
+    (round 10): with appends from :func:`delta_left_join_increment`,
 
-        M' = (M exceptAll retractions) ∪ appends
+        M' = (M ▷ flip_keys) ∪ appends
 
-    Bag-exact: refresh == full LEFT JOIN recompute row-for-row (the
-    registry row's oracle recomputes ``(A_old ∪ ΔA) ⟕ (B_old ∪ ΔB)``
-    from scratch; the hash match is the audit — a surviving stale null
-    row, a double-appended match, or a retracted row that should have
-    stayed all break it). ``exceptAll`` compares with null-safe
-    equality, so the typed-null extension rows cancel exactly.
-
-    Cost: the appends/retractions are ∝ |Δ| (see the increment's scale
-    notes); the exceptAll shuffles the view once — the honest cost of
-    keyless bag-exact retraction, same as :func:`delta_join_retract`.
-    A deployment that keys the view by (a_rowid, b_rowid) retracts the
-    null-flips by anti-join instead (:func:`delta_join_retract_keyed`
-    shows that shape on the deletion side)."""
-    appends, retractions = delta_left_join_increment(
+    The null-row retraction needs NO exceptAll: a flipped key was
+    unmatched in B_old, so EVERY view row carrying it is a null
+    extension and all of them die — retraction by key, one broadcast
+    anti probe of the view scan (the view is scanned once and never
+    shuffled; the flip-key set is delta-sized by construction,
+    :func:`_flip_keys`). Bag-exact: refresh == full LEFT JOIN
+    recompute row-for-row (the registry row's oracle recomputes
+    ``(A_old ∪ ΔA) ⟕ (B_old ∪ ΔB)`` from scratch; the hash match is
+    the audit — a surviving stale null row, a double-appended match,
+    or a matched row wrongly swept out by the key-level anti all
+    break it). Requires ``view`` to be exactly the materialized
+    ``A_old ⟕ B_old`` (the contract); under DELETIONS use
+    :func:`delta_left_join_retract`, whose row-level terms keep the
+    exceptAll."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    appends, _ = delta_left_join_increment(
         a_old, delta_a, b_old, delta_b, on, broadcast_deltas
     )
-    return view.exceptAll(retractions).unionByName(appends)
+    flip_keys = _flip_keys(a_old, delta_b, b_old, on, broadcast_deltas)
+    return view.join(maybe_b(flip_keys), on, "anti").unionByName(appends)
 
 
 def delta_left_join_retract(
@@ -859,22 +880,33 @@ def delta_full_join_refresh(
     broadcast_deltas: bool = True,
 ) -> DataFrame:
     """Incrementally refresh a materialized FULL OUTER equi-join view
-    (round 10): with (appends, retractions) from
-    :func:`delta_full_join_increment`,
+    (round 10): with appends from :func:`delta_full_join_increment`,
 
-        M' = (M exceptAll retractions) ∪ appends
+        M' = (M ▷ (left_flip_keys ∪ right_flip_keys)) ∪ appends
 
+    Retraction by KEY on both sides, no exceptAll: a left-flip key had
+    no B_old match (all its view rows are left-null extensions) and a
+    right-flip key had no A_old match (all its rows are right-null) —
+    the two key sets are disjoint by construction, every view row
+    carrying either dies, and the anti is one broadcast probe of the
+    view scan (flip keys are delta-sized, :func:`_flip_keys`).
     Bag-exact: refresh == full FULL JOIN recompute row-for-row (the
     registry row's oracle recomputes ``A_new ⟗ B_new`` from scratch;
     the hash match is the audit — a stale null row on EITHER side, a
     missed flip in either direction, or a double-appended cross-delta
-    match all break it). Cost notes as :func:`delta_left_join_refresh`:
-    deltas drive everything except the one view-sized exceptAll, the
-    honest price of keyless bag-exact retraction."""
-    appends, retractions = delta_full_join_increment(
+    match all break it). Requires ``view`` == the materialized
+    ``A_old ⟗ B_old``; deletions go through
+    :func:`delta_full_join_retract`."""
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    appends, _ = delta_full_join_increment(
         a_old, delta_a, b_old, delta_b, on, broadcast_deltas
     )
-    return view.exceptAll(retractions).unionByName(appends)
+    flip_keys = _flip_keys(
+        a_old, delta_b, b_old, on, broadcast_deltas
+    ).unionByName(
+        _flip_keys(b_old, delta_a, a_old, on, broadcast_deltas)
+    )
+    return view.join(maybe_b(flip_keys), on, "anti").unionByName(appends)
 
 
 def delta_full_join_retract(
@@ -1336,21 +1368,24 @@ def delta_anti_join_refresh(
     ANTI-monotone under B arrivals — ΔB only removes rows —
 
         appends     = ΔA ▷ B_new
-        retractions = A_old ▷ B_old ⋉ ΔB      (= the semi twin's flip,
-                                               leaving this view)
-        M' = (M exceptAll retractions) ∪ appends
+        flip_keys   = keys(A_old) ∩ ΔB-keys ∖ keys(B_old)
+        M' = (M ▷ flip_keys) ∪ appends
 
-    The retraction term is exactly the semi view's entry term — the
-    two views partition A, and the registry rows certify both sides of
-    that identity against independent EXISTS / NOT EXISTS oracles."""
+    The flipped keys are exactly the semi view's entry keys — the two
+    views partition A, and the registry rows certify both sides of
+    that identity against independent EXISTS / NOT EXISTS oracles.
+    Retraction is by KEY (an anti view's membership depends only on
+    the key, so every row of a flipped key leaves): one broadcast anti
+    probe of the view scan, no exceptAll, no view shuffle."""
     b_new = b_old.unionByName(delta_b)
     appends = (
         _anti_small_left(delta_a, b_new, on)
         if broadcast_deltas
         else delta_a.join(b_new.select(*on).distinct(), on, "anti")
     )
-    retractions = _flip_select(a_old, delta_b, b_old, on, broadcast_deltas)
-    return view.exceptAll(retractions).unionByName(appends)
+    flip_keys = _flip_keys(a_old, delta_b, b_old, on, broadcast_deltas)
+    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
+    return view.join(maybe_b(flip_keys), on, "anti").unionByName(appends)
 
 
 def _anti_small_left(small_a: DataFrame, big_b: DataFrame, on: list[str]) -> DataFrame:

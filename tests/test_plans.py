@@ -474,7 +474,10 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # delta-sized touched-key distincts, the price of scale stability.
     # The exceptAll retraction of flipped null rows is a view shuffle,
     # the documented honest cost of keyless bag-exact retraction
-    "incremental_left_join_refresh": (8, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
+    # ...and the refresh's null-row retraction is an anti BY KEY (a
+    # flipped key has no matched rows, so all its view rows die) — one
+    # broadcast probe of the view scan, NO view-sized exceptAll
+    "incremental_left_join_refresh": (8, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
     # round 10: keyed deletion — both id anti-joins broadcast; the
     # view is scanned once, never shuffled by the retraction itself
     "incremental_join_retract_keyed": (3, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
@@ -485,7 +488,7 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # two base sides cannot broadcast — in deployment the view is a
     # parquet read, not a join); the extra exchanges are the
     # delta-sized touched-key distincts
-    "incremental_full_join_refresh": (16, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'SortMergeJoin')),
+    "incremental_full_join_refresh": (17, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'SortMergeJoin')),
     # round 10: top-k maintenance — untouched groups pass through a
     # broadcast anti probe, touched ones a broadcast semi; the
     # remaining exchanges are the two per-group rank windows (inline
