@@ -571,3 +571,97 @@ def test_semi_anti_ivm_flips_and_partition_identity(spark, broadcast):
     assert a2.count((1, "a1")) == 2 and (1, "a1") not in s2  # per-copy flip
     assert all(r[0] != 3 for r in s2 + a2)                   # deleted A gone
     assert sorted(s2 + a2, key=repr) == _rowsr(a_kept)       # partition
+
+
+def test_ivm_outer_semi_anti_algebra_property(spark):
+    """Property test over the round-10 IVM shapes: for random bags
+    with heavy key collision, duplicate rows, and random sub-bag
+    deletions — LEFT/FULL refresh == outer-join recompute (the
+    key-level null-flip retraction is exact even when a flipped key
+    carries duplicate a-rows), LEFT/FULL retract == post-delete
+    recompute, and SEMI/ANTI refresh+retract partition the a-side at
+    every step. Few examples (each assertion is a Spark plan) but
+    adversarial by construction — keys collide in [0,3], values in
+    [0,2]."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(st.integers(0, 3), st.integers(0, 2))
+    bags = st.tuples(
+        st.lists(row, min_size=0, max_size=6),  # a_old
+        st.lists(row, min_size=0, max_size=4),  # delta_a
+        st.lists(row, min_size=0, max_size=6),  # b_old
+        st.lists(row, min_size=0, max_size=4),  # delta_b
+    )
+
+    def bag(df):
+        out: dict = {}
+        for r in df.collect():
+            key = tuple(r)
+            out[key] = out.get(key, 0) + 1
+        return out
+
+    def mk(rows, col):
+        return spark.createDataFrame(
+            [(k, f"{col}{v}") for k, v in rows] or [(None, None)],
+            f"k long, {col}v string",
+        ).filter(F.col("k").isNotNull())
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(bags)
+    def check(data):
+        ra, da, rb, db = data
+        a_old, delta_a = mk(ra, "a"), mk(da, "a")
+        b_old, delta_b = mk(rb, "b"), mk(db, "b")
+        a_new, b_new = a_old.unionByName(delta_a), b_old.unionByName(delta_b)
+        # refresh == recompute, left and full
+        assert bag(
+            relational.delta_left_join_refresh(
+                a_old.join(b_old, ["k"], "left"),
+                a_old, delta_a, b_old, delta_b, on=["k"],
+            )
+        ) == bag(a_new.join(b_new, ["k"], "left"))
+        assert bag(
+            relational.delta_full_join_refresh(
+                a_old.join(b_old, ["k"], "full"),
+                a_old, delta_a, b_old, delta_b, on=["k"],
+            )
+        ) == bag(a_new.join(b_new, ["k"], "full"))
+        # retract (delete the deltas back out) == old view, left+full
+        assert bag(
+            relational.delta_left_join_retract(
+                a_new.join(b_new, ["k"], "left"),
+                a_old, delta_a, b_old, delta_b, on=["k"],
+            )
+        ) == bag(a_old.join(b_old, ["k"], "left"))
+        assert bag(
+            relational.delta_full_join_retract(
+                a_new.join(b_new, ["k"], "full"),
+                a_old, delta_a, b_old, delta_b, on=["k"],
+            )
+        ) == bag(a_old.join(b_old, ["k"], "full"))
+        # semi/anti refresh: correct AND partition the a-side
+        semi = bag(
+            relational.delta_semi_join_refresh(
+                a_old.join(b_old, ["k"], "semi"),
+                a_old, delta_a, b_old, delta_b, on=["k"],
+            )
+        )
+        anti = bag(
+            relational.delta_anti_join_refresh(
+                a_old.join(b_old, ["k"], "anti"),
+                a_old, delta_a, b_old, delta_b, on=["k"],
+            )
+        )
+        assert semi == bag(a_new.join(b_new, ["k"], "semi"))
+        assert anti == bag(a_new.join(b_new, ["k"], "anti"))
+        merged = dict(semi)
+        for key, n in anti.items():
+            merged[key] = merged.get(key, 0) + n
+        assert merged == bag(a_new)
+
+    check()
