@@ -1738,3 +1738,59 @@ def stream_incremental_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_view(spark).orderBy("o_orderkey", "l_linenumber")
+
+
+@query(
+    "stream_view_compacted",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def stream_view_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance of the streaming join view (round 10,
+    streaming.compact_batch_view): the per-batch partition-overwrite
+    discipline that makes the maintained view exactly-once also decays
+    it into one directory per micro-batch — at 100 TB, thousands of
+    tiny parquet files. This row runs the same stream as
+    `stream_incremental_join`, then COMPACTS every committed batch
+    partition except the in-flight tail into one consolidated segment
+    (staged invisible to the glob, a _COMPACTED_IDS manifest naming
+    its sources, one atomic os.replace publish, sources deleted last —
+    recovery heals the only non-atomic window; the ANN index's
+    versioned-publish discipline) and reads the view back. The ORACLE
+    recomputes the full join, so the hash match certifies the
+    compaction moved every row exactly once — a dropped source
+    partition, a double-read of a surviving source, or a tail batch
+    swept into the segment (breaking replay safety) all break it."""
+    import tempfile
+
+    from big_data_project_implementation_spark import streaming as st_mod
+
+    out_dir = tempfile.mkdtemp(prefix="stream_compact_")
+    ckpt = tempfile.mkdtemp(prefix="stream_compact_ckpt_")
+    build, gate = _stream_join_machinery(spark, sf_dir, out_dir)
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        build(sub)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_merged, _seg = st_mod.compact_batch_view(spark, out_dir, keep_last=1)
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(f"{out_dir}/batch_id=*")
+        .select(
+            "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+        )
+        .orderBy("o_orderkey", "l_linenumber")
+    )

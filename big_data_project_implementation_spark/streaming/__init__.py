@@ -162,3 +162,110 @@ def sessionize(
         .groupBy(F.session_window(ts_col, gap), F.col(key_col))
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def recover_batch_view_compaction(out_dir: str) -> int:
+    """Finish any interrupted :func:`compact_batch_view` (round 10).
+
+    The compaction protocol's only non-atomic step is deleting the
+    source partitions AFTER the consolidated segment is published; a
+    crash in that window leaves both present (duplicate rows). Every
+    published segment carries a ``_COMPACTED_IDS`` manifest naming its
+    source directories, so recovery is a sweep: for each live segment,
+    delete any named source that still exists. Idempotent — running it
+    twice (or on a healthy view) is a no-op. Returns the number of
+    stale source directories removed. Leftover ``_tmp_compact``
+    staging (crash BEFORE publish) is simply discarded."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    removed = 0
+    tmp = _os.path.join(out_dir, "_tmp_compact")
+    if _os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+    for d in _os.listdir(out_dir):
+        manifest = _os.path.join(out_dir, d, "_COMPACTED_IDS")
+        if not _os.path.isfile(manifest):
+            continue
+        for src in _json.load(open(manifest)):
+            victim = _os.path.join(out_dir, src)
+            if _os.path.isdir(victim) and victim != _os.path.join(out_dir, d):
+                _shutil.rmtree(victim)
+                removed += 1
+    return removed
+
+
+def compact_batch_view(
+    spark: SparkSession, out_dir: str, keep_last: int = 1
+) -> tuple[int, str | None]:
+    """Small-files maintenance for a ``batch_id=N``-partitioned
+    maintained view (round 10) — the operational half the streaming
+    IVM rows need at 100 TB: exactly-once-by-partition-overwrite
+    writes one directory per micro-batch, so a long-lived view decays
+    into thousands of tiny parquet files (reference small-file
+    lore: streaming/src/main/scala/org/apache/spark/streaming/
+    receiver/ReceivedBlockHandler.scala-era WAL compaction). This
+    merges every segment EXCEPT the newest ``keep_last`` batch
+    partitions into one consolidated segment, safely:
+
+    - only the in-flight (max-id) batch can ever be replayed by a
+      restarted stream (earlier ids are committed in the checkpoint's
+      offset log), so the un-compacted tail keeps replay-overwrite
+      semantics intact;
+    - the consolidated segment is staged in ``_tmp_compact`` (invisible
+      to the ``batch_id=*`` glob) with a ``_COMPACTED_IDS`` manifest of
+      its sources, then published by one atomic ``os.replace``;
+    - source deletion happens last; a crash anywhere converges via
+      :func:`recover_batch_view_compaction` (run here first, so each
+      compaction heals its predecessor). Previously-compacted segments
+      fold into the next compaction (names sort after ``c``).
+
+    Returns (number of source segments merged, new segment dir name).
+    Readers never see a missing or double state except in the
+    crash-between-publish-and-delete window, which recovery closes —
+    the same versioned-publish discipline as the ANN index
+    (operators/similarity.py ivfpq_compact)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    recover_batch_view_compaction(out_dir)
+    segs = [
+        d
+        for d in _os.listdir(out_dir)
+        if _os.path.isdir(_os.path.join(out_dir, d))
+        and d.startswith("batch_id=")
+    ]
+    int_ids = sorted(
+        (int(d.split("=")[1]), d)
+        for d in segs
+        if d.split("=")[1].isdigit()
+    )
+    compacted_prior = [d for d in segs if not d.split("=")[1].isdigit()]
+    sources = compacted_prior + [d for _, d in int_ids[:-keep_last or None]]
+    if len(sources) < 2:
+        return 0, None
+    max_id = max(
+        (i for i, d in int_ids if d in sources),
+        default=0,
+    )
+    tmp = _os.path.join(out_dir, "_tmp_compact")
+    (
+        spark.read.parquet(*[_os.path.join(out_dir, d) for d in sources])
+        .coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _json.dump(sources, open(_os.path.join(tmp, "_COMPACTED_IDS"), "w"))
+    # a fresh name, never a source: an existing c<max_id> would itself
+    # be among the sources (all c-segments fold in), and deleting a
+    # source before publishing is a data-loss crash window
+    new_name = f"batch_id=c{max_id}"
+    while _os.path.exists(_os.path.join(out_dir, new_name)):
+        new_name += "x"
+    dest = _os.path.join(out_dir, new_name)
+    _os.replace(tmp, dest)
+    for d in sources:
+        _shutil.rmtree(_os.path.join(out_dir, d), ignore_errors=True)
+    return len(sources), new_name

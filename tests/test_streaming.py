@@ -1097,3 +1097,74 @@ def test_stream_incremental_left_join_restart_is_stable(spark):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_compact_batch_view_equivalence_and_crash_recovery(spark):
+    """compact_batch_view (round 10): merging all but the newest batch
+    partition preserves the view bag exactly and shrinks the segment
+    count; the newest (replayable) partition survives untouched; and
+    the one non-atomic window — crash AFTER the consolidated segment
+    publishes but BEFORE its sources are deleted — converges via
+    recover_batch_view_compaction (duplicates removed), which is also
+    an idempotent no-op on a healthy view."""
+    import json
+    import os
+
+    from big_data_project_implementation_spark import streaming as st_mod
+
+    out_dir = tempfile.mkdtemp(prefix="compact_test_")
+    try:
+        base = spark.range(0, 40).selectExpr("id", "id % 7 AS v")
+        for b in range(5):
+            base.filter(F.col("id") % 5 == b).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_id={b}")
+
+        def canon():
+            return sorted(
+                tuple(r)
+                for r in spark.read.option("basePath", out_dir)
+                .parquet(f"{out_dir}/batch_id=*")
+                .select("id", "v")
+                .collect()
+            )
+
+        want = canon()
+        n, seg = st_mod.compact_batch_view(spark, out_dir, keep_last=1)
+        assert n == 4 and seg == "batch_id=c3"
+        assert canon() == want
+        dirs = sorted(os.listdir(out_dir))
+        assert dirs == ["batch_id=4", "batch_id=c3"]  # tail untouched
+
+        # simulate the crash window: re-create a "source" that the
+        # published segment claims (duplicate rows until recovery)
+        base.filter(F.col("id") % 5 == 1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id=1"
+        )
+        manifest = json.load(open(f"{out_dir}/batch_id=c3/_COMPACTED_IDS"))
+        assert "batch_id=1" in manifest
+        assert len(canon()) > len(want)  # duplicates visible pre-recovery
+        removed = st_mod.recover_batch_view_compaction(out_dir)
+        assert removed == 1
+        assert canon() == want
+        assert st_mod.recover_batch_view_compaction(out_dir) == 0  # no-op
+
+        # a second compaction folds the c-segment in with the new tail
+        base.filter(F.col("id") % 5 == 0).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id=5"
+        )
+        n2, seg2 = st_mod.compact_batch_view(spark, out_dir, keep_last=1)
+        assert n2 == 2 and seg2 == "batch_id=c4"
+        dup = sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch_id=*")
+            .select("id", "v")
+            .collect()
+        )
+        assert dup == sorted(
+            want + [tuple(r) for r in base.filter(F.col("id") % 5 == 0)
+                    .select("id", "v").collect()]
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
