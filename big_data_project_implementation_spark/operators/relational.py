@@ -1116,6 +1116,33 @@ def retract_agg_state(
     return clean.unionByName(repaired)
 
 
+def _nullsafe_semi_anti(
+    left: DataFrame,
+    right: DataFrame,
+    cols: list[str],
+    how: str,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """``left ⋉/▷ right`` on NULL-SAFE equality of ``cols`` — the
+    correctness fix for maintained views whose grouping treats NULLs
+    as equal (GROUP BY / ROW_NUMBER partitioning group NULL keys
+    together, but a plain semi/anti join on column names never matches
+    them, so a NULL-keyed group would silently split between the
+    touched and untouched paths; ADVICE round 10). ``<=>`` is still an
+    equi-join key to Spark's planner, so the join stays a
+    BroadcastHashJoin, never a nested loop. Output carries exactly the
+    left side's columns (semi/anti contract)."""
+    r = right.select(*cols)
+    if broadcast_right:
+        r = F.broadcast(r)
+    lhs, rhs = left.alias("_l"), r.alias("_r")
+    cond = None
+    for c in cols:
+        e = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        cond = e if cond is None else cond & e
+    return lhs.join(rhs, cond, how).select(*[f"_l.{c}" for c in left.columns])
+
+
 def topk_view_refresh(
     state: DataFrame,
     delta: DataFrame,
@@ -1147,15 +1174,20 @@ def topk_view_refresh(
     group), and the untouched pass-through is an anti-join probe of
     the state scan with broadcast delta keys, so nothing base-sized
     ever shuffles. ``broadcast_deltas=False`` for backfills whose key
-    set rivals the group cardinality."""
+    set rivals the group cardinality. Key joins are NULL-SAFE (``<=>``,
+    still a hash join) so a NULL-keyed group re-ranks as ONE group,
+    matching the ROW_NUMBER recompute's NULL grouping — a plain
+    column-name join would pass its state rows through as untouched
+    while its delta rows re-ranked separately (ADVICE round 10)."""
     from pyspark.sql.window import Window
 
-    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
     touched_keys = delta.select(*keys).distinct()
-    untouched = state.join(maybe_b(touched_keys), keys, "anti")
-    cand = state.join(maybe_b(touched_keys), keys, "semi").unionByName(
-        delta.select(*state.columns)
+    untouched = _nullsafe_semi_anti(
+        state, touched_keys, keys, "anti", broadcast_deltas
     )
+    cand = _nullsafe_semi_anti(
+        state, touched_keys, keys, "semi", broadcast_deltas
+    ).unionByName(delta.select(*state.columns))
     w = Window.partitionBy(*keys).orderBy(*order_by)
     touched = (
         cand.withColumn("_rn", F.row_number().over(w))
@@ -1200,22 +1232,35 @@ def topk_view_retract(
     affected partitions. ``broadcast_deltas`` (default True) hints the
     delta-derived key sets; pass False for adversarial purges that
     touch most groups (same driver-OOM lesson as the agg twin,
-    SCALING.md round-9/round-10)."""
+    SCALING.md round-9/round-10). All joins here are NULL-SAFE (``<=>``,
+    still hash joins): the broken-group detection compares VALUE
+    columns, where a deleted row with a NULL in any non-key column
+    must still match its stored copy (plain equality never would,
+    leaving a dead row in the view), and the key-level split must
+    treat a NULL-keyed group as one group, matching the recompute's
+    NULL grouping (ADVICE round 10)."""
     from pyspark.sql.window import Window
 
-    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
     value_cols = list(state.columns)
-    broken_keys = (
-        retract.select(*value_cols)
-        .join(state, value_cols, "semi")
-        .select(*keys)
-        .distinct()
+    broken_keys = _nullsafe_semi_anti(
+        retract.select(*value_cols),
+        state,
+        value_cols,
+        "semi",
+        broadcast_right=False,
+    ).select(*keys).distinct()
+    clean = _nullsafe_semi_anti(
+        state, broken_keys, keys, "anti", broadcast_deltas
     )
-    clean = state.join(maybe_b(broken_keys), keys, "anti")
     w = Window.partitionBy(*keys).orderBy(*order_by)
     repaired = (
-        base_remaining.select(*value_cols)
-        .join(maybe_b(broken_keys), keys, "semi")
+        _nullsafe_semi_anti(
+            base_remaining.select(*value_cols),
+            broken_keys,
+            keys,
+            "semi",
+            broadcast_deltas,
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")

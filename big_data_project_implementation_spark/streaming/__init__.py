@@ -175,7 +175,16 @@ def recover_batch_view_compaction(out_dir: str) -> int:
     delete any named source that still exists. Idempotent — running it
     twice (or on a healthy view) is a no-op. Returns the number of
     stale source directories removed. Leftover ``_tmp_compact``
-    staging (crash BEFORE publish) is simply discarded."""
+    staging (crash BEFORE publish) is simply discarded.
+
+    A manifest that fails to parse is QUARANTINED (renamed to
+    ``_COMPACTED_IDS.corrupt``) rather than raised on, so one bad
+    segment can never wedge every future compaction (ADVICE round 10).
+    Under the protocol this should be unreachable — the manifest is
+    flushed and fsync'd before the atomic publish — so a corrupt one
+    means external damage; its segment's data is untouched, but its
+    sources (if any survive) must be reconciled by hand, which the
+    quarantine file flags."""
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -188,7 +197,13 @@ def recover_batch_view_compaction(out_dir: str) -> int:
         manifest = _os.path.join(out_dir, d, "_COMPACTED_IDS")
         if not _os.path.isfile(manifest):
             continue
-        for src in _json.load(open(manifest)):
+        try:
+            with open(manifest) as fh:
+                sources = _json.load(fh)
+        except (ValueError, OSError):
+            _os.replace(manifest, manifest + ".corrupt")
+            continue
+        for src in sources:
             victim = _os.path.join(out_dir, src)
             if _os.path.isdir(victim) and victim != _os.path.join(out_dir, d):
                 _shutil.rmtree(victim)
@@ -215,11 +230,24 @@ def compact_batch_view(
       semantics intact;
     - the consolidated segment is staged in ``_tmp_compact`` (invisible
       to the ``batch_id=*`` glob) with a ``_COMPACTED_IDS`` manifest of
-      its sources, then published by one atomic ``os.replace``;
+      its sources — written through a context manager and flush+fsync
+      BEFORE the publish, so a published segment can never carry a
+      truncated manifest (ADVICE round 10) — then published by one
+      atomic ``os.replace``;
     - source deletion happens last; a crash anywhere converges via
       :func:`recover_batch_view_compaction` (run here first, so each
       compaction heals its predecessor). Previously-compacted segments
-      fold into the next compaction (names sort after ``c``).
+      fold into the next compaction.
+
+    Compacted segments take NEGATIVE batch ids (``batch_id=-1``, then
+    strictly decreasing), keeping every partition value numeric so the
+    inferred ``batch_id`` column stays an integer for basePath readers
+    — a non-numeric marker (the round-10 ``c<N>`` scheme) flipped the
+    column to string after the first compaction (ADVICE round 10).
+    Stream micro-batch ids are non-negative, so the ranges can never
+    collide, max-id replay logic is unaffected (negatives sort below
+    every live batch), and a fresh name is guaranteed by taking
+    min(existing ids, 0) − 1.
 
     Returns (number of source segments merged, new segment dir name).
     Readers never see a missing or double state except in the
@@ -237,19 +265,19 @@ def compact_batch_view(
         if _os.path.isdir(_os.path.join(out_dir, d))
         and d.startswith("batch_id=")
     ]
-    int_ids = sorted(
-        (int(d.split("=")[1]), d)
-        for d in segs
-        if d.split("=")[1].isdigit()
-    )
-    compacted_prior = [d for d in segs if not d.split("=")[1].isdigit()]
-    sources = compacted_prior + [d for _, d in int_ids[:-keep_last or None]]
+    int_ids: list[tuple[int, str]] = []
+    legacy_prior: list[str] = []  # round-10 "c<N>" names, fold in
+    for d in segs:
+        v = d.split("=")[1]
+        try:
+            int_ids.append((int(v), d))
+        except ValueError:
+            legacy_prior.append(d)
+    live = sorted((i, d) for i, d in int_ids if i >= 0)
+    prior = legacy_prior + [d for i, d in int_ids if i < 0]
+    sources = prior + [d for _, d in live[:-keep_last or None]]
     if len(sources) < 2:
         return 0, None
-    max_id = max(
-        (i for i, d in int_ids if d in sources),
-        default=0,
-    )
     tmp = _os.path.join(out_dir, "_tmp_compact")
     (
         spark.read.parquet(*[_os.path.join(out_dir, d) for d in sources])
@@ -257,13 +285,12 @@ def compact_batch_view(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    _json.dump(sources, open(_os.path.join(tmp, "_COMPACTED_IDS"), "w"))
-    # a fresh name, never a source: an existing c<max_id> would itself
-    # be among the sources (all c-segments fold in), and deleting a
-    # source before publishing is a data-loss crash window
-    new_name = f"batch_id=c{max_id}"
-    while _os.path.exists(_os.path.join(out_dir, new_name)):
-        new_name += "x"
+    with open(_os.path.join(tmp, "_COMPACTED_IDS"), "w") as fh:
+        _json.dump(sources, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    new_id = min([i for i, _ in int_ids] + [0]) - 1
+    new_name = f"batch_id={new_id}"
     dest = _os.path.join(out_dir, new_name)
     _os.replace(tmp, dest)
     for d in sources:

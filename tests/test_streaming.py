@@ -1131,17 +1131,17 @@ def test_compact_batch_view_equivalence_and_crash_recovery(spark):
 
         want = canon()
         n, seg = st_mod.compact_batch_view(spark, out_dir, keep_last=1)
-        assert n == 4 and seg == "batch_id=c3"
+        assert n == 4 and seg == "batch_id=-1"
         assert canon() == want
         dirs = sorted(os.listdir(out_dir))
-        assert dirs == ["batch_id=4", "batch_id=c3"]  # tail untouched
+        assert dirs == ["batch_id=-1", "batch_id=4"]  # tail untouched
 
         # simulate the crash window: re-create a "source" that the
         # published segment claims (duplicate rows until recovery)
         base.filter(F.col("id") % 5 == 1).write.mode("overwrite").parquet(
             f"{out_dir}/batch_id=1"
         )
-        manifest = json.load(open(f"{out_dir}/batch_id=c3/_COMPACTED_IDS"))
+        manifest = json.load(open(f"{out_dir}/batch_id=-1/_COMPACTED_IDS"))
         assert "batch_id=1" in manifest
         assert len(canon()) > len(want)  # duplicates visible pre-recovery
         removed = st_mod.recover_batch_view_compaction(out_dir)
@@ -1154,7 +1154,7 @@ def test_compact_batch_view_equivalence_and_crash_recovery(spark):
             f"{out_dir}/batch_id=5"
         )
         n2, seg2 = st_mod.compact_batch_view(spark, out_dir, keep_last=1)
-        assert n2 == 2 and seg2 == "batch_id=c4"
+        assert n2 == 2 and seg2 == "batch_id=-2"
         dup = sorted(
             tuple(r)
             for r in spark.read.option("basePath", out_dir)
