@@ -148,6 +148,10 @@ BENCH_QUERIES = [
     # round 10: per-group top-k maintenance — anti/semi pass-through
     # for untouched groups, delta-sized re-rank for touched ones
     "topk_view_refresh",
+    # round 11: the unified MaterializedView API driven through a full
+    # compute -> refresh -> retract life cycle (dispatch layer must add
+    # zero plan cost over the free-function algebra it routes to)
+    "view_api_lifecycle",
 ]
 
 # localCheckpoint-heavy iterative rows: same-box wall times on these

@@ -708,19 +708,19 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta, or a double-folded state all break it. Derived stats
     (avg) come off (n, sum) downstream, as in any partial-aggregate
     scheme."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     orders = t(spark, sf_dir, "orders")
     keys = ["o_orderstatus", "o_orderpriority"]
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     cut = F.lit("1997-01-01").cast("date")
-    base = relational.mergeable_agg_state(
-        orders.filter(F.col("o_orderdate") < cut), keys, cents
+    mv = MaterializedView("agg", keys=keys, value=cents)
+    base = mv.compute(orders.filter(F.col("o_orderdate") < cut))
+    merged = mv.refresh(
+        base, delta=orders.filter(F.col("o_orderdate") >= cut)
     )
-    delta = relational.mergeable_agg_state(
-        orders.filter(F.col("o_orderdate") >= cut), keys, cents
-    )
-    merged = relational.merge_agg_states(base, delta, keys)
     return merged.select(
         *keys,
         "n",
@@ -756,7 +756,9 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a missed late arrival, or set-semantics dedup all break it.
     Exact-integer measures (qty, price cents) per the micro-unit
     convention."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderdate"
@@ -776,9 +778,10 @@ def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_a = a.filter(F.col("o_orderdate") >= cut_a)
     b_old = b.filter(F.col("l_shipdate") < cut_b)
     delta_b = b.filter(F.col("l_shipdate") >= cut_b)
-    view = a_old.join(b_old, ["o_orderkey"])
-    refreshed = relational.delta_join_refresh(
-        view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    mv = MaterializedView("inner", on=["o_orderkey"])
+    view = mv.compute(a_old, b_old)
+    refreshed = mv.refresh(
+        view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
     )
     return refreshed.select(
         "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
@@ -811,7 +814,9 @@ def incremental_join_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's row is new' — so the hash match certifies the delta algebra
     covers every new-contributor row exactly once (a double-folded
     cross-delta term or a missed A_old ⋈ ΔB row breaks it)."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderdate"
@@ -827,12 +832,11 @@ def incremental_join_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cut_a = F.lit("1997-01-01").cast("date")
     cut_b = F.lit("1996-01-01").cast("date")
-    inc = relational.delta_join_increment(
+    inc = MaterializedView("inner", on=["o_orderkey"]).increment(
         a.filter(F.col("o_orderdate") < cut_a),
         a.filter(F.col("o_orderdate") >= cut_a),
         b.filter(F.col("l_shipdate") < cut_b),
         b.filter(F.col("l_shipdate") >= cut_b),
-        on=["o_orderkey"],
     )
     return inc.select(
         "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
@@ -868,19 +872,20 @@ def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE recomputes from the post-delete table so the hash match
     certifies BOTH. Keys fully deleted drop out, matching a
     recomputed GROUP BY."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     orders = t(spark, sf_dir, "orders")
     keys = ["o_orderstatus", "o_orderpriority"]
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     purged = F.col("o_orderkey") % 13 == 0
-    state = relational.mergeable_agg_state(orders, keys, cents)
-    out = relational.retract_agg_state(
+    mv = MaterializedView("agg", keys=keys, value=cents)
+    state = mv.compute(orders)
+    out = mv.retract(
         state,
-        orders.filter(purged),
-        orders.filter(~purged),
-        keys,
-        cents,
+        deleted=orders.filter(purged),
+        base_remaining=orders.filter(~purged),
     )
     return out.select(
         *keys,
@@ -916,7 +921,9 @@ def incremental_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch, so the hash match is the deletion-audit: a pair removed
     twice (overlapping terms), a survivor dropped, or a deleted-both-
     sides pair kept all break it."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
@@ -931,14 +938,14 @@ def incremental_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     del_a = F.col("o_orderkey") % 13 == 0
     del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
-    view = a.join(b, ["o_orderkey"])
-    kept = relational.delta_join_retract(
+    mv = MaterializedView("inner", on=["o_orderkey"])
+    view = mv.compute(a, b)
+    kept = mv.retract(
         view,
-        a.filter(~del_a),
-        a.filter(del_a),
-        b.filter(~del_b),
-        b.filter(del_b),
-        on=["o_orderkey"],
+        a_new=a.filter(~del_a),
+        retract_a=a.filter(del_a),
+        b_new=b.filter(~del_b),
+        retract_b=b.filter(del_b),
     )
     return kept.select(
         "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
@@ -1090,7 +1097,9 @@ def incremental_left_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     recompute audit in the presence of the flip: a stale null row
     kept, a flip retracted twice, or an order with no lineitems AT ALL
     (~1.7% of the table — its null row must SURVIVE) all break it."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _lj_sides(spark, sf_dir)
     cut_a = F.lit("1997-01-01").cast("date")
@@ -1099,9 +1108,10 @@ def incremental_left_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     delta_a = a.filter(F.col("o_orderdate") >= cut_a)
     b_old = b.filter(F.col("l_shipdate") < cut_b)
     delta_b = b.filter(F.col("l_shipdate") >= cut_b)
-    view = a_old.join(b_old, ["o_orderkey"], "left")
-    refreshed = relational.delta_left_join_refresh(
-        view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    mv = MaterializedView("left", on=["o_orderkey"])
+    view = mv.compute(a_old, b_old)
+    refreshed = mv.refresh(
+        view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
     )
     return refreshed.select(
         "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
@@ -1159,17 +1169,20 @@ def incremental_left_join_increment(
     row-for-row and the appends exactly once each (a double-folded
     cross-delta term, a missed flip, or a flip of an order that
     already had matches all break it)."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _lj_sides(spark, sf_dir)
     cut_a = F.lit("1997-01-01").cast("date")
     cut_b = F.lit("1996-01-01").cast("date")
-    appends, retractions = relational.delta_left_join_increment(
+    appends, retractions = MaterializedView(
+        "left", on=["o_orderkey"]
+    ).increment(
         a.filter(F.col("o_orderdate") < cut_a),
         a.filter(F.col("o_orderdate") >= cut_a),
         b.filter(F.col("l_shipdate") < cut_b),
         b.filter(F.col("l_shipdate") >= cut_b),
-        on=["o_orderkey"],
     )
     out_cols = [
         "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents",
@@ -1215,21 +1228,23 @@ def incremental_left_join_retract(
     the flip in this direction too — a survivor silently dropped, a
     re-null missing, or a deleted order's null row kept all break
     it."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _lj_sides(spark, sf_dir)
     a = a.drop("o_orderdate")
     b = b.drop("l_shipdate")
     del_a = F.col("o_orderkey") % 13 == 0
     del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
-    view = a.join(b, ["o_orderkey"], "left")
-    kept = relational.delta_left_join_retract(
+    mv = MaterializedView("left", on=["o_orderkey"])
+    view = mv.compute(a, b)
+    kept = mv.retract(
         view,
-        a.filter(~del_a),
-        a.filter(del_a),
-        b.filter(~del_b),
-        b.filter(del_b),
-        on=["o_orderkey"],
+        a_new=a.filter(~del_a),
+        retract_a=a.filter(del_a),
+        b_new=b.filter(~del_b),
+        retract_b=b.filter(del_b),
     )
     return kept.select(
         "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
@@ -1264,7 +1279,9 @@ def incremental_join_retract_keyed(
     history). Same deletions, same ORACLE shape as
     ``incremental_join_retract`` — the hash match certifies the keyed
     algebra reaches the identical post-delete view."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _lj_sides(spark, sf_dir)
     a = a.drop("o_orderdate")
@@ -1274,13 +1291,14 @@ def incremental_join_retract_keyed(
     )
     del_a = F.col("o_orderkey") % 13 == 0
     del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
-    view = a.join(b, ["o_orderkey"])
-    kept = relational.delta_join_retract_keyed(
+    mv = MaterializedView(
+        "inner", on=["o_orderkey"], a_id="o_orderkey", b_id="lid"
+    )
+    view = mv.compute(a, b)
+    kept = mv.retract(
         view,
-        a.filter(del_a).select("o_orderkey"),
-        b.filter(del_b).select("lid"),
-        a_id="o_orderkey",
-        b_id="lid",
+        retract_a=a.filter(del_a).select("o_orderkey"),
+        retract_b=b.filter(del_b).select("lid"),
     )
     return kept.select(
         "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
@@ -1352,7 +1370,9 @@ def incremental_full_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     The ORACLE recomputes the full
     FULL JOIN from scratch, so the hash match is the refresh-equals-
     recompute audit across both flip directions at once."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _fj_sides(spark, sf_dir)
     cut_b = F.lit("1997-01-01").cast("date")
@@ -1360,9 +1380,10 @@ def incremental_full_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     delta_a = a.filter(F.col("c_custkey") % 5 == 0)
     b_old = b.filter(F.col("o_orderdate") < cut_b).drop("o_orderdate")
     delta_b = b.filter(F.col("o_orderdate") >= cut_b).drop("o_orderdate")
-    view = a_old.join(b_old, ["c_custkey"], "full")
-    refreshed = relational.delta_full_join_refresh(
-        view, a_old, delta_a, b_old, delta_b, on=["c_custkey"]
+    mv = MaterializedView("full", on=["c_custkey"])
+    view = mv.compute(a_old, b_old)
+    refreshed = mv.refresh(
+        view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
     )
     return refreshed.select(*_FJ_COLS).orderBy("c_custkey", "o_orderkey")
 
@@ -1436,16 +1457,19 @@ def incremental_full_join_increment(
     each append exactly once and both flip selections row-for-row —
     a doomed right-null row materialized for a cross-delta match
     breaks it (the ΔB ▷ A_new term uses A_NEW, not A_old)."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _fj_sides(spark, sf_dir)
     cut_b = F.lit("1997-01-01").cast("date")
-    appends, retractions = relational.delta_full_join_increment(
+    appends, retractions = MaterializedView(
+        "full", on=["c_custkey"]
+    ).increment(
         a.filter(F.col("c_custkey") % 5 != 0),
         a.filter(F.col("c_custkey") % 5 == 0),
         b.filter(F.col("o_orderdate") < cut_b).drop("o_orderdate"),
         b.filter(F.col("o_orderdate") >= cut_b).drop("o_orderdate"),
-        on=["c_custkey"],
     )
     return (
         appends.select(*_FJ_COLS)
@@ -1490,19 +1514,25 @@ def incremental_full_join_retract(
     the post-delete FULL JOIN from scratch; the hash match certifies
     the three disjoint ``gone`` terms retract exactly once each and
     both flip re-emissions land."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _fj_sides(spark, sf_dir)
     b = b.withColumn("_recent", F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")).drop("o_orderdate")
     del_a = F.col("c_custkey") % 13 == 0
-    view = a.join(b, ["c_custkey"], "full")
-    kept = relational.delta_full_join_retract(
-        view.drop("_recent"),
-        a.filter(~del_a),
-        a.filter(del_a),
-        b.filter(~F.coalesce(F.col("_recent"), F.lit(False))).drop("_recent"),
-        b.filter(F.coalesce(F.col("_recent"), F.lit(False))).drop("_recent"),
-        on=["c_custkey"],
+    mv = MaterializedView("full", on=["c_custkey"])
+    view = mv.compute(a, b).drop("_recent")
+    kept = mv.retract(
+        view,
+        a_new=a.filter(~del_a),
+        retract_a=a.filter(del_a),
+        b_new=b.filter(~F.coalesce(F.col("_recent"), F.lit(False))).drop(
+            "_recent"
+        ),
+        retract_b=b.filter(F.coalesce(F.col("_recent"), F.lit(False))).drop(
+            "_recent"
+        ),
     )
     return kept.select(*_FJ_COLS).orderBy("c_custkey", "o_orderkey")
 
@@ -1565,19 +1595,21 @@ def topk_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute audit (a stale horizon row kept, an eviction missed, or
     a tie broken differently all break it — the order is total by
     construction)."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     base = _topk_base(spark, sf_dir)
     cut = F.lit("1997-01-01").cast("date")
     state = _topk(base.filter(F.col("o_orderdate") < cut).drop("o_orderdate"))
     delta = base.filter(F.col("o_orderdate") >= cut).drop("o_orderdate")
-    out = relational.topk_view_refresh(
-        state,
-        delta,
-        ["c_custkey"],
-        [F.col("price_cents").desc(), F.col("o_orderkey").asc()],
-        3,
+    mv = MaterializedView(
+        "topk",
+        keys=["c_custkey"],
+        order_by=[F.col("price_cents").desc(), F.col("o_orderkey").asc()],
+        k=3,
     )
+    out = mv.refresh(state, delta=delta)
     return out.orderBy("c_custkey", "o_orderkey")
 
 
@@ -1610,18 +1642,21 @@ def topk_view_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 over the post-delete table; the hash match certifies both
     the value-level broken-group selection (conservative-correct
     under duplicate values) and the repair ranking."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     base = _topk_base(spark, sf_dir).drop("o_orderdate")
     dead = F.col("o_orderkey") % 11 == 0
     state = _topk(base)
-    out = relational.topk_view_retract(
-        state,
-        base.filter(dead),
-        base.filter(~dead),
-        ["c_custkey"],
-        [F.col("price_cents").desc(), F.col("o_orderkey").asc()],
-        3,
+    mv = MaterializedView(
+        "topk",
+        keys=["c_custkey"],
+        order_by=[F.col("price_cents").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    out = mv.retract(
+        state, deleted=base.filter(dead), base_remaining=base.filter(~dead)
     )
     return out.orderBy("c_custkey", "o_orderkey")
 
@@ -1660,7 +1695,9 @@ def incremental_join_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the increment's multiplicities THROUGH the aggregation
     (a double-folded cross-delta term shifts n; a missed A_old ⋈ ΔB
     row shifts sum)."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderdate"
@@ -1680,16 +1717,11 @@ def incremental_join_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_old = b.filter(F.col("l_shipdate") < cut_b).drop("l_shipdate")
     delta_b = b.filter(F.col("l_shipdate") >= cut_b).drop("l_shipdate")
     keys = ["o_orderstatus", "l_returnflag"]
-    state = relational.mergeable_agg_state(
-        a_old.join(b_old, ["o_orderkey"]), keys, "price_cents"
-    )
-    delta_m = relational.delta_join_increment(
-        a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
-    )
-    merged = relational.merge_agg_states(
-        state, relational.mergeable_agg_state(delta_m, keys, "price_cents"),
-        keys,
-    )
+    jv = MaterializedView("inner", on=["o_orderkey"])
+    av = MaterializedView("agg", keys=keys, value="price_cents")
+    state = av.compute(jv.compute(a_old, b_old))
+    delta_m = jv.increment(a_old, delta_a, b_old, delta_b)
+    merged = av.refresh(state, delta=delta_m)
     return merged.select(
         *keys,
         "n",
@@ -1723,7 +1755,9 @@ def incremental_distinct_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     match certifies the multiplicity bookkeeping (a value whose last
     copy died must leave; one surviving duplicate must keep its row;
     a same-batch delete+insert must net out)."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     o = t(spark, sf_dir, "orders").select(
         (F.col("o_custkey") % 100).cast("bigint").alias("cust_bucket"),
@@ -1734,12 +1768,12 @@ def incremental_distinct_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("1997-01-01").cast("date")
     old = o.filter(F.col("o_orderdate") < cut)
     cols = ["cust_bucket", "o_orderstatus"]
-    state = relational.distinct_view_state(old, cols)
-    new_state = relational.distinct_view_apply(
+    mv = MaterializedView("distinct", cols=cols)
+    state = mv.compute(old)
+    new_state = mv.apply(
         state,
         inserts=o.filter(F.col("o_orderdate") >= cut),
         deletes=old.filter(F.col("o_orderkey") % 13 == 0),
-        cols=cols,
     )
     return new_state.select(*cols).orderBy(*cols)
 
@@ -1782,7 +1816,9 @@ def incremental_semi_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     admitted exactly once however many new items match). The ORACLE
     recomputes EXISTS over the full tables; an already-matched order
     re-entering (the ▷ B_old guard) breaks the hash as a duplicate."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _sj_sides(spark, sf_dir)
     cut_a = F.lit("1997-01-01").cast("date")
@@ -1791,9 +1827,10 @@ def incremental_semi_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     delta_a = a.filter(F.col("o_orderdate") >= cut_a).drop("o_orderdate")
     b_old = b.filter(F.col("l_shipdate") < cut_b).drop("l_shipdate")
     delta_b = b.filter(F.col("l_shipdate") >= cut_b).drop("l_shipdate")
-    view = a_old.join(b_old, ["o_orderkey"], "semi")
-    out = relational.delta_semi_join_refresh(
-        view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    mv = MaterializedView("semi", on=["o_orderkey"])
+    view = mv.compute(a_old, b_old)
+    out = mv.refresh(
+        view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
     )
     return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
 
@@ -1822,21 +1859,23 @@ def incremental_semi_join_retract(
     surviving item must stay. The ORACLE recomputes EXISTS over the
     post-delete sides; the exceptAll is state-sized (a semi view is
     at most |A|)."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _sj_sides(spark, sf_dir)
     a = a.drop("o_orderdate")
     b = b.drop("l_shipdate")
     del_a = F.col("o_orderkey") % 13 == 0
     del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 3 == 0
-    view = a.join(b, ["o_orderkey"], "semi")
-    out = relational.delta_semi_join_retract(
+    mv = MaterializedView("semi", on=["o_orderkey"])
+    view = mv.compute(a, b)
+    out = mv.retract(
         view,
-        a.filter(~del_a),
-        a.filter(del_a),
-        b.filter(~del_b),
-        b.filter(del_b),
-        on=["o_orderkey"],
+        a_new=a.filter(~del_a),
+        retract_a=a.filter(del_a),
+        b_new=b.filter(~del_b),
+        retract_b=b.filter(del_b),
     )
     return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
 
@@ -1863,7 +1902,9 @@ def incremental_anti_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     the arriving orders that match nothing. A stale flipped row kept,
     or a ΔA row probed against B_old instead of B_NEW (it must not
     enter if a same-cycle item covers it), breaks the hash."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _sj_sides(spark, sf_dir)
     cut_a = F.lit("1997-01-01").cast("date")
@@ -1872,9 +1913,10 @@ def incremental_anti_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     delta_a = a.filter(F.col("o_orderdate") >= cut_a).drop("o_orderdate")
     b_old = b.filter(F.col("l_shipdate") < cut_b).drop("l_shipdate")
     delta_b = b.filter(F.col("l_shipdate") >= cut_b).drop("l_shipdate")
-    view = a_old.join(b_old, ["o_orderkey"], "anti")
-    out = relational.delta_anti_join_refresh(
-        view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+    mv = MaterializedView("anti", on=["o_orderkey"])
+    view = mv.compute(a_old, b_old)
+    out = mv.refresh(
+        view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
     )
     return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
 
@@ -1903,20 +1945,190 @@ def incremental_anti_join_retract(
     items were purged (the semi(Δ⁻B keys) ∘ anti(b_new) composition
     admits one row per surviving copy, not per dead match). ORACLE:
     NOT EXISTS over the post-delete sides."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a, b = _sj_sides(spark, sf_dir)
     a = a.drop("o_orderdate")
     b = b.drop("l_shipdate")
     del_a = F.col("o_orderkey") % 13 == 0
     del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 3 == 0
-    view = a.join(b, ["o_orderkey"], "anti")
-    out = relational.delta_anti_join_retract(
+    mv = MaterializedView("anti", on=["o_orderkey"])
+    view = mv.compute(a, b)
+    out = mv.retract(
         view,
-        a.filter(~del_a),
-        a.filter(del_a),
-        b.filter(~del_b),
-        b.filter(del_b),
-        on=["o_orderkey"],
+        a_new=a.filter(~del_a),
+        retract_a=a.filter(del_a),
+        b_new=b.filter(~del_b),
+        retract_b=b.filter(del_b),
     )
     return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+
+@query(
+    "view_api_lifecycle",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           l.qty, l.price_cents
+    FROM (SELECT o_orderkey, o_orderstatus FROM orders
+          WHERE o_orderkey % 13 <> 0) o
+    LEFT JOIN (SELECT l_orderkey, l_linenumber,
+                      CAST(l_quantity AS BIGINT) AS qty,
+                      CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS price_cents
+               FROM lineitem
+               WHERE (l_orderkey + l_linenumber) % 11 <> 0) l
+      ON o.o_orderkey = l.l_orderkey
+    ORDER BY o.o_orderkey, l.l_linenumber
+    """,
+)
+def view_api_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified MaterializedView API end-to-end (round 11,
+    operators.views.MaterializedView — VERDICT r10 #1): one LEFT OUTER
+    view driven through its WHOLE life cycle — ``compute`` over the
+    historical partitions, ``refresh`` folding arrivals on BOTH sides
+    (null-extension flips included), then ``retract`` applying a purge
+    of every 13th order and every 11th lineitem (reverse flips: orders
+    whose last match died re-emit null-extended). Each phase is the
+    certified round-10 delta algebra, but CHAINED — the refresh output
+    is the retract input — so the hash match certifies the phases
+    compose (any slack in one phase breaks the next). The ORACLE
+    recomputes the final LEFT JOIN of the post-everything sides from
+    scratch: lifecycle == recompute, row for row."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    a, b = _lj_sides(spark, sf_dir)
+    cut_a = F.lit("1997-01-01").cast("date")
+    cut_b = F.lit("1996-01-01").cast("date")
+    a_old = a.filter(F.col("o_orderdate") < cut_a).drop("o_orderdate")
+    delta_a = a.filter(F.col("o_orderdate") >= cut_a).drop("o_orderdate")
+    a = a.drop("o_orderdate")
+    b_old = b.filter(F.col("l_shipdate") < cut_b).drop("l_shipdate")
+    delta_b = b.filter(F.col("l_shipdate") >= cut_b).drop("l_shipdate")
+    b = b.drop("l_shipdate")
+    mv = MaterializedView("left", on=["o_orderkey"])
+    v0 = mv.compute(a_old, b_old)
+    v1 = mv.refresh(
+        v0, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
+    )
+    del_a = F.col("o_orderkey") % 13 == 0
+    del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
+    v2 = mv.retract(
+        v1,
+        a_new=a.filter(~del_a),
+        retract_a=a.filter(del_a),
+        b_new=b.filter(~del_b),
+        retract_b=b.filter(del_b),
+    )
+    return v2.select(
+        "o_orderkey", "l_linenumber", "o_orderstatus", "qty", "price_cents"
+    ).orderBy("o_orderkey", "l_linenumber")
+
+
+def _wv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders shaped for the running-window view rows: per-customer
+    running spend, totally ordered by (orderdate, orderkey) so
+    refresh-equals-recompute is hash-exact."""
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+_WV_ORACLE_CORE = """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cents
+    FROM orders
+"""
+
+
+@query(
+    "incremental_window_refresh",
+    oracle=_WV_ORACLE_CORE + "    ORDER BY o_custkey, o_orderkey",
+)
+def incremental_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained RUNNING-AGG WINDOW view (round 11,
+    operators.relational.window_view_refresh via the MaterializedView
+    API — VERDICT r10 stretch #8, the last view shape with no IVM
+    story): each customer's running spend, materialized over two
+    thirds of the orders (o_orderkey % 3 != 0), then the remaining
+    third ARRIVES — and because the split is uncorrelated with the
+    date order, arrivals INTERLEAVE: an arriving early-dated order
+    must shift every later running value of its customer, the path a
+    date-split delta would never exercise. Only touched customers
+    re-window over their own state rows ∪ delta (the state is the
+    row-level view, so no base rescan); untouched customers pass
+    through a broadcast anti probe. The ORACLE recomputes SUM OVER
+    from the full table — a stale running value anywhere breaks the
+    hash."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    base = _wv_base(spark, sf_dir)
+    old = base.filter(F.col("o_orderkey") % 3 != 0)
+    delta = base.filter(F.col("o_orderkey") % 3 == 0)
+    mv = MaterializedView(
+        "window",
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        value="price_cents",
+        out_col="running_cents",
+    )
+    out = mv.refresh(mv.compute(old), delta=delta)
+    return out.select("o_custkey", "o_orderkey", "running_cents").orderBy(
+        "o_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "incremental_window_retract",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cents
+    FROM orders WHERE o_orderkey % 7 <> 0
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def incremental_window_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION maintenance of the running-window view (round 11,
+    operators.relational.window_view_retract via the MaterializedView
+    API): purging every 7th order shifts every LATER running value of
+    the affected customers — touched customers re-window over their
+    surviving state rows (state ⋉ Δ⁻keys exceptAll Δ⁻; NO base rescan,
+    the storage-for-maintenance trade dual to retract_agg_state's
+    repair scan), untouched ones pass through. The ORACLE recomputes
+    SUM OVER from the post-delete table; a running value not re-shifted
+    after its predecessor died breaks the hash."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    base = _wv_base(spark, sf_dir)
+    dead = F.col("o_orderkey") % 7 == 0
+    mv = MaterializedView(
+        "window",
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        value="price_cents",
+        out_col="running_cents",
+    )
+    out = mv.retract(mv.compute(base), deleted=base.filter(dead))
+    return out.select("o_custkey", "o_orderkey", "running_cents").orderBy(
+        "o_custkey", "o_orderkey"
+    )

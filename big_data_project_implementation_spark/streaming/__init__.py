@@ -212,7 +212,8 @@ def recover_batch_view_compaction(out_dir: str) -> int:
 
 
 def compact_batch_view(
-    spark: SparkSession, out_dir: str, keep_last: int = 1
+    spark: SparkSession, out_dir: str, keep_last: int = 1,
+    distinct: bool = False,
 ) -> tuple[int, str | None]:
     """Small-files maintenance for a ``batch_id=N``-partitioned
     maintained view (round 10) — the operational half the streaming
@@ -249,6 +250,15 @@ def compact_batch_view(
     every live batch), and a fresh name is guaranteed by taking
     min(existing ids, 0) − 1.
 
+    ``distinct=True`` consolidates with a DISTINCT instead of a plain
+    concat — the KEY-LOG shape (round 11, VERDICT r10 #6): the
+    streaming left-outer view's matched-key log is key-level (readers
+    always distinct it), so its segments merge by distinct and the
+    consolidated log shrinks to the key cardinality instead of
+    accumulating one duplicate per batch a key re-arrived in. Only
+    sound for logs whose read semantics are set-based — never for the
+    bag-exact data segments.
+
     Returns (number of source segments merged, new segment dir name).
     Readers never see a missing or double state except in the
     crash-between-publish-and-delete window, which recovery closes —
@@ -279,9 +289,13 @@ def compact_batch_view(
     if len(sources) < 2:
         return 0, None
     tmp = _os.path.join(out_dir, "_tmp_compact")
+    merged = spark.read.parquet(
+        *[_os.path.join(out_dir, d) for d in sources]
+    )
+    if distinct:
+        merged = merged.distinct()
     (
-        spark.read.parquet(*[_os.path.join(out_dir, d) for d in sources])
-        .coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
+        merged.coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
         .write.mode("overwrite")
         .parquet(tmp)
     )
@@ -296,3 +310,32 @@ def compact_batch_view(
     for d in sources:
         _shutil.rmtree(_os.path.join(out_dir, d), ignore_errors=True)
     return len(sources), new_name
+
+
+def prune_state_chain(out_dir: str, keep_last: int = 1) -> tuple[int, str | None]:
+    """Retention for a VERSIONED state chain (``v=N`` directories —
+    the agg/topk/distinct streaming forms): each version is a
+    self-contained snapshot, so maintenance is deletion, not merging.
+    Keeps the newest ``keep_last + 1`` versions — the newest version
+    is the one a replayed in-flight batch would REWRITE, and that
+    replay reads its PREDECESSOR, so the predecessor must survive any
+    prune for the exactly-once rewrite to stay pure (same reasoning as
+    compact_batch_view's untouched tail). Deleting old versions is
+    crash-safe in any order: readers take the newest, and a
+    half-deleted old version is never read. Returns (versions removed,
+    newest kept dir name)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    versions = sorted(
+        (int(p.rsplit("=", 1)[1]), p)
+        for p in _glob.glob(_os.path.join(out_dir, "v=*"))
+        if _os.path.isdir(p)
+    )
+    retain = max(keep_last + 1, 2)
+    victims = versions[:-retain] if len(versions) > retain else []
+    for _, p in victims:
+        _shutil.rmtree(p, ignore_errors=True)
+    newest = _os.path.basename(versions[-1][1]) if versions else None
+    return len(victims), newest

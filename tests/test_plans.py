@@ -494,6 +494,12 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # remaining exchanges are the two per-group rank windows (inline
     # state build + delta-sized re-rank) and the deterministic orderBy
     "topk_view_refresh": (6, ('BroadcastHashJoin', 'BroadcastHashJoin')),
+    # round 11: the MaterializedView API lifecycle (compute -> refresh
+    # -> retract, LEFT OUTER) — every one of the 18 joins in the
+    # chained plan is a broadcast probe (the scale-stable touched-key
+    # flip selections included); no SortMergeJoin, identical at
+    # sf0.001 and sf0.1, so the dispatch layer provably adds nothing
+    "view_api_lifecycle": (15, ('BroadcastHashJoin',) * 18),
 }
 
 

@@ -180,3 +180,361 @@ def test_ab_welch_t2_denominator_branches_vs_exact_floor(
         assert abs(got - exact) <= max(1e-6, 5e-13 * exact)
     else:
         assert got == pytest.approx(exact, abs=0)
+
+
+# ---- MaterializedView unified API (round 11, VERDICT r10 #1) ----------
+
+
+def test_materialized_view_dispatch_contract(spark):
+    """The declarative front door refuses malformed declarations
+    loudly — wrong kind, missing parameters, keyed retraction on a
+    non-inner view — instead of silently picking an algebra."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    with pytest.raises(ValueError, match="unknown view kind"):
+        MaterializedView("outer", on=["k"])
+    with pytest.raises(ValueError, match="join keys"):
+        MaterializedView("inner")
+    with pytest.raises(ValueError, match="needs keys"):
+        MaterializedView("agg", value="v")
+    with pytest.raises(ValueError, match="needs keys"):
+        MaterializedView("topk", keys=["g"], k=2)
+    with pytest.raises(ValueError, match="needs cols"):
+        MaterializedView("distinct")
+    with pytest.raises(ValueError, match="inner-join shape"):
+        MaterializedView("left", on=["k"], a_id="id")
+    with pytest.raises(ValueError, match="True, False or 'auto'"):
+        MaterializedView("inner", on=["k"], broadcast_deltas="maybe")
+    mv = MaterializedView("semi", on=["k"])
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="join-view shape"):
+        MaterializedView("agg", keys=["k"], value="k").increment(
+            df, df, df, df
+        )
+    with pytest.raises(ValueError, match="no one-sided streaming"):
+        mv.stream_gate("/tmp/nowhere", static_a=df)
+    with pytest.raises(ValueError, match="distinct-view shape"):
+        mv.apply(df, df, df)
+
+
+def test_materialized_view_auto_broadcast_resolution(spark):
+    """broadcast_deltas='auto' counts each delta with a LIMIT-bounded
+    job: arrival-sized deltas resolve to a forced broadcast, a
+    backfill-sized delta resolves to False (let AQE pick) — the
+    round-9/10 driver-OOM lesson as an automatic policy."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    mv = MaterializedView(
+        "inner", on=["k"], broadcast_deltas="auto", auto_broadcast_rows=100
+    )
+    small = spark.range(10).withColumnRenamed("id", "k")
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    assert mv._bcast(small, small) is True
+    assert mv._bcast(small, big) is False
+    assert mv._bcast(None, small) is True
+    # and the resolved flag feeds the certified algebra unchanged:
+    # refresh == recompute either way
+    a = spark.range(50).selectExpr("id AS k", "id * 2 AS av")
+    b = spark.range(30).selectExpr("id AS k", "id + 7 AS bv")
+    a_old, delta_a = a.filter("k < 40"), a.filter("k >= 40")
+    b_old, delta_b = b.filter("k < 20"), b.filter("k >= 20")
+    view = mv.compute(a_old, b_old)
+    got = sorted(
+        tuple(r)
+        for r in mv.refresh(
+            view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in a.join(b, ["k"]).collect())
+    assert got == want
+
+
+def test_materialized_view_skew_advice(spark):
+    """skew_advice surfaces key_skew_stats plus the decision rule: a
+    tiny delta → broadcast; a dominant-key delta above the broadcast
+    bound → AQE skew-split guidance."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    mv = MaterializedView("inner", on=["k"], auto_broadcast_rows=50)
+    tiny = spark.range(10).withColumnRenamed("id", "k")
+    adv = mv.skew_advice(tiny)
+    assert adv["advice"].startswith("broadcast")
+    hot = spark.range(500).selectExpr("CAST(id % 10 = 0 AS INT) * id AS k")
+    adv2 = mv.skew_advice(hot)  # ~90% of rows share k=0
+    assert adv2["n_rows"] == 500
+    assert adv2["top_share"] > 0.2
+    assert "AQE" in adv2["advice"]
+
+
+def test_materialized_view_agg_topk_distinct_roundtrip(spark):
+    """Single-base kinds through the unified surface: compute →
+    refresh → retract equals recompute for agg, topk and distinct on
+    the same CDC history (the API-level twin of the per-function
+    round-9/10 tests)."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    base = spark.range(200).selectExpr(
+        "id % 7 AS g", "id * 13 % 101 AS v", "id AS tb"
+    )
+    arrivals = spark.range(200, 260).selectExpr(
+        "id % 7 AS g", "id * 13 % 101 AS v", "id AS tb"
+    )
+    full = base.unionByName(arrivals)
+    dead = full.filter("tb % 9 = 0")
+    remaining = full.filter("tb % 9 <> 0")
+
+    # agg
+    agg = MaterializedView("agg", keys=["g"], value="v")
+    state = agg.retract(
+        agg.refresh(agg.compute(base), delta=arrivals),
+        deleted=dead,
+        base_remaining=remaining,
+    )
+    want = agg.compute(remaining)
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # topk
+    topk = MaterializedView(
+        "topk", keys=["g"], order_by=[F.col("v").desc(), F.col("tb").asc()],
+        k=3,
+    )
+    tstate = topk.retract(
+        topk.refresh(topk.compute(base), delta=arrivals),
+        deleted=dead,
+        base_remaining=remaining,
+    )
+    assert sorted(map(tuple, tstate.collect())) == sorted(
+        map(tuple, topk.compute(remaining).collect())
+    )
+
+    # distinct (apply folds inserts and deletes in one CDC batch)
+    dv = MaterializedView("distinct", cols=["g", "v"])
+    dstate = dv.apply(dv.compute(base), inserts=arrivals, deletes=dead)
+    got = sorted(map(tuple, dstate.select("g", "v").collect()))
+    want_d = sorted(
+        map(tuple, remaining.select("g", "v").distinct().collect())
+    )
+    assert got == want_d
+
+
+def test_keylog_compaction_merges_by_distinct(spark):
+    """compact_batch_view(distinct=True) — the key-log shape (VERDICT
+    r10 #6): segments holding overlapping key sets consolidate to the
+    distinct keys (bounded by key cardinality, not batch count), and
+    the read-back key SET is unchanged mid-compaction."""
+    from big_data_project_implementation_spark import streaming as st_mod
+
+    out_dir = tempfile.mkdtemp(prefix="keylog_r11_")
+    try:
+        # 4 batches, heavy overlap: every batch re-announces keys 0-9
+        for b in range(4):
+            spark.range(10 + b).withColumnRenamed("id", "k").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_id={b}")
+
+        def keyset():
+            return set(
+                r["k"]
+                for r in spark.read.option("basePath", out_dir)
+                .parquet(f"{out_dir}/batch_id=*")
+                .select("k")
+                .distinct()
+                .collect()
+            )
+
+        before = keyset()
+        n, seg = st_mod.compact_batch_view(
+            spark, out_dir, keep_last=1, distinct=True
+        )
+        assert n == 3 and seg == "batch_id=-1"
+        assert keyset() == before
+        # the consolidated segment holds each key ONCE (12 keys from
+        # batches 0-2), not sum-of-batches (10+11+12=33 rows)
+        seg_rows = spark.read.parquet(f"{out_dir}/batch_id=-1").count()
+        assert seg_rows == 12
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_prune_state_chain_keeps_replay_window(spark):
+    """prune_state_chain retains the newest version AND its
+    predecessor (the replay-read window) and removes older versions;
+    idempotent on a pruned chain."""
+    from big_data_project_implementation_spark import streaming as st_mod
+
+    out_dir = tempfile.mkdtemp(prefix="chain_r11_")
+    try:
+        for v in range(5):
+            spark.range(v + 1).write.mode("overwrite").parquet(
+                f"{out_dir}/v={v}"
+            )
+        removed, newest = st_mod.prune_state_chain(out_dir, keep_last=1)
+        assert removed == 3 and newest == "v=4"
+        left = sorted(os.listdir(out_dir))
+        assert left == ["v=3", "v=4"]
+        assert st_mod.prune_state_chain(out_dir, keep_last=1) == (0, "v=4")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("kind", ["topk", "distinct"])
+def test_stream_view_twins_state_chain_replay_idempotent(spark, kind):
+    """The round-11 streaming twins (VERDICT r10 #4): the top-k and
+    DISTINCT view state chains are pure functions of (v=N-1, batch N),
+    so a replayed batch rewrites its own version value-identically, a
+    checkpointed restart replays nothing, and the final version equals
+    the one-pass batch recompute over the full table."""
+    import glob
+
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+    from big_data_project_implementation_spark.queries.registry import (
+        events_stream,
+        t,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix=f"twin_{kind}_")
+    ckpt = tempfile.mkdtemp(prefix=f"twin_{kind}_ckpt_")
+    if kind == "topk":
+        mv = MaterializedView(
+            "topk",
+            keys=["event_type"],
+            order_by=[F.col("v_micro").desc(), F.col("event_id").asc()],
+            k=5,
+        )
+
+        def prepare(df):
+            return df.select(
+                "event_type",
+                "event_id",
+                F.floor(F.col("value") * 1000000 + F.lit(0.5))
+                .cast("bigint")
+                .alias("v_micro"),
+            )
+
+    else:
+        mv = MaterializedView("distinct", cols=["event_type", "user_bucket"])
+
+        def prepare(df):
+            return df.select(
+                "event_type",
+                (F.col("user_id") % 50).cast("bigint").alias("user_bucket"),
+            )
+
+    gate = mv.stream_gate(state_dir, prepare=prepare)
+
+    def run_once():
+        sub = spark.newSession()
+        sub.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            events_stream(sub, SF_DIR, max_files_per_trigger=1)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def snapshot():
+        return sorted(map(tuple, mv.stream_read(spark, state_dir).collect()))
+
+    try:
+        run_once()
+        first = snapshot()
+        assert first, "state chain is empty"
+        full = prepare(t(spark, SF_DIR, "events"))
+        if kind == "topk":
+            truth = sorted(map(tuple, mv.compute(full).collect()))
+        else:
+            truth = sorted(
+                map(tuple, full.select(*mv.cols).distinct().collect())
+            )
+        assert first == truth
+        # empty-delta fold at a new version: identity on the view
+        top = max(
+            int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{state_dir}/v=*")
+        )
+        gate(t(spark, SF_DIR, "events").limit(0), top + 1)
+        assert snapshot() == first, "empty-delta fold changed the view"
+        # checkpointed restart replays nothing
+        run_once()
+        assert snapshot() == first
+        # retention: pruning old versions keeps the replay window
+        from big_data_project_implementation_spark import streaming as st
+
+        st.prune_state_chain(state_dir, keep_last=1)
+        assert snapshot() == first
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_window_view_refresh_interleaved_arrivals_shift_later_rows(
+    spark, broadcast
+):
+    """Round-11 window IVM: an arriving row that sorts BEFORE existing
+    rows of its key must shift every later running value — and a NULL
+    key is one window partition (null-safe key joins), matching the
+    SUM-OVER recompute."""
+    from big_data_project_implementation_spark.operators import relational
+
+    base = spark.createDataFrame(
+        [(1, 10, 5), (1, 30, 7), (None, 20, 11), (2, 40, 13)],
+        "g int, seq int, v int",
+    )
+    order = [F.col("seq").asc()]
+    state = relational.running_window_view(base, ["g"], order, "v", "rs")
+    # seq=20 arrives for g=1 (shifts the seq=30 row); NULL key arrival
+    delta = spark.createDataFrame(
+        [(1, 20, 100), (None, 5, 3)], "g int, seq int, v int"
+    )
+    got = relational.window_view_refresh(
+        state, delta, ["g"], order, "v", "rs", broadcast_deltas=broadcast
+    )
+    want = relational.running_window_view(
+        base.unionByName(delta), ["g"], order, "v", "rs"
+    )
+    assert _canon(got) == _canon(want)
+    g1 = {r["seq"]: r["rs"] for r in got.collect() if r["g"] == 1}
+    assert g1 == {10: 5, 20: 105, 30: 112}  # the shift happened
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_window_view_retract_shifts_without_base_rescan(spark, broadcast):
+    """Round-11 window IVM deletions: removing a row re-windows its
+    key from the SURVIVING STATE rows alone (state ⋉ keys exceptAll
+    deleted) — equals the post-delete recompute."""
+    from big_data_project_implementation_spark.operators import relational
+
+    base = spark.createDataFrame(
+        [(1, 10, 5), (1, 20, 7), (1, 30, 9), (2, 10, 2), (None, 10, 4)],
+        "g int, seq int, v int",
+    )
+    order = [F.col("seq").asc()]
+    state = relational.running_window_view(base, ["g"], order, "v", "rs")
+    deleted = spark.createDataFrame([(1, 20, 7)], "g int, seq int, v int")
+    got = relational.window_view_retract(
+        state, deleted, ["g"], order, "v", "rs", broadcast_deltas=broadcast
+    )
+    want = relational.running_window_view(
+        base.exceptAll(deleted), ["g"], order, "v", "rs"
+    )
+    assert _canon(got) == _canon(want)
+    g1 = {r["seq"]: r["rs"] for r in got.collect() if r["g"] == 1}
+    assert g1 == {10: 5, 30: 14}  # later row re-shifted down

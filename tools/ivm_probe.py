@@ -1,7 +1,9 @@
-"""IVM separation probe (round 9): with a PERSISTED materialized join
-view, how do `relational.delta_join_increment` (the append shape) and
-`delta_join_refresh` (the re-emit shape) compare to full recompute as
-the HISTORICAL base grows and the delta stays one day's arrivals?
+"""IVM separation probe (round 9; round 11: every shape now runs
+THROUGH the unified operators.views.MaterializedView surface — same
+certified algebra, so these numbers measure the API a user calls):
+with a PERSISTED materialized join view, how do the increment (append
+shape) and refresh (re-emit shape) compare to full recompute as the
+HISTORICAL base grows and the delta stays one day's arrivals?
 
 Deployment model: the old partitions of orders/lineitem are replicated
 N× with a key stride (history grows; each replica joins within
@@ -83,7 +85,9 @@ def timed(df) -> float:
 
 
 def probe(spark, sf_dir: str, factor: int, work: str) -> dict:
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
     # history grows factor x (stride keeps replicas self-joining);
@@ -99,20 +103,15 @@ def probe(spark, sf_dir: str, factor: int, work: str) -> dict:
     t_mat = round(time.time() - t0, 2)
     view = spark.read.parquet(view_path)
 
-    inc_bcast = timed(
-        relational.delta_join_increment(
-            a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
-        )
+    mv = MaterializedView("inner", on=["o_orderkey"])
+    mv_aqe = MaterializedView(
+        "inner", on=["o_orderkey"], broadcast_deltas=False
     )
-    inc_aqe = timed(
-        relational.delta_join_increment(
-            a_old, delta_a, b_old, delta_b, on=["o_orderkey"],
-            broadcast_deltas=False,
-        )
-    )
+    inc_bcast = timed(mv.increment(a_old, delta_a, b_old, delta_b))
+    inc_aqe = timed(mv_aqe.increment(a_old, delta_a, b_old, delta_b))
     t_refresh = timed(
-        relational.delta_join_refresh(
-            view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        mv.refresh(
+            view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
         )
     )
     t_recompute = timed(
@@ -142,7 +141,9 @@ def probe_left(spark, sf_dir: str, factor: int, work: str) -> dict:
     null-flip retraction exceptAll) and the (appends, retractions)
     increment pair vs full LEFT JOIN recompute, same deployment model
     as :func:`probe`."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
     a_old = replicate(a_old, factor, f"{work}/la_old.parquet", spark)
@@ -156,13 +157,12 @@ def probe_left(spark, sf_dir: str, factor: int, work: str) -> dict:
     t_mat = round(time.time() - t0, 2)
     view = spark.read.parquet(view_path)
 
-    appends, retractions = relational.delta_left_join_increment(
-        a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
-    )
+    mv = MaterializedView("left", on=["o_orderkey"])
+    appends, retractions = mv.increment(a_old, delta_a, b_old, delta_b)
     t_inc = timed(appends.unionByName(retractions))
     t_refresh = timed(
-        relational.delta_left_join_refresh(
-            view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        mv.refresh(
+            view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
         )
     )
     t_recompute = timed(
@@ -188,7 +188,9 @@ def probe_retract(spark, sf_dir: str, factor: int, work: str) -> dict:
     all-column exceptAll shuffle with two broadcast anti-joins."""
     from pyspark.sql import functions as F
 
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
     a = replicate(
@@ -211,23 +213,24 @@ def probe_retract(spark, sf_dir: str, factor: int, work: str) -> dict:
     del_a = F.col("o_orderkey") % 13 == 0
     del_b = (F.col("o_orderkey") + F.col("l_linenumber")) % 11 == 0
     b_plain = b.drop("lid")
+    mv_plain = MaterializedView("inner", on=["o_orderkey"])
+    mv_keyed = MaterializedView(
+        "inner", on=["o_orderkey"], a_id="o_orderkey", b_id="lid"
+    )
     t_keyless = timed(
-        relational.delta_join_retract(
+        mv_plain.retract(
             view_plain,
-            a.filter(~del_a),
-            a.filter(del_a),
-            b_plain.filter(~del_b),
-            b_plain.filter(del_b),
-            on=["o_orderkey"],
+            a_new=a.filter(~del_a),
+            retract_a=a.filter(del_a),
+            b_new=b_plain.filter(~del_b),
+            retract_b=b_plain.filter(del_b),
         )
     )
     t_keyed = timed(
-        relational.delta_join_retract_keyed(
+        mv_keyed.retract(
             view_k,
-            a.filter(del_a).select("o_orderkey"),
-            b.filter(del_b).select("lid"),
-            a_id="o_orderkey",
-            b_id="lid",
+            retract_a=a.filter(del_a).select("o_orderkey"),
+            retract_b=b.filter(del_b).select("lid"),
         )
     )
     t_recompute = timed(
@@ -250,7 +253,9 @@ def probe_full(spark, sf_dir: str, factor: int, work: str) -> dict:
     interesting way: most arriving lineitems reference orders arriving
     in the SAME refresh (the cross-delta term), and the rest go
     right-null until their order lands — both paths exercised."""
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
     a_old = replicate(a_old, factor, f"{work}/fa_old.parquet", spark)
@@ -264,13 +269,12 @@ def probe_full(spark, sf_dir: str, factor: int, work: str) -> dict:
     t_mat = round(time.time() - t0, 2)
     view = spark.read.parquet(view_path)
 
-    appends, retractions = relational.delta_full_join_increment(
-        a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
-    )
+    mv = MaterializedView("full", on=["o_orderkey"])
+    appends, retractions = mv.increment(a_old, delta_a, b_old, delta_b)
     t_inc = timed(appends.unionByName(retractions))
     t_refresh = timed(
-        relational.delta_full_join_refresh(
-            view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        mv.refresh(
+            view, a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b
         )
     )
     t_recompute = timed(
@@ -296,7 +300,9 @@ def probe_topk(spark, sf_dir: str, factor: int, work: str) -> dict:
     surgical deletion repair against full ROW_NUMBER recomputes."""
     from pyspark.sql import functions as F
 
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
     from pyspark.sql.window import Window
 
     stride = 1_000_000_000
@@ -337,15 +343,15 @@ def probe_topk(spark, sf_dir: str, factor: int, work: str) -> dict:
     t_mat = round(time.time() - t0, 2)
     state = spark.read.parquet(state_path)
 
-    t_refresh = timed(
-        relational.topk_view_refresh(state, delta, ["o_custkey"], order, 3)
-    )
+    mv = MaterializedView("topk", keys=["o_custkey"], order_by=order, k=3)
+    t_refresh = timed(mv.refresh(state, delta=delta))
     t_recompute = timed(topk(old.unionByName(delta)))
     dead = F.col("o_orderkey") % 11 == 0
     t_retract = timed(
-        relational.topk_view_retract(
-            state, old.filter(dead), old.filter(~dead),
-            ["o_custkey"], order, 3,
+        mv.retract(
+            state,
+            deleted=old.filter(dead),
+            base_remaining=old.filter(~dead),
         )
     )
     t_recompute_del = timed(topk(old.filter(~dead)))
@@ -368,7 +374,9 @@ def probe_semianti(spark, sf_dir: str, factor: int, work: str) -> dict:
     (not join-sized), so both shapes should track the A-side scan."""
     from pyspark.sql import functions as F
 
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a_old, delta_a, b_all_old, delta_b_all = split_sides(spark, sf_dir)
     b_old = b_all_old.filter(F.col("qty") >= 45).drop("qty")
@@ -385,8 +393,9 @@ def probe_semianti(spark, sf_dir: str, factor: int, work: str) -> dict:
     semi_view = spark.read.parquet(semi_path)
 
     t_semi = timed(
-        relational.delta_semi_join_refresh(
-            semi_view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        MaterializedView("semi", on=["o_orderkey"]).refresh(
+            semi_view,
+            a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b,
         )
     )
     t_semi_re = timed(
@@ -400,8 +409,9 @@ def probe_semianti(spark, sf_dir: str, factor: int, work: str) -> dict:
     ).parquet(anti_path)
     anti_view = spark.read.parquet(anti_path)
     t_anti = timed(
-        relational.delta_anti_join_refresh(
-            anti_view, a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
+        MaterializedView("anti", on=["o_orderkey"]).refresh(
+            anti_view,
+            a_old=a_old, delta_a=delta_a, b_old=b_old, delta_b=delta_b,
         )
     )
     t_anti_re = timed(
@@ -427,7 +437,9 @@ def probe_distinct(spark, sf_dir: str, factor: int, work: str) -> dict:
     should be FLAT in base size while recompute scans the base."""
     from pyspark.sql import functions as F
 
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a_old, delta_a, _, _ = split_sides(spark, sf_dir)
     a_old = replicate(a_old, factor, f"{work}/da_old.parquet", spark)
@@ -441,16 +453,15 @@ def probe_distinct(spark, sf_dir: str, factor: int, work: str) -> dict:
 
     state_path = f"{work}/dstate.parquet"
     t0 = time.time()
-    relational.distinct_view_state(shape(a_old), cols).write.mode(
+    mv = MaterializedView("distinct", cols=cols)
+    mv.compute(shape(a_old)).write.mode(
         "overwrite"
     ).parquet(state_path)
     t_mat = round(time.time() - t0, 2)
     state = spark.read.parquet(state_path)
 
     deletes = shape(a_old.filter(F.col("o_orderkey") % 9999 == 0))
-    t_apply = timed(
-        relational.distinct_view_apply(state, shape(delta_a), deletes, cols)
-    )
+    t_apply = timed(mv.apply(state, shape(delta_a), deletes))
     t_recompute = timed(
         shape(a_old).exceptAll(deletes).unionByName(shape(delta_a)).distinct()
     )
@@ -469,41 +480,33 @@ def probe_joinagg(spark, sf_dir: str, factor: int, work: str) -> dict:
     the delta joins + a keys-sized merge."""
     from pyspark.sql import functions as F
 
-    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
 
     a_old, delta_a, b_old, delta_b = split_sides(spark, sf_dir)
     a_old = replicate(a_old, factor, f"{work}/ja_old.parquet", spark)
     b_old = replicate(b_old, factor, f"{work}/jb_old.parquet", spark)
     keys = ["o_orderstatus"]
 
+    jv = MaterializedView("inner", on=["o_orderkey"])
+    av = MaterializedView("agg", keys=keys, value="qty")
     state_path = f"{work}/jstate.parquet"
     t0 = time.time()
-    relational.mergeable_agg_state(
-        a_old.join(b_old, ["o_orderkey"]), keys, "qty"
-    ).write.mode("overwrite").parquet(state_path)
+    av.compute(jv.compute(a_old, b_old)).write.mode("overwrite").parquet(
+        state_path
+    )
     t_mat = round(time.time() - t0, 2)
     state = spark.read.parquet(state_path)
 
     t_refresh = timed(
-        relational.merge_agg_states(
-            state,
-            relational.mergeable_agg_state(
-                relational.delta_join_increment(
-                    a_old, delta_a, b_old, delta_b, on=["o_orderkey"]
-                ),
-                keys,
-                "qty",
-            ),
-            keys,
-        )
+        av.refresh(state, delta=jv.increment(a_old, delta_a, b_old, delta_b))
     )
     t_recompute = timed(
-        relational.mergeable_agg_state(
+        av.compute(
             a_old.unionByName(delta_a).join(
                 b_old.unionByName(delta_b), ["o_orderkey"]
-            ),
-            keys,
-            "qty",
+            )
         )
     )
     return {
@@ -560,13 +563,78 @@ def probe_scd2(spark, sf_dir: str, factor: int, work: str) -> dict:
     }
 
 
+def probe_window(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 11: RUNNING-AGG WINDOW view maintenance through the
+    MaterializedView API — the customer base grows factor x (custkey
+    stride keeps replicas disjoint) while the delta stays one day's
+    arrivals; the state is the row-level view, so only touched
+    customers' rows re-window (state ⋉ broadcast(Δkeys) ∪ Δ) and the
+    untouched mass passes through one broadcast anti probe of the
+    state scan. Times refresh and the no-rescan deletion against full
+    SUM-OVER recomputes."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    stride = 1_000_000_000
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    cut = F.lit(CUT_A).cast("date")
+    old = o.filter(F.col("o_orderdate") < cut)
+    delta = o.filter(F.col("o_orderdate") >= cut)
+    if factor > 1:
+        old = old.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        ).withColumn(
+            "o_custkey",
+            F.col("o_custkey").cast("bigint")
+            + F.col("_r").cast("bigint") * F.lit(stride),
+        ).drop("_r")
+    mv = MaterializedView(
+        "window",
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        value="price_cents",
+        out_col="running_cents",
+    )
+    state_path = f"{work}/wv_state.parquet"
+    t0 = time.time()
+    mv.compute(old).write.mode("overwrite").parquet(state_path)
+    t_mat = round(time.time() - t0, 2)
+    state = spark.read.parquet(state_path)
+    old = spark.read.parquet(state_path).drop("running_cents")
+
+    t_refresh = timed(mv.refresh(state, delta=delta))
+    t_recompute = timed(mv.compute(old.unionByName(delta)))
+    dead = F.col("o_orderkey") % 7 == 0
+    t_retract = timed(mv.retract(state, deleted=old.filter(dead)))
+    t_recompute_del = timed(mv.compute(old.filter(~dead)))
+    return {
+        "state_rows": state.count(),
+        "delta_rows": delta.count(),
+        "materialize_state_s": t_mat,
+        "refresh_s": t_refresh,
+        "recompute_s": t_recompute,
+        "retract_s": t_retract,
+        "recompute_post_delete_s": t_recompute_del,
+        "recompute_over_refresh": round(t_recompute / t_refresh, 2),
+        "recompute_over_retract": round(t_recompute_del / t_retract, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--shapes",
-        default="inner,left,full,retract,topk,semianti,distinct,joinagg,scd2",
+        default="inner,left,full,retract,topk,semianti,distinct,joinagg,scd2,window",
         help="comma list of probe families to run",
     )
     args = ap.parse_args()
@@ -587,10 +655,11 @@ def main() -> None:
         "distinct": probe_distinct,
         "joinagg": probe_joinagg,
         "scd2": probe_scd2,
+        "window": probe_window,
     }
     report: dict = {"factor": args.factor}
     for shape in ("inner", "left", "full", "retract", "topk",
-                  "semianti", "distinct", "joinagg", "scd2"):
+                  "semianti", "distinct", "joinagg", "scd2", "window"):
         if shape not in shapes:
             continue
         fn = fns[shape]
