@@ -1556,7 +1556,18 @@ def window_view_refresh(
     oracle recomputes SUM OVER from the full table; the hash match
     certifies both the pass-through and the re-window (an arriving
     early-dated row must shift every later running value of its key).
-    ``broadcast_deltas=False`` for backfills touching most keys."""
+    ``broadcast_deltas=False`` for backfills touching most keys.
+
+    MEASURED honesty (100× probe, SCALING.md round-11): because the
+    state IS the base (unlike top-k/agg/distinct whose state is tiny),
+    this re-emission form pays two base scans vs recompute's one
+    scan + full shuffle + sort — and on local[32] the shuffle is
+    memory-speed, so recompute wins the local clock (0.43×). What the
+    maintenance saves is the SHUFFLE: 0.91 MB (delta-sized, flat)
+    vs recompute's 280 MB (∝ base) of shuffle writes at 100× — the
+    network bottleneck at cluster scale. Deployments therefore ship
+    :func:`window_view_delta` (touched-key partition overwrite), and
+    keep this form as the view-semantics oracle surface."""
     touched_keys = delta.select(*keys).distinct()
     untouched = _nullsafe_semi_anti(
         state, touched_keys, keys, "anti", broadcast_deltas
@@ -1605,3 +1616,38 @@ def window_view_retract(
     return untouched.unionByName(
         running_window_view(cand, keys, order_by, measure, out_col)
     )
+
+
+def window_view_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    measure: Column | str,
+    out_col: str = "running_sum",
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """The rows a window-view refresh REWRITES (round 11) — the
+    deployment shape of :func:`window_view_refresh`, mirroring
+    ``delta_join_increment`` vs ``delta_join_refresh``: only TOUCHED
+    keys' rows change, and a view stored partitioned/bucketed by key
+    overwrites exactly those partitions with this delta instead of
+    re-emitting the untouched mass. Returns the re-windowed rows of
+    every touched key (state rows of those keys ∪ Δ, one delta-sized
+    window). Cost: one semi-probed scan of the state — with
+    key-bucketed storage that scan PRUNES to the touched buckets
+    (tools/ivm_probe.py's window probe measures the pruned form: the
+    touched-bucket filter is a driver-side list of ≤ bucket-count
+    ints, not data) — versus full recompute's scan + full-table
+    shuffle + sort. The 100× probe is honest about the alternative:
+    on local[32] the full-table shuffle is memory-speed, so the
+    RE-EMISSION form (``window_view_refresh``) loses to recompute
+    locally (SCALING.md round-11) — the re-emission exists as the
+    view-semantics oracle surface; deployments ship this delta."""
+    touched_keys = delta.select(*keys).distinct()
+    cand = (
+        _nullsafe_semi_anti(state, touched_keys, keys, "semi", broadcast_deltas)
+        .drop(out_col)
+        .unionByName(delta.select(*[c for c in state.columns if c != out_col]))
+    )
+    return running_window_view(cand, keys, order_by, measure, out_col)

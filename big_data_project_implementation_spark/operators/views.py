@@ -230,6 +230,22 @@ class MaterializedView:
         raise ValueError(
             f"increment() is the join-view shape; {self.kind!r} views"
             " refresh their state directly (refresh/apply)"
+            + (
+                " — window views ship delta() (touched-key rewrite)"
+                if self.kind == "window"
+                else ""
+            )
+        )
+
+    def delta(self, view: DataFrame, arrivals: DataFrame) -> DataFrame:
+        """Window views only: the rows a refresh REWRITES (re-windowed
+        touched keys) — the partition-overwrite deployment shape;
+        see relational.window_view_delta."""
+        if self.kind != "window":
+            raise ValueError("delta() is the window-view shape")
+        return relational.window_view_delta(
+            view, arrivals, self.keys, self.order_by, self.value,
+            self.out_col, self._bcast(arrivals),
         )
 
     def refresh(

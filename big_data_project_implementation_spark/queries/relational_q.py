@@ -2132,3 +2132,51 @@ def incremental_window_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", "o_orderkey", "running_cents").orderBy(
         "o_custkey", "o_orderkey"
     )
+
+
+@query(
+    "incremental_window_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey, running_cents
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS running_cents
+          FROM orders) s
+    WHERE o_custkey IN (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_orderkey % 3 = 0)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def incremental_window_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT shape of the running-window view (round 11,
+    operators.relational.window_view_delta via MaterializedView.delta):
+    the rows a refresh REWRITES — every touched customer's rows,
+    re-windowed over state ∪ Δ — which a key-partitioned store
+    overwrites instead of re-emitting the untouched mass (the measured
+    reason: the state IS the base, so re-emission pays two base scans
+    and only saves the shuffle — SCALING.md round-11's shuffled-bytes
+    table). The ORACLE recomputes SUM OVER from the full table
+    restricted to the touched keys (customers with any arriving
+    order); the hash match certifies the touched-key selection AND the
+    interleaved re-window in one shot."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    base = _wv_base(spark, sf_dir)
+    old = base.filter(F.col("o_orderkey") % 3 != 0)
+    delta = base.filter(F.col("o_orderkey") % 3 == 0)
+    mv = MaterializedView(
+        "window",
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        value="price_cents",
+        out_col="running_cents",
+    )
+    out = mv.delta(mv.compute(old), delta)
+    return out.select("o_custkey", "o_orderkey", "running_cents").orderBy(
+        "o_custkey", "o_orderkey"
+    )

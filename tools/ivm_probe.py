@@ -74,6 +74,32 @@ def replicate(df, factor: int, path: str, spark):
     return spark.read.parquet(path)
 
 
+def shuffled_mb(spark, df) -> float | None:
+    """Total shuffle WRITE bytes one noop-sinked run of ``df`` adds,
+    via the UI REST API (None if the UI is off). The cluster-honest
+    IVM metric local wall time cannot show: on local[32] a shuffle is
+    memory-speed, but at 1000 executors it is the network bottleneck —
+    a refresh whose only exchange is delta-sized wins there even where
+    the local clock says otherwise (SCALING.md round-11 window case)."""
+    import json as _json
+    import urllib.request as _url
+
+    sc = spark.sparkContext
+    if not sc.uiWebUrl:
+        return None
+    api = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+
+    def total() -> int:
+        return sum(
+            st.get("shuffleWriteBytes", 0)
+            for st in _json.loads(_url.urlopen(api).read())
+        )
+
+    before = total()
+    df.write.mode("overwrite").format("noop").save()
+    return round((total() - before) / 1e6, 2)
+
+
 def timed(df) -> float:
     best = None
     for _ in range(2):  # min-of-2: steady-state plan cost
@@ -603,27 +629,62 @@ def probe_window(spark, sf_dir: str, factor: int, work: str) -> dict:
         value="price_cents",
         out_col="running_cents",
     )
+    # the state is stored KEY-BUCKETED (the deployment layout): the
+    # delta shape rewrites only touched buckets, so its state scan
+    # prunes to them (driver-side bucket list, <= n_buckets ints)
+    n_buckets = 64
     state_path = f"{work}/wv_state.parquet"
     t0 = time.time()
-    mv.compute(old).write.mode("overwrite").parquet(state_path)
+    mv.compute(old).withColumn(
+        "kb", F.pmod("o_custkey", F.lit(n_buckets)).cast("int")
+    ).write.mode("overwrite").partitionBy("kb").parquet(state_path)
     t_mat = round(time.time() - t0, 2)
-    state = spark.read.parquet(state_path)
-    old = spark.read.parquet(state_path).drop("running_cents")
+    state = spark.read.parquet(state_path).drop("kb")
+    old = spark.read.parquet(state_path).drop("kb", "running_cents")
 
     t_refresh = timed(mv.refresh(state, delta=delta))
     t_recompute = timed(mv.compute(old.unionByName(delta)))
-    dead = F.col("o_orderkey") % 7 == 0
-    t_retract = timed(mv.retract(state, deleted=old.filter(dead)))
+    touched_buckets = sorted(
+        r[0]
+        for r in delta.select(
+            F.pmod("o_custkey", F.lit(n_buckets)).cast("int")
+        ).distinct().collect()
+    )
+    pruned_state = spark.read.parquet(state_path).filter(
+        F.col("kb").isin(touched_buckets)
+    ).drop("kb")
+    t_delta = timed(mv.delta(pruned_state, delta))
+    mb_refresh = shuffled_mb(spark, mv.refresh(state, delta=delta))
+    mb_recompute = shuffled_mb(
+        spark, mv.compute(old.unionByName(delta))
+    )
+    # a DELTA-SIZED deletion (one replica's customers), not a
+    # table-wide purge — a purge touching ~90% of keys is correctly a
+    # recompute and measures nothing about maintenance
+    dead = (F.col("o_orderkey") % 7 == 0) & (
+        F.col("o_custkey") < F.lit(stride)
+    )
+    # the deletion arrives as a small CDC INPUT in deployment — filter
+    # it out of the base ONCE here, or every reference to `deleted`
+    # inside the maintenance plan silently rescans the 100x state
+    old.filter(dead).write.mode("overwrite").parquet(f"{work}/wv_dead.parquet")
+    deleted = spark.read.parquet(f"{work}/wv_dead.parquet")
+    t_retract = timed(mv.retract(state, deleted=deleted))
     t_recompute_del = timed(mv.compute(old.filter(~dead)))
     return {
         "state_rows": state.count(),
         "delta_rows": delta.count(),
+        "touched_buckets": len(touched_buckets),
         "materialize_state_s": t_mat,
         "refresh_s": t_refresh,
+        "delta_bucket_pruned_s": t_delta,
         "recompute_s": t_recompute,
+        "shuffled_mb_refresh": mb_refresh,
+        "shuffled_mb_recompute": mb_recompute,
         "retract_s": t_retract,
         "recompute_post_delete_s": t_recompute_del,
         "recompute_over_refresh": round(t_recompute / t_refresh, 2),
+        "recompute_over_delta": round(t_recompute / t_delta, 2),
         "recompute_over_retract": round(t_recompute_del / t_retract, 2),
     }
 
