@@ -538,3 +538,106 @@ def test_window_view_retract_shifts_without_base_rescan(spark, broadcast):
     assert _canon(got) == _canon(want)
     g1 = {r["seq"]: r["rs"] for r in got.collect() if r["g"] == 1}
     assert g1 == {10: 5, 30: 14}  # later row re-shifted down
+
+
+def test_window_view_delta_consistent_with_refresh(spark):
+    """The deployment shape (window_view_delta / MaterializedView.delta)
+    is exactly the refresh's rewritten half: untouched pass-through ∪
+    delta == refresh, bag-exactly."""
+    from big_data_project_implementation_spark.operators import relational
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    base = spark.range(120).selectExpr(
+        "id % 11 AS g", "id AS seq", "id * 7 % 31 AS v"
+    )
+    arrivals = spark.range(120, 150).selectExpr(
+        "id % 17 AS g", "id AS seq", "id * 7 % 31 AS v"
+    )
+    mv = MaterializedView(
+        "window", keys=["g"], order_by=[F.col("seq").asc()], value="v",
+        out_col="rs",
+    )
+    state = mv.compute(base)
+    refresh = mv.refresh(state, delta=arrivals)
+    delta_rows = mv.delta(state, arrivals)
+    touched = arrivals.select("g").distinct()
+    untouched = relational._nullsafe_semi_anti(state, touched, ["g"], "anti")
+    recombined = untouched.unionByName(delta_rows)
+    assert _canon(recombined) == _canon(refresh)
+    assert _canon(refresh) == _canon(mv.compute(base.unionByName(arrivals)))
+
+
+def test_window_ivm_algebra_property(spark):
+    """Property test over the round-11 window shapes (the round-10
+    algebra test's style): for random bags with heavy key collision,
+    duplicate rows, and random sub-bag deletions — refresh == SUM-OVER
+    recompute and retract == post-delete recompute, through the
+    MaterializedView surface. The total order includes a synthetic
+    tie-break column so duplicates cannot make ROW-frame running sums
+    ambiguous."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    row = st.tuples(st.integers(0, 3), st.integers(0, 5), st.integers(0, 2))
+    bags = st.tuples(
+        st.lists(row, min_size=0, max_size=8),  # base (g, seq, v)
+        st.lists(row, min_size=0, max_size=5),  # arrivals
+        st.data(),
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(g, s, v, i) for i, (g, s, v) in enumerate(rows)]
+            or [(None, None, None, None)],
+            "g long, seq long, v long, tb long",
+        ).filter(F.col("tb").isNotNull())
+
+    mv = MaterializedView(
+        "window",
+        keys=["g"],
+        order_by=[F.col("seq").asc(), F.col("v").asc(), F.col("tb").asc()],
+        value="v",
+        out_col="rs",
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(bags)
+    def check(data):
+        base_rows, arr_rows, rnd = data
+        base, arrivals = mk(base_rows), mk(arr_rows)
+        state = mv.compute(base)
+        got = mv.refresh(state, delta=arrivals)
+        want = mv.compute(base.unionByName(arrivals))
+        assert _canon(got) == _canon(want)
+        # random sub-bag deletion from the refreshed base
+        full_rows = base_rows + [
+            (g, s, v) for (g, s, v) in arr_rows
+        ]
+        n_del = rnd.draw(st.integers(0, min(3, len(full_rows))))
+        idx = rnd.draw(
+            st.permutations(range(len(full_rows)))
+        )[:n_del] if full_rows else []
+        # rebuild with stable tb indices matching mk() enumeration
+        full = spark.createDataFrame(
+            [(g, s, v, i) for i, (g, s, v) in enumerate(full_rows)]
+            or [(None, None, None, None)],
+            "g long, seq long, v long, tb long",
+        ).filter(F.col("tb").isNotNull())
+        dead = full.filter(F.col("tb").isin([int(i) for i in idx]) if idx else F.lit(False))
+        survivors = full.filter(~F.col("tb").isin([int(i) for i in idx]) if idx else F.lit(True))
+        state2 = mv.compute(full)
+        got2 = mv.retract(state2, deleted=dead)
+        want2 = mv.compute(survivors)
+        assert _canon(got2) == _canon(want2)
+
+    check()
