@@ -1086,18 +1086,39 @@ def retract_agg_state(
     100 TB key counts a forced broadcast of that is a driver OOM —
     pass False there and let AQE pick the semi-join (the same lesson
     the join side measured: a base-sized 'delta' must not be
-    broadcast; SCALING.md round-9/round-10)."""
+    broadcast; SCALING.md round-9/round-10).
+
+    All key joins here are NULL-SAFE (round 11): GROUP BY puts NULL
+    keys in one group, so the state can carry a NULL-keyed row whose
+    deletions must subtract like any other — a plain column-name join
+    would silently skip its retraction AND its extreme repair (the
+    same defect class ADVICE r10 found in the top-k twin)."""
     d = mergeable_agg_state(deleted, keys, value)
-    j = state.alias("s").join(
-        d.select(
-            *keys,
-            F.col("n").alias("_dn"),
-            F.col("sum").alias("_dsum"),
-            F.col("min").alias("_dmin"),
-            F.col("max").alias("_dmax"),
-        ),
-        keys,
-        "left",
+    d_cols = d.select(
+        *keys,
+        F.col("n").alias("_dn"),
+        F.col("sum").alias("_dsum"),
+        F.col("min").alias("_dmin"),
+        F.col("max").alias("_dmax"),
+    )
+    cond = None
+    for c in keys:
+        e = F.col(f"_s.{c}").eqNullSafe(F.col(f"_d.{c}"))
+        cond = e if cond is None else cond & e
+    j = (
+        state.alias("_s")
+        .join(d_cols.alias("_d"), cond, "left")
+        .select(
+            *[F.col(f"_s.{c}") for c in keys],
+            "_s.n",
+            "_s.sum",
+            "_s.min",
+            "_s.max",
+            "_dn",
+            "_dsum",
+            "_dmin",
+            "_dmax",
+        )
     )
     adjusted = j.select(
         *keys,
@@ -1123,18 +1144,32 @@ def retract_agg_state(
     clean = adjusted.filter(~F.col("_repair")).drop("_repair")
     broken_keys = adjusted.filter(F.col("_repair")).select(*keys, "n", "sum")
     # per-key recount of min/max ONLY for the touched keys, over the
-    # post-delete base pruned by a semi-join on those keys
+    # post-delete base pruned by a null-safe semi-join on those keys
     v = F.col(value) if isinstance(value, str) else value
-    maybe_b = F.broadcast if broadcast_repair_keys else (lambda d: d)
-    repaired = (
-        base_remaining.join(maybe_b(broken_keys.select(*keys)), keys, "semi")
+    recounted = (
+        _nullsafe_semi_anti(
+            base_remaining, broken_keys, keys, "semi", broadcast_repair_keys
+        )
         .groupBy(*keys)
         .agg(
             F.min(v).cast("bigint").alias("min"),
             F.max(v).cast("bigint").alias("max"),
         )
-        .join(broken_keys, keys)
-        .select(*keys, "n", "sum", "min", "max")
+    )
+    recond = None
+    for c in keys:
+        e = F.col(f"_r.{c}").eqNullSafe(F.col(f"_b.{c}"))
+        recond = e if recond is None else recond & e
+    repaired = (
+        recounted.alias("_r")
+        .join(broken_keys.alias("_b"), recond)
+        .select(
+            *[F.col(f"_r.{c}") for c in keys],
+            "_b.n",
+            "_b.sum",
+            "_r.min",
+            "_r.max",
+        )
     )
     return clean.unionByName(repaired)
 

@@ -641,3 +641,33 @@ def test_window_ivm_algebra_property(spark):
         assert _canon(got2) == _canon(want2)
 
     check()
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_retract_agg_state_null_keyed_group(spark, broadcast):
+    """Round-11 proactive sweep (the ADVICE r10 defect class, agg
+    twin): GROUP BY puts NULL keys in one group, so the state carries
+    a NULL-keyed row — its deletions must subtract and its extreme
+    repair must fire like any other key's. Under plain column-name
+    joins both were silently skipped."""
+    from big_data_project_implementation_spark.operators import relational
+
+    base = spark.createDataFrame(
+        [(None, 10), (None, 3), (None, 7), (1, 5), (1, 9), (2, 4)],
+        "g int, v int",
+    )
+    # delete the NULL group's MIN (forces the repair path) and one
+    # non-extreme row of group 1 (arithmetic path)
+    deleted = spark.createDataFrame([(None, 3), (1, 5)], "g int, v int")
+    remaining = base.exceptAll(deleted)
+    state = relational.mergeable_agg_state(base, ["g"], "v")
+    got = relational.retract_agg_state(
+        state, deleted, remaining, ["g"], "v",
+        broadcast_repair_keys=broadcast,
+    )
+    want = relational.mergeable_agg_state(remaining, ["g"], "v")
+    assert _canon(got) == _canon(want)
+    null_row = [r for r in got.collect() if r["g"] is None]
+    assert len(null_row) == 1
+    assert (null_row[0]["n"], null_row[0]["sum"], null_row[0]["min"],
+            null_row[0]["max"]) == (2, 17, 7, 10)
