@@ -5044,3 +5044,129 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "incremental_bm25_search",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id AS id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM lens
+    ),
+    tf AS (
+      SELECT id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id AS id,
+                   UNNEST(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word IN ('customer', 'spark', 'vector')
+      GROUP BY id, word
+    ),
+    dfreq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    )
+    SELECT tf.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           ROUND(CAST(SUM(CAST(
+             ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+             AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+    FROM tf
+    JOIN dfreq USING (word)
+    JOIN lens USING (id)
+    CROSS JOIN stats
+    GROUP BY tf.id
+    ORDER BY doc_id
+    """,
+)
+def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY-MAINTAINED lexical index (round 11,
+    operators.text.lexical_index_state/_refresh/bm25_from_index — the
+    IVM theme applied to text retrieval): the inverted-index
+    sufficient statistics (postings, doc lengths, doc frequencies,
+    corpus scalars) are ALL mergeable under document arrivals, so the
+    index over 80% of the corpus folds the remaining 20% in at cost
+    ∝ |Δ| + |vocab| — postings/lens append, docfreq/stats merge, the
+    corpus is never rescanned. The query then scores from the
+    MAINTAINED state; the ORACLE recomputes BM25 from the full corpus
+    from scratch, so the hash match certifies every statistic through
+    the scoring formula (a df off by one, a stale avgdl, or a missed
+    posting all flip a 6-decimal score)."""
+    from big_data_project_implementation_spark.operators import text
+
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    state = text.lexical_index_state(old)
+    refreshed = text.lexical_index_refresh(state, delta)
+    return text.bm25_from_index(refreshed, BM25_QUERY_TERMS).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "incremental_bm25_retract",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ),
+    lens AS (
+      SELECT doc_id AS id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM corpus
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM lens
+    ),
+    tf AS (
+      SELECT id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id AS id,
+                   UNNEST(string_split(lower(text), ' ')) AS word
+            FROM corpus)
+      WHERE word IN ('customer', 'spark', 'vector')
+      GROUP BY id, word
+    ),
+    dfreq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    )
+    SELECT tf.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           ROUND(CAST(SUM(CAST(
+             ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+             AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+    FROM tf
+    JOIN dfreq USING (word)
+    JOIN lens USING (id)
+    CROSS JOIN stats
+    GROUP BY tf.id
+    ORDER BY doc_id
+    """,
+)
+def incremental_bm25_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style DELETION maintenance of the lexical index (round 11,
+    operators.text.lexical_index_retract): purging every 7th document
+    drops its postings and length row by broadcast anti probe and
+    SUBTRACTS its doc-frequency and corpus-scalar contributions —
+    counts are a group under addition, so unlike the min/max agg twin
+    there is NO repair scan: a word whose last document died leaves
+    the vocabulary by arithmetic alone. The ORACLE recomputes BM25
+    over the post-delete corpus; with every purged doc's terms gone
+    from df, every SURVIVING document's idf shifts — the hash match
+    certifies that global ripple, not just the local deletions."""
+    from big_data_project_implementation_spark.operators import text
+
+    d = t(spark, sf_dir, "documents")
+    dead = d.filter(F.col("doc_id") % 7 == 0)
+    state = text.lexical_index_state(d)
+    kept = text.lexical_index_retract(state, dead)
+    return text.bm25_from_index(kept, BM25_QUERY_TERMS).orderBy("doc_id")

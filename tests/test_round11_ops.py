@@ -671,3 +671,47 @@ def test_retract_agg_state_null_keyed_group(spark, broadcast):
     assert len(null_row) == 1
     assert (null_row[0]["n"], null_row[0]["sum"], null_row[0]["min"],
             null_row[0]["max"]) == (2, 17, 7, 10)
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_lexical_index_ivm_matches_rebuild(spark, broadcast):
+    """Round-11 text IVM: the maintained inverted-index state under
+    arrivals AND deletions equals a from-scratch rebuild — including a
+    NULL-text document (dl stays NULL, counted in n, skipped in sumdl)
+    and a word whose last document dies leaving the vocabulary."""
+    from big_data_project_implementation_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins spark"),
+            (2, "vector search"),
+            (3, None),
+            (4, "unique zanzibar token"),
+            (5, "spark vector"),
+        ],
+        "doc_id long, text string",
+    )
+    old = docs.filter("doc_id <= 3")
+    delta = docs.filter("doc_id > 3")
+    refreshed = text.lexical_index_refresh(
+        text.lexical_index_state(old), delta
+    )
+    rebuilt = text.lexical_index_state(docs)
+    for got, want in zip(refreshed, rebuilt):
+        assert _canon(got) == _canon(want)
+
+    dead = docs.filter("doc_id = 4")
+    kept = text.lexical_index_retract(
+        refreshed, dead, broadcast_deltas=broadcast
+    )
+    survivors = docs.filter("doc_id <> 4")
+    want_state = text.lexical_index_state(survivors)
+    for got, want in zip(kept, want_state):
+        assert _canon(got) == _canon(want)
+    vocab = {r["word"] for r in kept[2].collect()}
+    assert "zanzibar" not in vocab  # last doc died -> word left
+    # scoring from the maintained state == from-scratch scoring
+    q = ("spark", "vector")
+    got_scores = text.bm25_from_index(kept, q)
+    want_scores = text.bm25_scores(survivors, q)
+    assert _canon(got_scores) == _canon(want_scores)
