@@ -1957,3 +1957,158 @@ def stream_left_view_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.stream_read(spark, out_dir, static_a=orders).orderBy(
         "o_orderkey", "l_linenumber"
     )
+
+
+def _stream_bm25_machinery(spark: SparkSession, out_dir: str):
+    """(gate, read_state) for the CONTINUOUSLY-MAINTAINED lexical
+    index (round 11): the two exactly-once disciplines composed —
+    postings and doc-lengths are APPEND-ONLY (one ``batch_id=N``
+    partition each per micro-batch; replay overwrites its own rows),
+    while doc-frequency and corpus scalars are VERSIONED STATE CHAINS
+    (v=N = merge(v=N-1, batch N); counts are a group under addition,
+    so a replayed batch rewrites its version byte-identically). Every
+    store is plain parquet readable mid-stream by any engine."""
+    import os as _os
+
+    from big_data_project_implementation_spark.operators import text
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        post, lens, dfreq, stats = text.lexical_index_state(batch)
+        post.write.mode("overwrite").parquet(
+            f"{out_dir}/postings/batch_id={batch_id}"
+        )
+        lens.write.mode("overwrite").parquet(
+            f"{out_dir}/lens/batch_id={batch_id}"
+        )
+        prev_df = f"{out_dir}/docfreq/v={batch_id - 1}"
+        if batch_id > 0 and _os.path.exists(prev_df):
+            dfreq = (
+                ss.read.parquet(prev_df)
+                .unionByName(dfreq)
+                .groupBy("word")
+                .agg(F.sum("df").cast("bigint").alias("df"))
+            )
+        dfreq.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/docfreq/v={batch_id}"
+        )
+        prev_st = f"{out_dir}/stats/v={batch_id - 1}"
+        if batch_id > 0 and _os.path.exists(prev_st):
+            stats = (
+                ss.read.parquet(prev_st)
+                .unionByName(stats)
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("sumdl").cast("bigint").alias("sumdl"),
+                )
+            )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/stats/v={batch_id}"
+        )
+
+    def read_state(ss: SparkSession):
+        import glob as _glob
+
+        def newest(chain: str):
+            vs = sorted(
+                int(p.rsplit("=", 1)[1])
+                for p in _glob.glob(f"{out_dir}/{chain}/v=*")
+            )
+            return ss.read.parquet(f"{out_dir}/{chain}/v={vs[-1]}")
+
+        postings = (
+            ss.read.option("basePath", f"{out_dir}/postings")
+            .parquet(f"{out_dir}/postings/batch_id=*")
+            .drop("batch_id")
+        )
+        lens = (
+            ss.read.option("basePath", f"{out_dir}/lens")
+            .parquet(f"{out_dir}/lens/batch_id=*")
+            .drop("batch_id")
+        )
+        return postings, lens, newest("docfreq"), newest("stats")
+
+    return gate, read_state
+
+
+@query(
+    "stream_bm25_index",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id AS id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM lens
+    ),
+    tf AS (
+      SELECT id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id AS id,
+                   UNNEST(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word IN ('customer', 'spark', 'vector')
+      GROUP BY id, word
+    ),
+    dfreq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    )
+    SELECT tf.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           ROUND(CAST(SUM(CAST(
+             ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))
+             AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+    FROM tf
+    JOIN dfreq USING (word)
+    JOIN lens USING (id)
+    CROSS JOIN stats
+    GROUP BY tf.id
+    ORDER BY doc_id
+    """,
+)
+def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUSLY-MAINTAINED search index (round 11): documents
+    stream in and the inverted index stays queryable mid-stream — the
+    streaming twin of `incremental_bm25_search`, composing the round's
+    two exactly-once disciplines (append-only batch partitions for
+    postings/lengths, versioned state chains for doc-frequency and the
+    corpus scalars; `_stream_bm25_machinery`). The corpus is re-chunked
+    into 4 files with maxFilesPerTrigger=1 so the chain is REALLY
+    multi-batch — each micro-batch's idf context changes as later
+    batches land, which is exactly what a from-scratch scorer cannot
+    see being maintained. The ORACLE recomputes BM25 over the full
+    corpus; the hash match certifies the final maintained state scores
+    bit-identically (a df folded twice on replay, a lost posting
+    partition, or a stale scalar all flip a 6-decimal score)."""
+    import tempfile
+
+    from big_data_project_implementation_spark.operators import text
+    from big_data_project_implementation_spark.queries.pipeline_q import (
+        BM25_QUERY_TERMS,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="stream_bm25_")
+    ckpt = tempfile.mkdtemp(prefix="stream_bm25_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="stream_bm25_src_")
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw.repartition(4).write.mode("overwrite").parquet(src_dir)
+    gate, read_state = _stream_bm25_machinery(spark, out_dir)
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        sub.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = read_state(spark)
+    return text.bm25_from_index(state, BM25_QUERY_TERMS).orderBy("doc_id")

@@ -715,3 +715,65 @@ def test_lexical_index_ivm_matches_rebuild(spark, broadcast):
     got_scores = text.bm25_from_index(kept, q)
     want_scores = text.bm25_scores(survivors, q)
     assert _canon(got_scores) == _canon(want_scores)
+
+
+def test_stream_bm25_index_replay_idempotent(spark):
+    """The continuously-maintained search index is exactly-once under
+    replay: postings/lens partitions rewrite themselves, the
+    docfreq/stats chains fold v=N purely from (v=N-1, batch N), a
+    checkpointed restart replays nothing, and the final state scores
+    identically to a from-scratch build."""
+    from big_data_project_implementation_spark.operators import text
+    from big_data_project_implementation_spark.queries.registry import t
+    from big_data_project_implementation_spark.queries.streaming_q import (
+        _stream_bm25_machinery,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="bm25_idx_test_")
+    ckpt = tempfile.mkdtemp(prefix="bm25_idx_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="bm25_idx_src_")
+    try:
+        raw = t(spark, SF_DIR, "documents")
+        raw.repartition(3).write.mode("overwrite").parquet(src_dir)
+        gate, read_state = _stream_bm25_machinery(spark, out_dir)
+
+        def run_once():
+            sub = spark.newSession()
+            sub.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                sub.readStream.schema(raw.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+                .writeStream.foreachBatch(gate)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def score():
+            return _canon(
+                text.bm25_from_index(read_state(spark), ("customer", "spark"))
+            )
+
+        run_once()
+        first = score()
+        assert first
+        want = _canon(text.bm25_scores(raw, ("customer", "spark")))
+        assert first == want
+        # empty-delta fold at a new version: chains are identities
+        import glob
+
+        top = max(
+            int(p.rsplit("=", 1)[1])
+            for p in glob.glob(f"{out_dir}/docfreq/v=*")
+        )
+        gate(raw.limit(0), top + 1)
+        assert score() == first
+        run_once()  # checkpointed restart replays nothing
+        assert score() == first
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
