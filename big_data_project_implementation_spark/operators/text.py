@@ -2626,13 +2626,18 @@ def lexical_index_retract(
     deleted documents' own state (counts are a group; a word whose df
     reaches 0 leaves the vocabulary, matching a rebuild). No repair
     scan exists or is needed — unlike min/max, every index statistic
-    is additive."""
+    is additive. The id anti joins are NULL-SAFE: the state groups a
+    NULL-id document like any other (GROUP BY semantics), so its
+    deletion must drop its postings/lens rows too — a plain anti join
+    would leave them as zombies while the subtracted counts diverged
+    (the ADVICE-r10 null-join defect class)."""
+    from .relational import _nullsafe_semi_anti
+
     postings, lens, docfreq, stats = state
     d_post, d_lens, d_df, d_stats = lexical_index_state(
         deleted_docs, text_col, id_col
     )
-    maybe_b = F.broadcast if broadcast_deltas else (lambda d: d)
-    dead_ids = maybe_b(d_lens.select("id").distinct())
+    dead_ids = d_lens.select("id").distinct()
     neg = d_df.select("word", (-F.col("df")).alias("df"))
     new_docfreq = (
         docfreq.unionByName(neg)
@@ -2652,8 +2657,8 @@ def lexical_index_retract(
         )
     )
     return (
-        postings.join(dead_ids, "id", "anti"),
-        lens.join(dead_ids, "id", "anti"),
+        _nullsafe_semi_anti(postings, dead_ids, ["id"], "anti", broadcast_deltas),
+        _nullsafe_semi_anti(lens, dead_ids, ["id"], "anti", broadcast_deltas),
         new_docfreq,
         new_stats,
     )

@@ -113,6 +113,12 @@ class MaterializedView:
                 " outer/semi/anti membership depends on the key set, not"
                 " per-row ids (use the keyless retract)"
             )
+        if bool(a_id) != bool(b_id):
+            raise ValueError(
+                "keyed retraction needs BOTH a_id and b_id — a join row"
+                " dies when either contributor's id was deleted, so one"
+                " id alone cannot retract correctly"
+            )
         if broadcast_deltas not in (True, False, "auto"):
             raise ValueError("broadcast_deltas must be True, False or 'auto'")
         self.kind = kind
@@ -179,9 +185,7 @@ class MaterializedView:
         if self.kind in _JOIN_KINDS:
             if b is None:
                 raise ValueError(f"{self.kind!r} view computes from (a, b)")
-            how = {"inner": "inner", "left": "left", "full": "full",
-                   "semi": "semi", "anti": "anti"}[self.kind]
-            return a.join(b, self.on, how)
+            return a.join(b, self.on, self.kind)
         if b is not None:
             raise ValueError(f"{self.kind!r} view computes from one base side")
         if self.kind == "agg":
@@ -432,9 +436,12 @@ class MaterializedView:
 
             def gate(batch: DataFrame, batch_id: int) -> None:
                 delta_b = prep(batch)
+                # the view's declared broadcast policy applies per
+                # micro-batch ("auto" counts each one — a bulk-replay
+                # batch must not be force-broadcast)
                 inc = relational.delta_join_increment(
                     static_a, empty_a, delta_b.filter(F.lit(False)),
-                    delta_b, self.on, True,
+                    delta_b, self.on, self._bcast(delta_b),
                 )
                 proj(inc).write.mode("overwrite").parquet(
                     f"{out_dir}/batch_id={batch_id}"
@@ -449,7 +456,7 @@ class MaterializedView:
                 delta_b = prep(batch)
                 inc = relational.delta_join_increment(
                     static_a, empty_a, delta_b.filter(F.lit(False)),
-                    delta_b, self.on, True,
+                    delta_b, self.on, self._bcast(delta_b),
                 )
                 proj(inc).write.mode("overwrite").parquet(
                     f"{out_dir}/matches/batch_id={batch_id}"
@@ -461,12 +468,26 @@ class MaterializedView:
             return gate
 
         def gate(batch: DataFrame, batch_id: int) -> None:  # state chain
+            import glob as _glob
             import os as _os
 
             ss = batch.sparkSession
             delta = prep(batch)
             prev_path = f"{out_dir}/v={batch_id - 1}"
-            if batch_id > 0 and _os.path.exists(prev_path):
+            if batch_id > 0 and not _os.path.exists(prev_path):
+                # a missing predecessor is DATA LOSS, not a fresh
+                # start: silently re-initializing from this one batch
+                # would truncate the view and every later fold would
+                # build on it (prune_state_chain always retains the
+                # replay-read window, so a healthy chain cannot get
+                # here)
+                raise ValueError(
+                    f"state chain at {out_dir} is missing {prev_path};"
+                    f" existing versions: "
+                    f"{sorted(_glob.glob(out_dir + '/v=*'))[-3:]} —"
+                    " refusing to re-initialize from one batch"
+                )
+            if batch_id > 0:
                 new = self.refresh(ss.read.parquet(prev_path), delta=delta)
             elif self.kind == "agg":
                 new = relational.mergeable_agg_state(

@@ -328,11 +328,15 @@ def prune_state_chain(out_dir: str, keep_last: int = 1) -> tuple[int, str | None
     import os as _os
     import shutil as _shutil
 
-    versions = sorted(
-        (int(p.rsplit("=", 1)[1]), p)
-        for p in _glob.glob(_os.path.join(out_dir, "v=*"))
-        if _os.path.isdir(p)
-    )
+    versions = []
+    for p in _glob.glob(_os.path.join(out_dir, "v=*")):
+        if not _os.path.isdir(p):
+            continue
+        try:
+            versions.append((int(p.rsplit("=", 1)[1]), p))
+        except ValueError:
+            continue  # stray staging/backup dirs are not versions
+    versions.sort()
     retain = max(keep_last + 1, 2)
     victims = versions[:-retain] if len(versions) > retain else []
     for _, p in victims:

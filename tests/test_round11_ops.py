@@ -205,6 +205,8 @@ def test_materialized_view_dispatch_contract(spark):
         MaterializedView("distinct")
     with pytest.raises(ValueError, match="inner-join shape"):
         MaterializedView("left", on=["k"], a_id="id")
+    with pytest.raises(ValueError, match="BOTH a_id and b_id"):
+        MaterializedView("inner", on=["k"], a_id="rid")
     with pytest.raises(ValueError, match="True, False or 'auto'"):
         MaterializedView("inner", on=["k"], broadcast_deltas="maybe")
     mv = MaterializedView("semi", on=["k"])
@@ -378,10 +380,11 @@ def test_prune_state_chain_keeps_replay_window(spark):
             spark.range(v + 1).write.mode("overwrite").parquet(
                 f"{out_dir}/v={v}"
             )
+        os.makedirs(f"{out_dir}/v=_tmp_stage")  # stray dir: must not wedge
         removed, newest = st_mod.prune_state_chain(out_dir, keep_last=1)
         assert removed == 3 and newest == "v=4"
         left = sorted(os.listdir(out_dir))
-        assert left == ["v=3", "v=4"]
+        assert left == ["v=3", "v=4", "v=_tmp_stage"]
         assert st_mod.prune_state_chain(out_dir, keep_last=1) == (0, "v=4")
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -688,11 +691,12 @@ def test_lexical_index_ivm_matches_rebuild(spark, broadcast):
             (3, None),
             (4, "unique zanzibar token"),
             (5, "spark vector"),
-        ],
+            (None, "spark ghost"),  # NULL-id doc: state groups it,
+        ],                          # so deletion must drop it too
         "doc_id long, text string",
     )
     old = docs.filter("doc_id <= 3")
-    delta = docs.filter("doc_id > 3")
+    delta = docs.filter("doc_id > 3 OR doc_id IS NULL")
     refreshed = text.lexical_index_refresh(
         text.lexical_index_state(old), delta
     )
@@ -700,16 +704,19 @@ def test_lexical_index_ivm_matches_rebuild(spark, broadcast):
     for got, want in zip(refreshed, rebuilt):
         assert _canon(got) == _canon(want)
 
-    dead = docs.filter("doc_id = 4")
+    dead = docs.filter("doc_id = 4 OR doc_id IS NULL")
     kept = text.lexical_index_retract(
         refreshed, dead, broadcast_deltas=broadcast
     )
-    survivors = docs.filter("doc_id <> 4")
+    survivors = docs.filter("doc_id <> 4 AND doc_id IS NOT NULL")
     want_state = text.lexical_index_state(survivors)
     for got, want in zip(kept, want_state):
         assert _canon(got) == _canon(want)
     vocab = {r["word"] for r in kept[2].collect()}
     assert "zanzibar" not in vocab  # last doc died -> word left
+    assert "ghost" not in vocab  # the NULL-id doc's word left too
+    # and its postings did not survive as zombies
+    assert kept[0].filter(F.col("id").isNull()).count() == 0
     # scoring from the maintained state == from-scratch scoring
     q = ("spark", "vector")
     got_scores = text.bm25_from_index(kept, q)
@@ -777,3 +784,26 @@ def test_stream_bm25_index_replay_idempotent(spark):
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+
+def test_stream_gate_missing_predecessor_raises(spark):
+    """A state-chain gate must REFUSE to fold when v=N-1 is missing
+    (data loss), never silently re-initialize the view from one
+    batch."""
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="chain_guard_")
+    try:
+        mv = MaterializedView("agg", keys=["g"], value="v")
+        gate = mv.stream_gate(out_dir)
+        batch = spark.createDataFrame([(1, 2), (1, 3)], "g int, v int")
+        gate(batch, 0)
+        gate(batch, 1)
+        shutil.rmtree(f"{out_dir}/v=1")  # simulate external damage
+        with pytest.raises(ValueError, match="missing"):
+            gate(batch, 2)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -89,15 +89,22 @@ def shuffled_mb(spark, df) -> float | None:
         return None
     api = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
 
-    def total() -> int:
-        return sum(
-            st.get("shuffleWriteBytes", 0)
-            for st in _json.loads(_url.urlopen(api).read())
-        )
+    def stages() -> dict[int, int]:
+        return {
+            st["stageId"]: st.get("shuffleWriteBytes", 0)
+            for st in _json.loads(_url.urlopen(api, timeout=30).read())
+        }
 
-    before = total()
+    # diff by STAGE ID, not by total: on a long run the UI evicts old
+    # stages past spark.ui.retainedStages, which would corrupt a
+    # before/after-total delta (only eviction of THIS job's stages
+    # mid-read could still undercount — noted, not defended)
+    before_ids = set(stages())
     df.write.mode("overwrite").format("noop").save()
-    return round((total() - before) / 1e6, 2)
+    return round(
+        sum(b for sid, b in stages().items() if sid not in before_ids) / 1e6,
+        2,
+    )
 
 
 def timed(df) -> float:

@@ -26,15 +26,15 @@ to parquet first so generation cost and missing stats don't pollute
 the timing; min-of-2 noop-sink writes, quiet-box discipline
 (tools/ivm_probe.py's).
 
-The measured decision rule (recorded in SCALING.md round-11 and in
-``salted_join``'s docstring): broadcast when the dim fits (15× in the
-probe); else AQE's splitter handles it ONLY once the hot partition
-crosses skewedPartitionThresholdInBytes — the 240 MB hot partition
-here sat under the 256 MB default and AQE silently did nothing
-(4.7s ≈ plain SMJ's 4.96s), while the threshold lowered to 16m split
-it to 2.35s ≈ the manual salt's 2.27s. At true 100 TB a hot key dwarfs
-256 MB and the default fires; in the mid-scale gap, lower the
-threshold or salt.
+The measured decision rule (the RECORDED run is SCALING.md round-11
+and ``salted_join``'s docstring — this header mirrors it): broadcast
+when the dim fits (0.38s, 14.5× over the plain shuffle); else AQE's
+splitter handles it ONLY once the hot partition crosses
+skewedPartitionThresholdInBytes — the ~240 MB hot partition sat under
+the 256 MB default and AQE silently did nothing (5.06s ≈ plain SMJ's
+5.52s), while the threshold lowered to 16m split it to 1.75s, beating
+the manual salt's 2.35s. At true 100 TB a hot key dwarfs 256 MB and
+the default fires; in the mid-scale gap, lower the threshold or salt.
 
 Usage: python tools/skew_probe.py [--rows 30000000] [--keys 100000]
        [--hot-share 0.5] [--salt 32]
@@ -79,15 +79,16 @@ def main() -> None:
     spark = get_session("skew-probe")
     work = tempfile.mkdtemp(prefix="skew_probe_")
     try:
-        hot_mod = max(2, round(1 / args.hot_share))
-        # non-hot rows map id//hot_mod over the keys so the cold tail
-        # covers the FULL key range (a bare id % keys would only hit
-        # the residues coprime with hot_mod)
+        # hot rows = the requested PER-MILLE share exactly (the old
+        # round(1/share) modulus silently clamped any --hot-share
+        # above 0.5 down to 0.5); cold rows map consecutive ids over
+        # the full key range
+        hot_permille = max(1, min(999, int(args.hot_share * 1000)))
+        # cold keys spread by a hash so they cover the FULL key range
+        # regardless of how keys relates to the per-mille modulus
         facts = spark.range(args.rows).select(
-            F.when(F.pmod("id", F.lit(hot_mod)) == 0, F.lit(0))
-            .otherwise(
-                F.pmod((F.col("id") / hot_mod).cast("bigint"), F.lit(args.keys))
-            )
+            F.when(F.pmod("id", F.lit(1000)) < hot_permille, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(args.keys)))
             .cast("bigint")
             .alias("k"),
             (F.col("id") % 997).cast("bigint").alias("v"),
