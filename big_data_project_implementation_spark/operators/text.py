@@ -2630,12 +2630,18 @@ def lexical_index_retract(
     NULL-id document like any other (GROUP BY semantics), so its
     deletion must drop its postings/lens rows too — a plain anti join
     would leave them as zombies while the subtracted counts diverged
-    (the ADVICE-r10 null-join defect class)."""
+    (the ADVICE-r10 null-join defect class). ``deleted_docs`` is
+    deduplicated on ``id_col`` first: a CDC feed that repeats a
+    deletion would otherwise subtract the document's docfreq/stats
+    once PER COPY while the anti join drops its postings/lens rows
+    only once, leaving df and n under-counted vs a rebuild (ADVICE
+    round 11) — one document has one set of statistics, however many
+    times its tombstone arrives."""
     from .relational import _nullsafe_semi_anti
 
     postings, lens, docfreq, stats = state
     d_post, d_lens, d_df, d_stats = lexical_index_state(
-        deleted_docs, text_col, id_col
+        deleted_docs.dropDuplicates([id_col]), text_col, id_col
     )
     dead_ids = d_lens.select("id").distinct()
     neg = d_df.select("word", (-F.col("df")).alias("df"))

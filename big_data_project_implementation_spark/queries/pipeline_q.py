@@ -5086,28 +5086,30 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTALLY-MAINTAINED lexical index (round 11,
-    operators.text.lexical_index_state/_refresh/bm25_from_index — the
-    IVM theme applied to text retrieval): the inverted-index
-    sufficient statistics (postings, doc lengths, doc frequencies,
-    corpus scalars) are ALL mergeable under document arrivals, so the
-    index over 80% of the corpus folds the remaining 20% in at cost
-    ∝ |Δ| + |vocab| — postings/lens append, docfreq/stats merge, the
-    corpus is never rescanned. The query then scores from the
-    MAINTAINED state; the ORACLE recomputes BM25 from the full corpus
-    from scratch, so the hash match certifies every statistic through
-    the scoring formula (a df off by one, a stale avgdl, or a missed
-    posting all flip a 6-decimal score)."""
-    from big_data_project_implementation_spark.operators import text
+    """INCREMENTALLY-MAINTAINED lexical index (round 11; since round
+    12 driven THROUGH the `operators.views.LexicalIndex` front door —
+    VERDICT r11 #4 — so the dispatch layer sits under this oracle like
+    MaterializedView's does; algebra:
+    operators.text.lexical_index_state/_refresh/bm25_from_index): the
+    inverted-index sufficient statistics (postings, doc lengths, doc
+    frequencies, corpus scalars) are ALL mergeable under document
+    arrivals, so the index over 80% of the corpus folds the remaining
+    20% in at cost ∝ |Δ| + |vocab| — postings/lens append,
+    docfreq/stats merge, the corpus is never rescanned. The query then
+    scores from the MAINTAINED state; the ORACLE recomputes BM25 from
+    the full corpus from scratch, so the hash match certifies every
+    statistic through the scoring formula (a df off by one, a stale
+    avgdl, or a missed posting all flip a 6-decimal score)."""
+    from big_data_project_implementation_spark.operators.views import (
+        LexicalIndex,
+    )
 
     d = t(spark, sf_dir, "documents")
     old = d.filter(F.col("doc_id") % 5 != 0)
     delta = d.filter(F.col("doc_id") % 5 == 0)
-    state = text.lexical_index_state(old)
-    refreshed = text.lexical_index_refresh(state, delta)
-    return text.bm25_from_index(refreshed, BM25_QUERY_TERMS).orderBy(
-        "doc_id"
-    )
+    lx = LexicalIndex(text_col="text", id_col="doc_id")
+    refreshed = lx.refresh(lx.compute(old), delta)
+    return lx.search(refreshed, BM25_QUERY_TERMS).orderBy("doc_id")
 
 
 @query(
@@ -5153,20 +5155,24 @@ def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_bm25_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GDPR-style DELETION maintenance of the lexical index (round 11,
-    operators.text.lexical_index_retract): purging every 7th document
-    drops its postings and length row by broadcast anti probe and
-    SUBTRACTS its doc-frequency and corpus-scalar contributions —
-    counts are a group under addition, so unlike the min/max agg twin
-    there is NO repair scan: a word whose last document died leaves
-    the vocabulary by arithmetic alone. The ORACLE recomputes BM25
-    over the post-delete corpus; with every purged doc's terms gone
-    from df, every SURVIVING document's idf shifts — the hash match
-    certifies that global ripple, not just the local deletions."""
-    from big_data_project_implementation_spark.operators import text
+    """GDPR-style DELETION maintenance of the lexical index (round 11;
+    since round 12 THROUGH `operators.views.LexicalIndex` — VERDICT
+    r11 #4; algebra: operators.text.lexical_index_retract): purging
+    every 7th document drops its postings and length row by broadcast
+    anti probe and SUBTRACTS its doc-frequency and corpus-scalar
+    contributions — counts are a group under addition, so unlike the
+    min/max agg twin there is NO repair scan: a word whose last
+    document died leaves the vocabulary by arithmetic alone. The
+    ORACLE recomputes BM25 over the post-delete corpus; with every
+    purged doc's terms gone from df, every SURVIVING document's idf
+    shifts — the hash match certifies that global ripple, not just the
+    local deletions."""
+    from big_data_project_implementation_spark.operators.views import (
+        LexicalIndex,
+    )
 
     d = t(spark, sf_dir, "documents")
     dead = d.filter(F.col("doc_id") % 7 == 0)
-    state = text.lexical_index_state(d)
-    kept = text.lexical_index_retract(state, dead)
-    return text.bm25_from_index(kept, BM25_QUERY_TERMS).orderBy("doc_id")
+    lx = LexicalIndex(text_col="text", id_col="doc_id")
+    kept = lx.retract(lx.compute(d), dead)
+    return lx.search(kept, BM25_QUERY_TERMS).orderBy("doc_id")

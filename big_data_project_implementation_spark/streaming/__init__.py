@@ -268,6 +268,17 @@ def compact_batch_view(
     import os as _os
     import shutil as _shutil
 
+    if keep_last < 1:
+        # keep_last=0 would sweep the newest IN-FLIGHT batch into the
+        # consolidated segment; a replayed micro-batch would then
+        # rewrite its batch_id partition ALONGSIDE the compacted copy,
+        # permanently duplicating its rows in the view (ADVICE r11) —
+        # the un-compacted tail is what keeps replay-overwrite sound.
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): the newest batch"
+            " partition is the exactly-once replay-rewrite target and"
+            " can never be compacted away"
+        )
     recover_batch_view_compaction(out_dir)
     segs = [
         d
@@ -312,7 +323,9 @@ def compact_batch_view(
     return len(sources), new_name
 
 
-def prune_state_chain(out_dir: str, keep_last: int = 1) -> tuple[int, str | None]:
+def prune_state_chain(
+    out_dir: str, keep_last: int = 1, spark: SparkSession | None = None
+) -> tuple[int, str | None]:
     """Retention for a VERSIONED state chain (``v=N`` directories —
     the agg/topk/distinct streaming forms): each version is a
     self-contained snapshot, so maintenance is deletion, not merging.
@@ -323,15 +336,28 @@ def prune_state_chain(out_dir: str, keep_last: int = 1) -> tuple[int, str | None
     compact_batch_view's untouched tail). Deleting old versions is
     crash-safe in any order: readers take the newest, and a
     half-deleted old version is never read. Returns (versions removed,
-    newest kept dir name)."""
+    newest kept dir name).
+
+    Paths resolve through the Hadoop FileSystem (of ``spark``, or the
+    active session) so HDFS/s3a chains prune like local ones (ADVICE
+    round 11); with no session available, falls back to driver-local
+    FS APIs — correct only for local paths."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
-    versions = []
-    for p in _glob.glob(_os.path.join(out_dir, "v=*")):
-        if not _os.path.isdir(p):
-            continue
+    spark = spark or SparkSession.getActiveSession()
+    versions: list[tuple[int, str]] = []
+    if spark is not None:
+        from ..sources import fsio
+
+        candidates = fsio.list_glob(spark, f"{out_dir}/v=*", dirs_only=True)
+    else:
+        candidates = [
+            p for p in _glob.glob(_os.path.join(out_dir, "v=*"))
+            if _os.path.isdir(p)
+        ]
+    for p in candidates:
         try:
             versions.append((int(p.rsplit("=", 1)[1]), p))
         except ValueError:
@@ -340,6 +366,11 @@ def prune_state_chain(out_dir: str, keep_last: int = 1) -> tuple[int, str | None
     retain = max(keep_last + 1, 2)
     victims = versions[:-retain] if len(versions) > retain else []
     for _, p in victims:
-        _shutil.rmtree(p, ignore_errors=True)
-    newest = _os.path.basename(versions[-1][1]) if versions else None
+        if spark is not None:
+            from ..sources import fsio
+
+            fsio.delete(spark, p)
+        else:
+            _shutil.rmtree(p, ignore_errors=True)
+    newest = versions[-1][1].rsplit("/", 1)[-1] if versions else None
     return len(victims), newest

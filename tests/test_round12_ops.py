@@ -1,0 +1,340 @@
+"""Round-12 operator tests — the VERDICT r11 / ADVICE r11 items:
+the LexicalIndex front door (hardened state chains + compaction),
+duplicate-tombstone retraction, the compact_batch_view keep_last
+guard, Hadoop-FS path resolution, and the state_files fan-out policy.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_implementation_spark.operators import text
+from big_data_project_implementation_spark.operators.views import (
+    LexicalIndex,
+    MaterializedView,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(
+        tuple((x is None, x) for x in r) for r in df.collect()
+    )
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark joins spark"),
+            (2, "vector search engine"),
+            (3, "spark vector"),
+            (4, "unique zanzibar token"),
+            (5, "customer spark"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+# -- VERDICT r11 what's-wrong #1: the bm25 chains refuse data loss -------
+
+
+def test_lexical_stream_gate_refuses_missing_predecessor(spark):
+    """A missing v=N-1 in the docfreq/stats chains is DATA LOSS — the
+    round-11 machinery silently re-initialized from the one batch,
+    truncating idf/corpus stats for every later fold. The LexicalIndex
+    gate must RAISE instead (the views.py stream_gate discipline)."""
+    out_dir = tempfile.mkdtemp(prefix="lx_refuse_")
+    try:
+        lx = LexicalIndex()
+        gate = lx.stream_gate(out_dir)
+        docs = _docs(spark)
+        gate(docs.filter("doc_id <= 2"), 0)
+        gate(docs.filter("doc_id = 3"), 1)
+        shutil.rmtree(f"{out_dir}/docfreq/v=1")
+        with pytest.raises(ValueError, match="refusing to re-initialize"):
+            gate(docs.filter("doc_id = 4"), 2)
+        # the stats chain refuses independently of docfreq's
+        gate2 = LexicalIndex().stream_gate(out_dir + "_2")
+        gate2(docs.filter("doc_id <= 2"), 0)
+        gate2(docs.filter("doc_id = 3"), 1)
+        shutil.rmtree(f"{out_dir}_2/stats/v=1")
+        with pytest.raises(ValueError, match="stats state chain"):
+            gate2(docs.filter("doc_id = 4"), 2)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(out_dir + "_2", ignore_errors=True)
+
+
+def test_lexical_stream_compaction_preserves_scores(spark):
+    """VERDICT r11 what's-wrong #3: the postings/lens stores route
+    through compact_batch_view — mid-lifecycle compaction must be
+    non-vacuous and leave BM25 scores bit-identical (bag-exact
+    segment merge), with the chains pruned to the replay window."""
+    out_dir = tempfile.mkdtemp(prefix="lx_compact_")
+    try:
+        lx = LexicalIndex()
+        gate = lx.stream_gate(out_dir)
+        docs = _docs(spark)
+        for i in range(4):
+            gate(docs.filter(F.col("doc_id") % 4 == i), i)
+        before = _canon(
+            lx.search(lx.stream_read(spark, out_dir), ("spark", "vector"))
+        )
+        n_merged, _seg = lx.compact(spark, out_dir, keep_last=1)
+        # postings 3 + lens 3 merged, docfreq 2 + stats 2 pruned
+        assert n_merged >= 8
+        after = _canon(
+            lx.search(lx.stream_read(spark, out_dir), ("spark", "vector"))
+        )
+        assert before == after
+        want = _canon(text.bm25_scores(docs, ("spark", "vector")))
+        assert after == want
+        # the chain retains exactly the replay window: newest + its
+        # predecessor (the replayed in-flight batch reads v=N-1)
+        import glob
+
+        assert sorted(glob.glob(f"{out_dir}/docfreq/v=*")) == [
+            f"{out_dir}/docfreq/v=2",
+            f"{out_dir}/docfreq/v=3",
+        ]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_lexical_index_batch_verbs_match_free_functions(spark):
+    """The front door dispatches to the same certified algebra — same
+    results as the round-11 free functions, custom columns included."""
+    docs = _docs(spark).select(
+        F.col("doc_id").alias("id_"), F.col("text").alias("body")
+    )
+    lx = LexicalIndex(text_col="body", id_col="id_")
+    old = docs.filter("id_ <= 3")
+    delta = docs.filter("id_ > 3")
+    got = lx.search(
+        lx.refresh(lx.compute(old), delta), ("spark", "customer")
+    )
+    want = text.bm25_scores(docs, ("spark", "customer"), "body", "id_")
+    assert _canon(got) == _canon(want)
+
+
+# -- ADVICE r11: duplicate tombstones must not double-subtract -----------
+
+
+def test_lexical_index_retract_duplicate_tombstones(spark):
+    """A CDC feed repeating a deletion row must subtract the document's
+    docfreq/stats exactly once (the anti join drops its postings/lens
+    rows once either way) — duplicates previously under-counted df and
+    n vs a rebuild."""
+    docs = _docs(spark)
+    dead_once = docs.filter("doc_id = 4")
+    dead_dup = dead_once.unionByName(dead_once).unionByName(dead_once)
+    state = text.lexical_index_state(docs)
+    got = text.lexical_index_retract(state, dead_dup)
+    want = text.lexical_index_state(docs.filter("doc_id <> 4"))
+    for g, w in zip(got, want):
+        assert _canon(g) == _canon(w)
+
+
+# -- ADVICE r11: compact_batch_view guards the replay tail ---------------
+
+
+def test_compact_batch_view_rejects_keep_last_zero(spark):
+    from big_data_project_implementation_spark import streaming as st_mod
+
+    out_dir = tempfile.mkdtemp(prefix="cbv_guard_")
+    try:
+        with pytest.raises(ValueError, match="keep_last must be >= 1"):
+            st_mod.compact_batch_view(spark, out_dir, keep_last=0)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# -- ADVICE r11: stores navigate via the Hadoop FileSystem ---------------
+
+
+def test_state_chain_resolves_file_uris(spark):
+    """stream_gate / stream_read / prune_state_chain must work when
+    out_dir is a URI the driver's os.path cannot see as-is — file:/
+    exercises the Hadoop FileSystem path end-to-end (HDFS/s3a resolve
+    through the identical API)."""
+    local = tempfile.mkdtemp(prefix="mv_uri_")
+    out_dir = "file:" + local
+    try:
+        mv = MaterializedView("agg", keys=["g"], value="v")
+        gate = mv.stream_gate(out_dir)
+        for i, rows in enumerate([[(1, 2), (2, 3)], [(1, 5)], [(2, 1)]]):
+            gate(spark.createDataFrame(rows, "g int, v int"), i)
+        got = _canon(mv.stream_read(spark, out_dir))
+        want = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 5), (2, 1)], "g int, v int"
+        )
+        from big_data_project_implementation_spark.operators import relational
+
+        assert got == _canon(relational.mergeable_agg_state(want, ["g"], "v"))
+        # a replayed batch folds from its predecessor, not from itself
+        gate(spark.createDataFrame([(2, 1)], "g int, v int"), 2)
+        assert _canon(mv.stream_read(spark, out_dir)) == got
+        from big_data_project_implementation_spark import streaming as st_mod
+
+        removed, newest = st_mod.prune_state_chain(out_dir, keep_last=1)
+        assert (removed, newest) == (1, "v=2")
+    finally:
+        shutil.rmtree(local, ignore_errors=True)
+
+
+def test_fsio_glob_and_delete(spark):
+    import os
+
+    from big_data_project_implementation_spark.sources import fsio
+
+    d = tempfile.mkdtemp(prefix="fsio_")
+    try:
+        os.makedirs(f"{d}/v=0")
+        os.makedirs(f"{d}/v=1")
+        open(f"{d}/v=stray", "w").close()  # file, not a version dir
+        assert fsio.exists(spark, f"{d}/v=0")
+        assert not fsio.exists(spark, f"{d}/v=9")
+        dirs = fsio.list_glob(spark, f"{d}/v=*", dirs_only=True)
+        assert sorted(p.rsplit("=", 1)[1] for p in dirs) == ["0", "1"]
+        assert fsio.delete(spark, f"{d}/v=0")
+        assert not fsio.exists(spark, f"{d}/v=0")
+        assert not fsio.delete(spark, f"{d}/v=0")  # already gone
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# -- VERDICT r11 what's-wrong #2: state_files fan-out policy -------------
+
+
+def _n_parquet_files(path):
+    import glob as _g
+
+    return len(_g.glob(f"{path}/*.parquet"))
+
+
+def test_state_files_policy_regimes(spark):
+    """'auto' writes one file while the state is small and falls back
+    to the plan's own parallelism once it crosses state_file_rows; an
+    int pins the fan-out; bad values are rejected at construction."""
+    out = tempfile.mkdtemp(prefix="mv_fanout_")
+    try:
+        rows = spark.range(100).select(
+            (F.col("id") % 50).alias("g"), F.col("id").alias("v")
+        )
+        small = MaterializedView("agg", keys=["g"], value="v")
+        small.stream_gate(f"{out}/small")(rows, 0)
+        assert _n_parquet_files(f"{out}/small/v=0") == 1
+        # past the row bound, "auto" leaves the plan's own parallelism
+        # untouched (identity — no forced coalesce; at test scale AQE
+        # may still legitimately shrink that to one partition)
+        from big_data_project_implementation_spark.operators.views import (
+            _sized_state,
+        )
+
+        assert _sized_state(rows, "auto", 10) is rows
+        assert _sized_state(rows, "auto", 1_000_000) is not rows
+        pinned = MaterializedView("agg", keys=["g"], value="v", state_files=3)
+        pinned.stream_gate(f"{out}/pinned")(rows, 0)
+        assert _n_parquet_files(f"{out}/pinned/v=0") == 3
+        with pytest.raises(ValueError, match="state_files"):
+            MaterializedView("agg", keys=["g"], value="v", state_files=0)
+        with pytest.raises(ValueError, match="state_files"):
+            LexicalIndex(state_files="never")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# -- VERDICT r11 #2: the storage-aware deployment surface ----------------
+
+
+def _agg_mv():
+    return MaterializedView("agg", keys=["g"], value="v")
+
+
+def test_materialized_agg_store_matches_recompute(spark):
+    """materialize → apply_delta → apply_retract through the
+    key-bucketed store equals the in-memory state over the final base,
+    including the surgical extreme repair under deletion."""
+    from big_data_project_implementation_spark.operators import relational
+
+    root = tempfile.mkdtemp(prefix="mv_store_test_")
+    path = f"{root}/agg"
+    try:
+        rows = [(g, v) for g in range(20) for v in (g, g + 5, g + 9)]
+        base = spark.createDataFrame(rows, "g int, v int")
+        old = base.filter("v % 2 = 0")
+        delta = base.filter("v % 2 = 1")
+        mv = _agg_mv()
+        mv.materialize(mv.compute(old), path, buckets=8)
+        touched = mv.apply_delta(spark, path, delta)
+        assert touched and all(0 <= b < 8 for b in touched)
+        got = mv.read_materialized(spark, path)
+        want = relational.mergeable_agg_state(base, ["g"], "v")
+        assert _canon(got) == _canon(want)
+        # deletion with the repair scan, through the store
+        deleted = base.filter("v = g + 9")
+        remaining = base.exceptAll(deleted)
+        mv.apply_retract(spark, path, deleted, base_remaining=remaining)
+        got2 = mv.read_materialized(spark, path)
+        want2 = relational.mergeable_agg_state(remaining, ["g"], "v")
+        assert _canon(got2) == _canon(want2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_materialized_store_drops_emptied_bucket(spark):
+    """A touched bucket whose every row died must lose its files —
+    dynamic partition overwrite alone leaves them stale (zombie rows
+    on the next read)."""
+    import glob
+
+    root = tempfile.mkdtemp(prefix="mv_store_empty_")
+    path = f"{root}/win"
+    try:
+        mv = MaterializedView(
+            "window", keys=["g"], order_by=[F.col("o").asc()], value="v",
+        )
+        # pick two keys that land in DIFFERENT buckets of 16
+        probe = spark.createDataFrame(
+            [(k,) for k in range(40)], "g int"
+        ).select("g", mv._kb(16).alias("kb"))
+        by_bucket = {}
+        for r in probe.collect():
+            by_bucket.setdefault(r["kb"], r["g"])
+        (b1, k1), (b2, k2) = list(by_bucket.items())[:2]
+        base = spark.createDataFrame(
+            [(k1, 1, 10), (k1, 2, 20), (k2, 1, 30)], "g int, o int, v int"
+        )
+        mv.materialize(mv.compute(base), path, buckets=16)
+        # kill every row of k1 -> its bucket empties entirely
+        mv.apply_retract(spark, path, base.filter(F.col("g") == k1))
+        assert not glob.glob(f"{path}/kb={b1}/*.parquet")
+        got = mv.read_materialized(spark, path)
+        assert [(r["g"], r["running_sum"]) for r in got.collect()] == [
+            (k2, 30)
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_materialized_store_layout_guards(spark):
+    root = tempfile.mkdtemp(prefix="mv_store_guard_")
+    path = f"{root}/agg"
+    try:
+        base = spark.createDataFrame([(1, 2), (2, 3)], "g int, v int")
+        mv = _agg_mv()
+        mv.materialize(mv.compute(base), path, buckets=4)
+        other = MaterializedView("agg", keys=["v"], value="g")
+        with pytest.raises(ValueError, match="layout at"):
+            other.apply_delta(spark, path, base)
+        with pytest.raises(ValueError, match="append-only streaming"):
+            MaterializedView("inner", on=["g"]).materialize(base, path)
+        with pytest.raises(ValueError, match="buckets must be"):
+            mv.materialize(base, f"{root}/bad", buckets=0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -117,6 +117,37 @@ def timed(df) -> float:
     return round(best, 2)
 
 
+def metered(spark, thunk) -> tuple[float, float | None]:
+    """(wall seconds, input MB read) of one side-effecting call —
+    inputBytes diffed by stage id over the UI REST API, the direct
+    evidence a partition-pruned maintenance scan actually pruned
+    (wall time alone can't separate scan from write locally)."""
+    import json as _json
+    import urllib.request as _url
+
+    sc = spark.sparkContext
+    api = (
+        f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+        if sc.uiWebUrl
+        else None
+    )
+
+    def stages() -> dict[int, int]:
+        return {
+            st["stageId"]: st.get("inputBytes", 0)
+            for st in _json.loads(_url.urlopen(api, timeout=30).read())
+        }
+
+    before_ids = set(stages()) if api else set()
+    t0 = time.time()
+    thunk()
+    dt = round(time.time() - t0, 2)
+    if api is None:
+        return dt, None
+    mb = sum(b for sid, b in stages().items() if sid not in before_ids) / 1e6
+    return dt, round(mb, 2)
+
+
 def probe(spark, sf_dir: str, factor: int, work: str) -> dict:
     from big_data_project_implementation_spark.operators.views import (
         MaterializedView,
@@ -696,13 +727,123 @@ def probe_window(spark, sf_dir: str, factor: int, work: str) -> dict:
     }
 
 
+def probe_store(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 12 (VERDICT r11 #2): the EXECUTABLE deployment surface —
+    MaterializedView.materialize/apply_delta/apply_retract against a
+    key-bucketed store at a deployment-like bucket count (4096, not
+    the r11 probe's 64 where pruning was vacuous). The base grows
+    factor× (custkey stride); the CDC batch is one day's arrivals for
+    a ~1% slice of customers — the incremental shape bucketing exists
+    for (a batch touching EVERY key correctly reads every bucket; the
+    scan fraction is touched_keys-bounded either way). Measures the
+    full calls end-to-end (pruned scan + maintenance + partition
+    overwrite) with the inputBytes evidence that the touched-bucket
+    scan PRUNES, vs recompute-and-rewrite-the-store."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    stride = 1_000_000_000
+    n_buckets = 4096
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    cut = F.lit(CUT_A).cast("date")
+    old = o.filter(F.col("o_orderdate") < cut)
+    if factor > 1:
+        old = old.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        ).withColumn(
+            "o_custkey",
+            F.col("o_custkey").cast("bigint")
+            + F.col("_r").cast("bigint") * F.lit(stride),
+        ).drop("_r")
+    else:
+        old = old.withColumn("o_custkey", F.col("o_custkey").cast("bigint"))
+    # CDC batch: one day's arrivals for ~1% of customers, materialized
+    # ONCE (probe hygiene: a delta expressed as a filter of the base
+    # would silently rescan the 100x base inside every maintenance plan)
+    o.filter(
+        (F.col("o_orderdate") >= cut) & (F.col("o_custkey") % 101 == 0)
+    ).withColumn("o_custkey", F.col("o_custkey").cast("bigint")).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/store_delta.parquet")
+    delta = spark.read.parquet(f"{work}/store_delta.parquet")
+    mv = MaterializedView(
+        "window",
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        value="price_cents",
+        out_col="running_cents",
+    )
+    path = f"{work}/store_view"
+    t0 = time.time()
+    mv.materialize(mv.compute(old), path, buckets=n_buckets)
+    t_mat = round(time.time() - t0, 2)
+    store_mb = round(
+        sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        / 1e6,
+        2,
+    )
+    t_apply, mb_apply = metered(
+        spark, lambda: mv.apply_delta(spark, path, delta)
+    )
+    touched = len(
+        delta.select(mv._kb(n_buckets).alias("kb")).distinct().collect()
+    )
+    # the alternative a deployment without the layout pays: recompute
+    # the view over (state ∪ delta) and rewrite the ENTIRE store
+    base_now = mv.read_materialized(spark, path).drop("running_cents")
+    t_rewrite, mb_rewrite = metered(
+        spark,
+        lambda: mv.materialize(
+            mv.compute(base_now), f"{work}/store_rewrite", buckets=n_buckets
+        ),
+    )
+    # delta-sized deletion through the store (same CDC slice shape)
+    base_now.filter(F.col("o_orderkey") % 7 == 0).join(
+        delta.select("o_custkey").distinct(), "o_custkey", "semi"
+    ).write.mode("overwrite").parquet(f"{work}/store_dead.parquet")
+    dead = spark.read.parquet(f"{work}/store_dead.parquet")
+    t_retract, mb_retract = metered(
+        spark, lambda: mv.apply_retract(spark, path, dead)
+    )
+    return {
+        "state_rows": spark.read.parquet(path).count(),
+        "store_mb": store_mb,
+        "n_buckets": n_buckets,
+        "delta_rows": delta.count(),
+        "touched_buckets": touched,
+        "materialize_s": t_mat,
+        "apply_delta_s": t_apply,
+        "input_mb_apply_delta": mb_apply,
+        "rewrite_store_s": t_rewrite,
+        "input_mb_rewrite": mb_rewrite,
+        "apply_retract_s": t_retract,
+        "input_mb_apply_retract": mb_retract,
+        "rewrite_over_apply": round(t_rewrite / t_apply, 2),
+        "scan_fraction_apply": (
+            round(mb_apply / store_mb, 4) if mb_apply is not None else None
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--shapes",
-        default="inner,left,full,retract,topk,semianti,distinct,joinagg,scd2,window",
+        default="inner,left,full,retract,topk,semianti,distinct,joinagg,scd2,window,store",
         help="comma list of probe families to run",
     )
     args = ap.parse_args()
@@ -724,10 +865,12 @@ def main() -> None:
         "joinagg": probe_joinagg,
         "scd2": probe_scd2,
         "window": probe_window,
+        "store": probe_store,
     }
     report: dict = {"factor": args.factor}
     for shape in ("inner", "left", "full", "retract", "topk",
-                  "semianti", "distinct", "joinagg", "scd2", "window"):
+                  "semianti", "distinct", "joinagg", "scd2", "window",
+                  "store"):
         if shape not in shapes:
             continue
         fn = fns[shape]
