@@ -322,6 +322,126 @@ def test_materialized_store_drops_emptied_bucket(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# -- VERDICT r11 #3: the SQL front door ----------------------------------
+
+
+def _sqlcat(spark):
+    from big_data_project_implementation_spark.operators.view_sql import (
+        SqlViewCatalog,
+    )
+
+    return SqlViewCatalog(spark)
+
+
+def test_sql_catalog_single_base_kinds(spark):
+    """distinct / agg / topk views created from SQL, refreshed and
+    retracted by statement, always equal to recomputing the defining
+    query over the current base."""
+    cat = _sqlcat(spark)
+    rows = [(g, o, g * 10 + o) for g in (1, 2) for o in range(1, 5)]
+    base = spark.createDataFrame(rows, "g int, o int, v int")
+    base.createOrReplaceTempView("r12_t")
+    delta = spark.createDataFrame([(1, 9, 99), (3, 1, 31)], "g int, o int, v int")
+    delta.createOrReplaceTempView("r12_d")
+    merged = base.unionByName(delta)
+
+    cat.sql("CREATE MATERIALIZED VIEW r12_vd AS SELECT DISTINCT g FROM r12_t")
+    cat.sql("REFRESH MATERIALIZED VIEW r12_vd USING r12_d")
+    assert _canon(spark.table("r12_vd")) == _canon(merged.select("g").distinct())
+    # distinct retraction needs only the deleted rows
+    spark.createDataFrame([(3, 1, 31)], "g int, o int, v int").createOrReplaceTempView("r12_del")
+    cat.sql("ALTER MATERIALIZED VIEW r12_vd RETRACT USING r12_del")
+    assert _canon(spark.table("r12_vd")) == _canon(base.select("g").distinct())
+
+    cat.sql(
+        "CREATE MATERIALIZED VIEW r12_va AS SELECT g, COUNT(*) AS n,"
+        " SUM(v) AS sum, MIN(v) AS min, MAX(v) AS max FROM r12_t GROUP BY g"
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW r12_va USING r12_d")
+    want = spark.sql(
+        "SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
+        " MAX(v) AS max FROM (SELECT * FROM r12_t UNION ALL"
+        " SELECT * FROM r12_d) GROUP BY g"
+    )
+    got = spark.table("r12_va")
+    assert sorted((r["g"], r["n"], r["sum"], r["min"], r["max"])
+                  for r in got.collect()) == \
+        sorted((r["g"], r["n"], r["sum"], r["min"], r["max"])
+               for r in want.collect())
+    # agg retraction repairs extremes from the remaining base
+    merged.filter("v <> 14").createOrReplaceTempView("r12_rem")
+    spark.createDataFrame([(1, 4, 14)], "g int, o int, v int").createOrReplaceTempView("r12_del2")
+    cat.sql(
+        "ALTER MATERIALIZED VIEW r12_va RETRACT USING r12_del2"
+        " REMAINING r12_rem"
+    )
+    g1 = {r["g"]: r for r in spark.table("r12_va").collect()}
+    assert (g1[1]["n"], g1[1]["max"]) == (4, 99)
+
+    cat.sql(
+        "CREATE MATERIALIZED VIEW r12_vt AS SELECT g, o, v FROM"
+        " (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, o)"
+        " AS rn FROM r12_t) WHERE rn <= 2"
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW r12_vt USING r12_d")
+    want_tk = spark.sql(
+        "SELECT g, o, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g"
+        " ORDER BY v DESC, o) AS rn FROM (SELECT * FROM r12_t UNION ALL"
+        " SELECT * FROM r12_d)) WHERE rn <= 2"
+    )
+    assert _canon(spark.table("r12_vt")) == _canon(want_tk)
+    names = {r["name"] for r in cat.sql("SHOW MATERIALIZED VIEWS").collect()}
+    assert {"r12_vd", "r12_va", "r12_vt"} <= names
+    cat.sql("DROP MATERIALIZED VIEW r12_vt")
+    assert "r12_vt" not in {
+        r["name"] for r in cat.sql("SHOW MATERIALIZED VIEWS").collect()
+    }
+
+
+def test_sql_catalog_refusals(spark):
+    """What can't be maintained incrementally is refused at CREATE
+    with the supported spelling — never silently recomputed."""
+    cat = _sqlcat(spark)
+    spark.createDataFrame(
+        [(1, 1, 2)], "g int, o int, v int"
+    ).createOrReplaceTempView("r12_rt")
+    spark.createDataFrame([(1, 5)], "k int, bv int").createOrReplaceTempView(
+        "r12_rb"
+    )
+    spark.createDataFrame([(1, "x")], "k int, av string").createOrReplaceTempView(
+        "r12_ra"
+    )
+    cases = {
+        # lossy aggregate: not the mergeable state
+        "CREATE MATERIALIZED VIEW b1 AS SELECT g, SUM(v) AS s FROM r12_rt"
+        " GROUP BY g": "mergeable state",
+        # default RANGE frame diverges under ties
+        "CREATE MATERIALIZED VIEW b2 AS SELECT g, o, v, SUM(v) OVER"
+        " (PARTITION BY g ORDER BY o) AS rs FROM r12_rt": "ROWS BETWEEN",
+        # theta join
+        "CREATE MATERIALIZED VIEW b3 AS SELECT * FROM r12_ra JOIN r12_rb"
+        " ON r12_ra.k < r12_rb.k": "equi-join",
+        # subquery join side
+        "CREATE MATERIALIZED VIEW b4 AS SELECT * FROM (SELECT * FROM"
+        " r12_ra WHERE k > 0) x JOIN r12_rb USING (k)": "not a registered",
+        # no maintainable node at all
+        "CREATE MATERIALIZED VIEW b5 AS SELECT av FROM r12_ra":
+            "cannot infer",
+        # join keys with two names
+        "CREATE MATERIALIZED VIEW b6 AS SELECT * FROM r12_ra JOIN r12_rb"
+        " ON r12_ra.k = r12_rb.bv": "share one name",
+    }
+    for stmt, msg in cases.items():
+        with pytest.raises(ValueError, match=msg):
+            cat.sql(stmt)
+    assert cat.sql("SHOW MATERIALIZED VIEWS").count() == 0
+    # unknown view on maintenance verbs
+    with pytest.raises(ValueError, match="no materialized view"):
+        cat.sql("REFRESH MATERIALIZED VIEW ghost USING r12_rt")
+    # passthrough still works
+    assert cat.sql("SELECT 41 + 1 AS x").collect()[0]["x"] == 42
+
+
 def test_materialized_store_layout_guards(spark):
     root = tempfile.mkdtemp(prefix="mv_store_guard_")
     path = f"{root}/agg"
