@@ -2076,3 +2076,76 @@ def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n_merged >= 4, f"compaction was vacuous ({n_merged} segments)"
     state = lx.stream_read(spark, out_dir)
     return lx.search(state, BM25_QUERY_TERMS).orderBy("doc_id")
+
+
+@query(
+    "stream_twosided_view",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 3 HOUR
+    WHERE c.event_type = 'click'
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def stream_twosided_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SIDED streaming view maintenance through the view API
+    (round 12, VERDICT r11 #5 "what's missing" — the last cell of the
+    maintenance matrix: static×Δ is the batch algebra, static×stream
+    is `stream_gate`, and BOTH-SIDES-LIVE is
+    `MaterializedView.stream_join`, which returns Spark's watermarked
+    stream-stream join as the maintained form rather than rebuilding
+    it: the join's state stores ARE the algebra's bounded a_old/b_old,
+    each micro-batch probing the opposite state is
+    delta_join_increment run symmetrically, and watermark-triggered
+    null-extension emission is the deferred form of the batch
+    algebra's eager outer retraction). Clicks and purchases both
+    stream; the LEFT view holds unmatched clicks until the watermark
+    proves no purchase can arrive within 3 hours, then null-extends.
+    ORACLE: the batch LEFT JOIN under the same time bound."""
+
+    def build(s: SparkSession) -> DataFrame:
+        from big_data_project_implementation_spark.operators.views import (
+            MaterializedView,
+        )
+
+        sdf = _events_stream_with_flush(s, sf_dir)
+        clicks = (
+            sdf.filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            sdf.filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        mv = MaterializedView("left", on=["user_id"])
+        out = mv.stream_join(
+            clicks,
+            purchases,
+            time_bound=(F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 3 HOURS")),
+        )
+        # sentinel drop must stay non-pushable through the outer join
+        # (the stream_stream_left_join lesson: a pushable predicate
+        # prunes the watermark-driving rows off the shared scan)
+        return out.filter(
+            (F.col("click_id") >= 0) | F.col("purchase_id").isNotNull()
+        ).select("user_id", "click_id", "purchase_id")
+
+    return _run_stream_to_table(build, spark, output_mode="append").orderBy(
+        "user_id", "click_id", "purchase_id"
+    )

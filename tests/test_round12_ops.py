@@ -322,6 +322,67 @@ def test_materialized_store_drops_emptied_bucket(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# -- ADVICE r11: byte-aware 'auto' broadcast policy -----------------------
+
+
+def test_auto_broadcast_is_byte_aware(spark):
+    """A wide-row delta under the ROW cap must not be force-broadcast:
+    the 'auto' policy byte-checks a sampled row width × the bounded
+    count against auto_broadcast_bytes."""
+    wide = spark.createDataFrame(
+        [(i, "x" * 10_000) for i in range(100)], "g int, v string"
+    )
+    narrow = spark.createDataFrame([(i, "y") for i in range(100)], "g int, v string")
+    mv = MaterializedView(
+        "distinct", cols=["g"], broadcast_deltas="auto",
+        auto_broadcast_rows=1_000, auto_broadcast_bytes=200_000,
+    )
+    assert mv._bcast(narrow) is True
+    assert mv._bcast(wide) is False  # ~1 MB projected > 200 kB ceiling
+    assert mv._bcast(narrow, wide) is False  # any oversized delta vetoes
+    # row cap still vetoes first, and None disables the byte check
+    small_cap = MaterializedView(
+        "distinct", cols=["g"], broadcast_deltas="auto",
+        auto_broadcast_rows=10,
+    )
+    assert small_cap._bcast(narrow) is False
+    no_bytes = MaterializedView(
+        "distinct", cols=["g"], broadcast_deltas="auto",
+        auto_broadcast_rows=1_000, auto_broadcast_bytes=None,
+    )
+    assert no_bytes._bcast(wide) is True
+    with pytest.raises(ValueError, match="auto_broadcast_bytes"):
+        MaterializedView(
+            "distinct", cols=["g"], auto_broadcast_bytes=0
+        )
+
+
+# -- VERDICT r11 #5 (missing): two-sided streaming views ------------------
+
+
+def test_stream_join_contracts(spark):
+    """stream_join refuses the kinds/shapes that cannot maintain
+    exactly-once, and produces USING semantics (one coalesced key) for
+    full joins — checked on batch frames, where the join mechanics are
+    identical."""
+    with pytest.raises(ValueError, match="two-sided streaming"):
+        MaterializedView("semi", on=["k"]).stream_join(None, None)
+    with pytest.raises(ValueError, match="time_bound"):
+        MaterializedView("left", on=["k"]).stream_join(None, None)
+    a = spark.createDataFrame([(1, 10, "x"), (2, 10, "y")], "k int, t int, av string")
+    b = spark.createDataFrame([(1, 11, "p"), (3, 11, "q")], "k int, t2 int, bv string")
+    mv = MaterializedView("full", on=["k"])
+    out = mv.stream_join(
+        a, b, time_bound=F.col("t2") >= F.col("t")
+    )
+    assert out.columns == ["k", "t", "av", "t2", "bv"]
+    rows = {(r["k"], r["av"], r["bv"]) for r in out.collect()}
+    assert rows == {(1, "x", "p"), (2, "y", None), (3, None, "q")}
+    inner = MaterializedView("inner", on=["k"]).stream_join(a, b)
+    assert inner.columns == ["k", "t", "av", "t2", "bv"]
+    assert inner.count() == 1
+
+
 # -- VERDICT r11 #3: the SQL front door ----------------------------------
 
 
