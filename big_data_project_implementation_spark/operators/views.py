@@ -704,7 +704,9 @@ class MaterializedView:
         batch partitions merge directly; the left view's matches and
         key log each compact (the key log merges by DISTINCT — it is
         key-level, so consolidation dedups); state chains prune old
-        versions (each version is self-contained)."""
+        versions (each version is self-contained). Gate/read/prune
+        resolve any URI; segment COMPACTION is local-FS-only (see
+        streaming.compact_batch_view's protocol note)."""
         from .. import streaming as st_mod
 
         if self.kind == "inner":

@@ -263,7 +263,16 @@ def compact_batch_view(
     Readers never see a missing or double state except in the
     crash-between-publish-and-delete window, which recovery closes —
     the same versioned-publish discipline as the ANN index
-    (operators/similarity.py ivfpq_compact)."""
+    (operators/similarity.py ivfpq_compact).
+
+    LOCAL-FILESYSTEM PATHS ONLY (ADVICE round 11, documented): the
+    compaction protocol leans on os-level listing, the fsync'd
+    manifest, and one atomic ``os.replace`` publish. The gate /
+    read / prune paths already resolve any URI through the Hadoop
+    FileSystem (sources/fsio.py); compaction on HDFS would need the
+    same port (FileSystem.rename is atomic there), and object stores
+    (s3a has no atomic dir rename) should route compaction through a
+    table format's commit instead."""
     import json as _json
     import os as _os
     import shutil as _shutil

@@ -459,6 +459,31 @@ def test_sql_catalog_single_base_kinds(spark):
     }
 
 
+def test_sql_spelling_adds_nothing_to_the_plan(spark):
+    """The SQL front door dispatches to the same algebra as the Python
+    API — the lifecycle rows' PHYSICAL plans must carry identical
+    shuffle counts and join multisets (the r11 proof that the API adds
+    nothing to the plan, extended to the parser)."""
+    import re as _re
+
+    from big_data_project_implementation_spark import plans
+    from big_data_project_implementation_spark.queries import REGISTRY
+
+    join_re = _re.compile(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct)"
+    )
+
+    def fp(name):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        return (
+            plans.count_shuffles(df),
+            tuple(sorted(join_re.findall(plans.physical_plan(df)))),
+        )
+
+    assert fp("view_sql_lifecycle") == fp("view_api_lifecycle")
+
+
 def test_sql_catalog_refusals(spark):
     """What can't be maintained incrementally is refused at CREATE
     with the supported spelling — never silently recomputed."""

@@ -117,34 +117,53 @@ def timed(df) -> float:
     return round(best, 2)
 
 
+def _parse_size_mb(text: str) -> float:
+    import re as _re
+
+    m = _re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)", text.splitlines()[0])
+    if not m:
+        return 0.0
+    mult = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+    return float(m.group(1)) * mult[m.group(2)] / 1e6
+
+
 def metered(spark, thunk) -> tuple[float, float | None]:
-    """(wall seconds, input MB read) of one side-effecting call —
-    inputBytes diffed by stage id over the UI REST API, the direct
-    evidence a partition-pruned maintenance scan actually pruned
-    (wall time alone can't separate scan from write locally)."""
+    """(wall seconds, file MB scanned) of one side-effecting call —
+    the 'size of files read' SQL-node metric summed over the call's
+    NEW SQL executions via the UI REST API: the direct evidence a
+    partition-pruned maintenance scan actually pruned (wall time
+    cannot separate scan from write locally, and the STAGE-level
+    inputBytes field does not carry columnar file-scan bytes at all —
+    measured 0.18 MB for a 244 MB scan)."""
     import json as _json
     import urllib.request as _url
 
     sc = spark.sparkContext
     api = (
-        f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+        f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/sql"
+        "?details=true&planDescription=false&length=100000"
         if sc.uiWebUrl
         else None
     )
 
-    def stages() -> dict[int, int]:
-        return {
-            st["stageId"]: st.get("inputBytes", 0)
-            for st in _json.loads(_url.urlopen(api, timeout=30).read())
-        }
+    def scans() -> dict[int, float]:
+        out: dict[int, float] = {}
+        for ex in _json.loads(_url.urlopen(api, timeout=30).read()):
+            out[ex["id"]] = sum(
+                _parse_size_mb(m["value"])
+                for n in ex.get("nodes", [])
+                for m in n.get("metrics", [])
+                if m.get("name") == "size of files read"
+            )
+        return out
 
-    before_ids = set(stages()) if api else set()
+    before_ids = set(scans()) if api else set()
     t0 = time.time()
     thunk()
     dt = round(time.time() - t0, 2)
     if api is None:
         return dt, None
-    mb = sum(b for sid, b in stages().items() if sid not in before_ids) / 1e6
+    mb = sum(b for eid, b in scans().items() if eid not in before_ids)
     return dt, round(mb, 2)
 
 
