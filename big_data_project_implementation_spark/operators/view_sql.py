@@ -221,7 +221,12 @@ class SqlViewCatalog:
         pub.createOrReplaceTempView(h.name)
         return pub
 
-    def _base_table(self, plan: str, skip_auto: bool = False) -> DataFrame:
+    def _base_table(
+        self,
+        plan: str,
+        needed_cols: list[str],
+        skip_auto: bool = False,
+    ) -> DataFrame:
         # skip_auto: the top-k spelling necessarily wraps the base in
         # one auto-aliased inline subquery (the rn <= k filter's scope)
         names = [
@@ -235,7 +240,17 @@ class SqlViewCatalog:
                 " it first) — deltas arrive as named tables at REFRESH, so"
                 " the base-as-name contract is symmetric"
             )
-        return self._table(names[0])
+        base = self._table(names[0])
+        missing = [c for c in needed_cols if c not in base.columns]
+        if missing:
+            raise ValueError(
+                f"single-base view: every referenced column must live on"
+                f" the ONE base table {names[0]!r} — {missing} are not its"
+                f" columns (a view over a join/derived relation must"
+                f" register that relation as a temp view first, or use a"
+                f" join-view kind)"
+            )
+        return base
 
     def _table(self, name: str) -> DataFrame:
         # a subquery's alias prints like a relation name in the plan —
@@ -316,7 +331,7 @@ class SqlViewCatalog:
         mv = MaterializedView(
             "distinct", cols=df.columns, broadcast_deltas=self.broadcast_deltas
         )
-        return _Handle(name, mv, mv.compute(self._base_table(plan)))
+        return _Handle(name, mv, mv.compute(self._base_table(plan, df.columns)))
 
     def _create_agg(
         self, name: str, df: DataFrame, plan: str, node: str
@@ -343,7 +358,9 @@ class SqlViewCatalog:
             value=shape.group(1),
             broadcast_deltas=self.broadcast_deltas,
         )
-        state = mv.compute(self._base_table(plan))
+        state = mv.compute(
+            self._base_table(plan, keys + [shape.group(1)])
+        )
         if state.columns != df.columns:
             raise ValueError(
                 f"agg view columns must be {state.columns}, got {df.columns}"
@@ -395,7 +412,9 @@ class SqlViewCatalog:
                 k=int(fm.group(2)),
                 broadcast_deltas=self.broadcast_deltas,
             )
-            state = mv.compute(self._base_table(plan, skip_auto=True))
+            state = mv.compute(
+                self._base_table(plan, df.columns, skip_auto=True)
+            )
             if state.columns != df.columns:
                 raise ValueError(
                     f"top-k view columns must be the base's ({state.columns},"
@@ -423,7 +442,9 @@ class SqlViewCatalog:
             out_col=out_col,
             broadcast_deltas=self.broadcast_deltas,
         )
-        state = mv.compute(self._base_table(plan))
+        state = mv.compute(
+            self._base_table(plan, keys + _names(order_s) + [val])
+        )
         if state.columns != df.columns:
             raise ValueError(
                 f"window view columns must be base columns + {out_col!r}"

@@ -516,6 +516,11 @@ def test_sql_catalog_refusals(spark):
         # join keys with two names
         "CREATE MATERIALIZED VIEW b6 AS SELECT * FROM r12_ra JOIN r12_rb"
         " ON r12_ra.k = r12_rb.bv": "share one name",
+        # a single-base kind over a join: the referenced columns do not
+        # all live on the first named relation
+        "CREATE MATERIALIZED VIEW b7 AS SELECT k, COUNT(*) AS n,"
+        " SUM(bv) AS sum, MIN(bv) AS min, MAX(bv) AS max FROM r12_ra"
+        " JOIN r12_rb USING (k) GROUP BY k": "not its columns",
     }
     for stmt, msg in cases.items():
         with pytest.raises(ValueError, match=msg):
