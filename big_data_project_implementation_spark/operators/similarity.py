@@ -1140,7 +1140,19 @@ def ivfpq_topk(
     keyed on cell; the ADC join is against a broadcast LUT; only
     ``refine * k`` rows per query fetch real vectors for exact cosine.
     At 100 TB the inverted lists are a cell-partitioned table of
-    m-byte codes — memory per vector is m bytes, not 4·dim."""
+    m-byte codes — memory per vector is m bytes, not 4·dim.
+
+    Measured parameter rule (round-12 100× recall probe, SCALING.md):
+    PQ compresses DISTANCES, so recall collapses when the true answer
+    set sits INSIDE the quantization error — on a near-duplicate-dense
+    corpus (true neighbors ~1e-3 cosine apart, the shape a dedup-heavy
+    training corpus has) the defaults here measured recall@5 = 0.22 at
+    200k vectors while plain IVF measured 1.0 at the same probed
+    fraction — and ``refine=32`` with the SAME codebook recovered
+    0.992. Scale ``refine`` with corpus density (the exact re-rank
+    shortlist is the binding knob; its cost is refine·k full vectors
+    per query, still ≪ one probed cell) or serve near-dup-heavy
+    workloads from :func:`ivf_topk`."""
     # the trained model tables are tiny (n_cells rows / m*n_codes rows)
     # but their PLANS inline every Lloyd iteration — and this function
     # consumes each model table from several branches, so without a

@@ -86,7 +86,12 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--n-queries", type=int, default=25)
+    ap.add_argument("--methods", default="ivf,ivfpq")
+    ap.add_argument("--refine", type=int, default=4)
+    ap.add_argument("--m", type=int, default=4)
+    ap.add_argument("--codes", type=int, default=16)
     args = ap.parse_args()
+    methods = set(args.methods.split(","))
 
     from pyspark.sql import functions as F
 
@@ -111,23 +116,27 @@ def main() -> None:
     t_exact = round(time.time() - t0, 1)
 
     n_cells, nprobe = 256, 16
-    t0 = time.time()
-    cents = similarity.ivf_centroids(corpus, n_cells=n_cells, iters=2)
-    ivf = topk_pairs(
-        similarity.ivf_topk(
-            queries, corpus, cents, k=args.k, nprobe=nprobe
+    ivf, t_ivf = None, None
+    if "ivf" in methods:
+        t0 = time.time()
+        cents = similarity.ivf_centroids(corpus, n_cells=n_cells, iters=2)
+        ivf = topk_pairs(
+            similarity.ivf_topk(
+                queries, corpus, cents, k=args.k, nprobe=nprobe
+            )
         )
-    )
-    t_ivf = round(time.time() - t0, 1)
+        t_ivf = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    ivfpq = topk_pairs(
-        similarity.ivfpq_topk(
-            queries, corpus, k=args.k, nprobe=nprobe, n_cells=n_cells,
-            m=4, n_codes=16, refine=4,
+    ivfpq, t_ivfpq = None, None
+    if "ivfpq" in methods:
+        t0 = time.time()
+        ivfpq = topk_pairs(
+            similarity.ivfpq_topk(
+                queries, corpus, k=args.k, nprobe=nprobe, n_cells=n_cells,
+                m=args.m, n_codes=args.codes, refine=args.refine,
+            )
         )
-    )
-    t_ivfpq = round(time.time() - t0, 1)
+        t_ivfpq = round(time.time() - t0, 1)
 
     print(
         json.dumps(
@@ -139,12 +148,19 @@ def main() -> None:
                 "n_cells": n_cells,
                 "nprobe": nprobe,
                 "probed_fraction": round(nprobe / n_cells, 4),
+                "pq_m": args.m,
+                "pq_codes": args.codes,
+                "refine": args.refine,
                 "exact_pairs": len(exact),
-                "recall_ivf": round(
-                    len(exact & ivf) / len(exact), 4
+                "recall_ivf": (
+                    round(len(exact & ivf) / len(exact), 4)
+                    if ivf is not None
+                    else None
                 ),
-                "recall_ivfpq": round(
-                    len(exact & ivfpq) / len(exact), 4
+                "recall_ivfpq": (
+                    round(len(exact & ivfpq) / len(exact), 4)
+                    if ivfpq is not None
+                    else None
                 ),
                 "build_s": t_build,
                 "bruteforce_s": t_exact,
