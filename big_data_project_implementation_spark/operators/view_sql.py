@@ -42,12 +42,22 @@ Contracts (each enforced, not assumed):
 
 Grammar (case-insensitive)::
 
-    CREATE MATERIALIZED VIEW name AS <select>
+    CREATE MATERIALIZED VIEW name [STORED AT 'path' [BUCKETS n]]
+        AS <select>
     REFRESH MATERIALIZED VIEW name USING delta_tbl[, delta_tbl_b]
     ALTER MATERIALIZED VIEW name RETRACT USING del_tbl[, del_tbl_b]
         [REMAINING rem_tbl[, rem_tbl_b]]
     DROP MATERIALIZED VIEW name
     SHOW MATERIALIZED VIEWS
+
+``STORED AT`` puts the view ON DISK in its key-bucketed deployment
+layout (``MaterializedView.materialize``): REFRESH/RETRACT become
+touched-bucket partition overwrites (``apply_delta/apply_retract`` —
+the scan prunes to the touched buckets), and the store is plain
+hive-partitioned parquet any engine can read. Single-base kinds only
+(join views deploy through their append-only streaming store); DROP
+unregisters the name but leaves the files (the store is a table, not
+session state).
 
 Anything else passes through to ``spark.sql`` untouched, so the
 catalog can front an entire session. Every verb re-registers the
@@ -76,7 +86,9 @@ _JOIN_TYPES = {
 _ATTR = r"(\w+)#\d+L?"
 
 _CREATE = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$",
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)"
+    r"(?:\s+STORED\s+AT\s+'([^']+)'(?:\s+BUCKETS\s+(\d+))?)?"
+    r"\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _REFRESH = re.compile(
@@ -145,7 +157,12 @@ class SqlViewCatalog:
 
     def sql(self, stmt: str) -> DataFrame | None:
         if m := _CREATE.match(stmt):
-            return self._create(m.group(1), m.group(2))
+            return self._create(
+                m.group(1),
+                m.group(4),
+                store_path=m.group(2),
+                buckets=int(m.group(3)) if m.group(3) else 1024,
+            )
         if m := _REFRESH.match(stmt):
             return self._refresh(m.group(1), m.group(2), m.group(3))
         if m := _RETRACT.match(stmt):
@@ -179,7 +196,13 @@ class SqlViewCatalog:
 
     # -- CREATE: infer the kind from the analyzed plan ----------------------
 
-    def _create(self, name: str, query: str) -> DataFrame:
+    def _create(
+        self,
+        name: str,
+        query: str,
+        store_path: str | None = None,
+        buckets: int = 1024,
+    ) -> DataFrame:
         df = self.spark.sql(query)
         plan = df._jdf.queryExecution().analyzed().toString()
         lines = plan.splitlines()
@@ -208,6 +231,16 @@ class SqlViewCatalog:
             h = self._create_agg(name, df, plan, node)
         else:
             h = self._create_windowed(name, df, plan, lines, node)
+        if store_path is not None:
+            # STORED AT: the view lives ON DISK in its key-bucketed
+            # deployment layout — maintenance verbs become touched-
+            # bucket partition overwrites, and readers (this session
+            # or any other engine) see plain hive-partitioned parquet.
+            # materialize() itself refuses join kinds (they deploy
+            # through the append-only streaming store).
+            h.mv.materialize(h.state, store_path, buckets=buckets)
+            h.meta["store"] = store_path
+            h.state = h.mv.read_materialized(self.spark, store_path)
         self._views[name] = h
         return self._register(h)
 
@@ -477,7 +510,13 @@ class SqlViewCatalog:
                 raise ValueError(
                     f"{h.mv.kind!r} view refresh takes one delta table"
                 )
-            h.state = h.mv.refresh(h.state, delta=self.spark.table(delta_a))
+            delta = self.spark.table(delta_a)
+            store = h.meta.get("store")
+            if store is not None:
+                h.mv.apply_delta(self.spark, store, delta)
+                h.state = h.mv.read_materialized(self.spark, store)
+            else:
+                h.state = h.mv.refresh(h.state, delta=delta)
         return self._register(h)
 
     def _retract(
@@ -514,16 +553,29 @@ class SqlViewCatalog:
                     " surgical extreme/horizon repair rescans only the"
                     " touched keys of the remaining base)"
                 )
-            h.state = h.mv.retract(
-                h.state,
-                deleted=self.spark.table(del_a),
-                base_remaining=self.spark.table(rem_a),
-            )
+            deleted = self.spark.table(del_a)
+            remaining = self.spark.table(rem_a)
+            store = h.meta.get("store")
+            if store is not None:
+                h.mv.apply_retract(
+                    self.spark, store, deleted, base_remaining=remaining
+                )
+                h.state = h.mv.read_materialized(self.spark, store)
+            else:
+                h.state = h.mv.retract(
+                    h.state, deleted=deleted, base_remaining=remaining
+                )
         else:
             if del_b is not None or rem_a is not None:
                 raise ValueError(
                     f"{kind!r} view retraction: ALTER MATERIALIZED VIEW name"
                     " RETRACT USING deleted"
                 )
-            h.state = h.mv.retract(h.state, deleted=self.spark.table(del_a))
+            deleted = self.spark.table(del_a)
+            store = h.meta.get("store")
+            if store is not None:
+                h.mv.apply_retract(self.spark, store, deleted)
+                h.state = h.mv.read_materialized(self.spark, store)
+            else:
+                h.state = h.mv.retract(h.state, deleted=deleted)
         return self._register(h)

@@ -2352,3 +2352,62 @@ def view_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("sqlv12_wview").select(
         "o_custkey", "o_orderkey", "running_cents"
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "view_sql_stored",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cents
+    FROM orders WHERE o_orderkey % 7 <> 0
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def view_sql_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's two headline surfaces COMPOSED (round 12): a
+    SQL-defined view physically maintained on the key-bucketed store —
+    ``CREATE MATERIALIZED VIEW … STORED AT 'path' BUCKETS 32 AS
+    SELECT … SUM() OVER …`` materializes the inferred window view into
+    its deployment layout; ``REFRESH … USING Δ`` and ``ALTER … RETRACT
+    USING Δ⁻`` then run as TOUCHED-BUCKET partition overwrites on disk
+    (`MaterializedView.apply_delta/apply_retract` under the parser),
+    and ``spark.table(name)`` reads the maintained store. Same
+    post-purge oracle as `view_materialized_lifecycle`, deliberately:
+    SQL-driven store == Python-driven store == in-memory algebra ==
+    recompute, row for row."""
+    import tempfile
+
+    from big_data_project_implementation_spark.operators.view_sql import (
+        SqlViewCatalog,
+    )
+
+    path = tempfile.mkdtemp(prefix="mv_sqlstore_") + "/view"
+    base = _wv_base(spark, sf_dir)
+    base.filter(F.col("o_orderkey") % 3 == 1).createOrReplaceTempView(
+        "sqlv12_sold"
+    )
+    base.filter(F.col("o_orderkey") % 3 != 1).createOrReplaceTempView(
+        "sqlv12_sdelta"
+    )
+    base.filter(F.col("o_orderkey") % 7 == 0).createOrReplaceTempView(
+        "sqlv12_sdead"
+    )
+    cat = SqlViewCatalog(spark)
+    cat.sql(
+        f"CREATE MATERIALIZED VIEW sqlv12_sview STORED AT '{path}'"
+        " BUCKETS 32 AS"
+        " SELECT o_custkey, o_orderkey, o_orderdate, price_cents,"
+        " SUM(price_cents) OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS running_cents FROM sqlv12_sold"
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW sqlv12_sview USING sqlv12_sdelta")
+    cat.sql("ALTER MATERIALIZED VIEW sqlv12_sview RETRACT USING sqlv12_sdead")
+    return spark.table("sqlv12_sview").select(
+        "o_custkey", "o_orderkey", "running_cents"
+    ).orderBy("o_custkey", "o_orderkey")

@@ -484,6 +484,58 @@ def test_sql_spelling_adds_nothing_to_the_plan(spark):
     assert fp("view_sql_lifecycle") == fp("view_api_lifecycle")
 
 
+def test_sql_stored_view_maintains_on_disk(spark):
+    """CREATE … STORED AT puts the view in its bucketed layout;
+    REFRESH/RETRACT rewrite touched buckets on disk, and the store is
+    plain parquet readable outside the catalog; DROP unregisters but
+    leaves the files (a store is a table, not session state)."""
+    import glob
+
+    root = tempfile.mkdtemp(prefix="sqlstore_")
+    path = f"{root}/agg"
+    cat = _sqlcat(spark)
+    base = spark.createDataFrame(
+        [(g, v) for g in range(6) for v in (g, g + 3)], "g int, v int"
+    )
+    base.createOrReplaceTempView("r12_st")
+    delta = spark.createDataFrame([(1, 99), (7, 70)], "g int, v int")
+    delta.createOrReplaceTempView("r12_sd")
+    try:
+        cat.sql(
+            f"CREATE MATERIALIZED VIEW r12_sv STORED AT '{path}' BUCKETS 8"
+            " AS SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
+            " MAX(v) AS max FROM r12_st GROUP BY g"
+        )
+        assert glob.glob(f"{path}/kb=*"), "store not materialized"
+        cat.sql("REFRESH MATERIALIZED VIEW r12_sv USING r12_sd")
+        # the registered name reads the maintained STORE
+        got = {r["g"]: r["max"] for r in spark.table("r12_sv").collect()}
+        assert got[1] == 99 and got[7] == 70
+        # and so does a catalog-less reader (plain parquet)
+        raw = spark.read.parquet(path)
+        assert raw.filter("g = 7").count() == 1
+        # deletion with extreme repair, on disk
+        spark.createDataFrame([(1, 99)], "g int, v int").createOrReplaceTempView("r12_sdel")
+        base.unionByName(delta).filter("v <> 99").createOrReplaceTempView("r12_srem")
+        cat.sql(
+            "ALTER MATERIALIZED VIEW r12_sv RETRACT USING r12_sdel"
+            " REMAINING r12_srem"
+        )
+        got = {r["g"]: (r["n"], r["max"]) for r in spark.table("r12_sv").collect()}
+        assert got[1] == (2, 4)
+        cat.sql("DROP MATERIALIZED VIEW r12_sv")
+        assert glob.glob(f"{path}/kb=*"), "DROP must leave the store files"
+        # join kinds refuse STORED AT (they deploy via the stream store)
+        spark.createDataFrame([(1, "x")], "g int, s string").createOrReplaceTempView("r12_sj")
+        with pytest.raises(ValueError, match="append-only streaming"):
+            cat.sql(
+                f"CREATE MATERIALIZED VIEW r12_bad STORED AT '{root}/j' AS"
+                " SELECT * FROM r12_st JOIN r12_sj USING (g)"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_sql_catalog_refusals(spark):
     """What can't be maintained incrementally is refused at CREATE
     with the supported spelling — never silently recomputed."""
