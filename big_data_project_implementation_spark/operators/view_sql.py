@@ -86,7 +86,7 @@ _JOIN_TYPES = {
 _ATTR = r"(\w+)#\d+L?"
 
 _CREATE = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)"
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(\w+)"
     r"(?:\s+STORED\s+AT\s+'([^']+)'(?:\s+BUCKETS\s+(\d+))?)?"
     r"\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -117,15 +117,47 @@ class _Handle:
     meta: dict = field(default_factory=dict)
 
 
-def _names(attr_list: str) -> list[str]:
-    return [m.group(1) for m in re.finditer(_ATTR, attr_list)]
+def _names(attr_list: str, what: str) -> list[str]:
+    """Plain attribute names from a plan's bracketed key list —
+    REFUSING expression keys (round-12 self-review: ``PARTITION BY
+    g % 2`` prints as ``(g#1 % 2)`` and a leaf-extraction regex would
+    silently maintain the view keyed by plain ``g``, wrong for every
+    row). Every comma-separated term must be exactly one attribute."""
+    if not attr_list.strip():
+        return []
+    out = []
+    for term in attr_list.split(","):
+        m = re.fullmatch(r"\s*" + _ATTR + r"\s*", term)
+        # expression keys print either inline ('(g#1 % 2)', no match)
+        # or as the analyzer's internal projection ('_w0#7')
+        if not m or re.fullmatch(r"_w\d+", m.group(1)):
+            raise ValueError(
+                f"{what} must be plain columns, not expressions — computed"
+                f" keys change the maintained grouping silently (got:"
+                f" {term.strip()!r}); materialize the expression as a"
+                " column of the base first"
+            )
+        out.append(m.group(1))
+    return out
 
 
 def _order_cols(order_spec: str) -> list[Column]:
     out: list[Column] = []
-    for m in re.finditer(
-        _ATTR + r" (ASC|DESC) NULLS (FIRST|LAST)", order_spec
-    ):
+    for term in order_spec.split(","):
+        m = re.fullmatch(
+            r"\s*" + _ATTR + r" (ASC|DESC) NULLS (FIRST|LAST)\s*", term
+        )
+        if m and re.fullmatch(r"_w\d+", m.group(1)):
+            m = None  # the analyzer's internal expression projection
+        if not m:
+            # dropping an unparsed term would maintain a DIFFERENT
+            # order than the defining query (wrong top-k rows / wrong
+            # running sums under ties) — refuse instead
+            raise ValueError(
+                f"ORDER BY terms must be plain columns with a direction"
+                f" (got: {term.strip()!r}); materialize expression sort"
+                " keys as columns of the base first"
+            )
         name, direction, nulls = m.groups()
         col = F.col(name)
         out.append(
@@ -147,21 +179,47 @@ class SqlViewCatalog:
     :meth:`sql` (non-view statements pass through)."""
 
     def __init__(
-        self, spark: SparkSession, broadcast_deltas: bool | str = True
+        self,
+        spark: SparkSession,
+        broadcast_deltas: bool | str = True,
+        checkpoint_every: int | None = 16,
     ) -> None:
         self.spark = spark
         self.broadcast_deltas = broadcast_deltas
+        self.checkpoint_every = checkpoint_every
         self._views: dict[str, _Handle] = {}
+
+    def _maybe_checkpoint(self, h: _Handle) -> None:
+        """Bound maintenance-lineage growth for long-lived catalogs
+        (round-12 self-review): each in-memory REFRESH derives the new
+        state from the previous lazy state, so N statements build an
+        O(N)-deep plan re-analyzed per statement. Every
+        ``checkpoint_every``-th maintenance call cuts it with a lazy
+        localCheckpoint (first use materializes). STORED views never
+        need it (their state re-reads the store each verb); short-lived
+        gate/test flows stay under the default and keep pure lazy
+        plans (the plan-parity proof depends on that)."""
+        n = h.meta["ops"] = h.meta.get("ops", 0) + 1
+        if (
+            self.checkpoint_every
+            and h.meta.get("store") is None
+            and n % self.checkpoint_every == 0
+        ):
+            h.state = h.state.localCheckpoint(eager=False)
+            if h.a_old is not None:
+                h.a_old = h.a_old.localCheckpoint(eager=False)
+                h.b_old = h.b_old.localCheckpoint(eager=False)
 
     # -- dispatch -----------------------------------------------------------
 
     def sql(self, stmt: str) -> DataFrame | None:
         if m := _CREATE.match(stmt):
             return self._create(
-                m.group(1),
-                m.group(4),
-                store_path=m.group(2),
-                buckets=int(m.group(3)) if m.group(3) else 1024,
+                m.group(2),
+                m.group(5),
+                store_path=m.group(3),
+                buckets=int(m.group(4)) if m.group(4) else 1024,
+                replace=bool(m.group(1)),
             )
         if m := _REFRESH.match(stmt):
             return self._refresh(m.group(1), m.group(2), m.group(3))
@@ -177,9 +235,8 @@ class SqlViewCatalog:
                 for h in self._views.values()
             ]
             return self.spark.createDataFrame(
-                rows or [(None, None, None)],
-                "name string, kind string, keys string",
-            ).filter(F.col("name").isNotNull())
+                rows, "name string, kind string, keys string"
+            )
         return self.spark.sql(stmt)
 
     def _known(self, name: str) -> _Handle:
@@ -202,7 +259,16 @@ class SqlViewCatalog:
         query: str,
         store_path: str | None = None,
         buckets: int = 1024,
+        replace: bool = False,
     ) -> DataFrame:
+        if name in self._views and not replace:
+            # silently rebinding would orphan a STORED view's files and
+            # drop the join-view old-side context — make intent explicit
+            raise ValueError(
+                f"materialized view {name!r} already exists — use CREATE OR"
+                " REPLACE MATERIALIZED VIEW to rebind (a STORED view's old"
+                " files are left behind), or DROP it first"
+            )
         df = self.spark.sql(query)
         plan = df._jdf.queryExecution().analyzed().toString()
         lines = plan.splitlines()
@@ -222,6 +288,46 @@ class SqlViewCatalog:
                 " (COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min, MAX(v) AS"
                 " max), SUM() OVER a running ROWS frame, ROW_NUMBER() <= k."
                 f" Plan:\n{plan}"
+            )
+        # refuse silently-dropped derivations (round-12 self-review):
+        # any Filter/Join printed ABOVE the first named relation is a
+        # piece of the defining query the maintained state would IGNORE
+        # — maintenance is driven from spark.table(base), so a WHERE on
+        # the view query, or a join under a single-base kind, must be
+        # refused, not dropped. (Nodes BELOW a View line belong to the
+        # named base's own definition and are maintained correctly.)
+        # The one exception: the top-k spelling's rn <= k filter, which
+        # _create_windowed validates against the window alias.
+        first_rel = next(
+            (
+                i
+                for i, ln in enumerate(lines)
+                if re.search(r"SubqueryAlias |View \(", ln)
+            ),
+            len(lines),
+        )
+        prefix = lines[:first_rel]
+        n_filters = sum(1 for ln in prefix if re.search(r"\bFilter \(", ln))
+        n_joins = sum(1 for ln in prefix if re.search(r"\bJoin \w+,", ln))
+        rn_filter = (
+            n_filters == 1
+            and n_joins == 0
+            and "row_number()" in plan
+            and any(
+                re.search(r"\bFilter \(\w+#\d+L? <= \d+\)\s*$", ln)
+                for ln in prefix
+            )
+        )
+        allowed_filters = 1 if rn_filter else 0
+        if n_filters > allowed_filters or (
+            n_joins > (1 if " Join " in f" {node.strip()} " else 0)
+        ) or (n_joins and " Join " not in f" {node.strip()} "):
+            raise ValueError(
+                "the defining query derives its input (WHERE above the"
+                " view node, or a join under a single-base kind) — the"
+                " maintained state would silently DROP that derivation."
+                " Register the derived relation as a temp view and define"
+                f" the view over it directly. Plan:\n{plan}"
             )
         if " Join " in f" {node.strip()} " or node.strip().startswith("Join"):
             h = self._create_join(name, df, plan, lines)
@@ -370,7 +476,7 @@ class SqlViewCatalog:
         self, name: str, df: DataFrame, plan: str, node: str
     ) -> _Handle:
         m = re.search(r"Aggregate \[([^\]]*)\], \[(.+)\]$", node)
-        keys = _names(m.group(1))
+        keys = _names(m.group(1), "GROUP BY keys")
         shape = re.search(
             r"count\(1\) AS n#\d+L?, sum\(" + _ATTR + r"\) AS sum#\d+L?,"
             r" min\(" + _ATTR + r"\) AS min#\d+L?,"
@@ -417,7 +523,7 @@ class SqlViewCatalog:
         if not m:
             raise ValueError(f"unsupported window shape in plan:\n{plan}")
         func, val, spec, out_col, keys_s, order_s = m.groups()
-        keys = _names(keys_s)
+        keys = _names(keys_s, "PARTITION BY keys")
         order_by = _order_cols(order_s)
         if func == "row_number":
             fm = next(
@@ -476,7 +582,11 @@ class SqlViewCatalog:
             broadcast_deltas=self.broadcast_deltas,
         )
         state = mv.compute(
-            self._base_table(plan, keys + _names(order_s) + [val])
+            self._base_table(
+                plan,
+                keys + [re.match(r'\s*(\w+)#', t).group(1)
+                        for t in order_s.split(',')] + [val],
+            )
         )
         if state.columns != df.columns:
             raise ValueError(
@@ -517,6 +627,7 @@ class SqlViewCatalog:
                 h.state = h.mv.read_materialized(self.spark, store)
             else:
                 h.state = h.mv.refresh(h.state, delta=delta)
+        self._maybe_checkpoint(h)
         return self._register(h)
 
     def _retract(
@@ -578,4 +689,5 @@ class SqlViewCatalog:
                 h.state = h.mv.read_materialized(self.spark, store)
             else:
                 h.state = h.mv.retract(h.state, deleted=deleted)
+        self._maybe_checkpoint(h)
         return self._register(h)

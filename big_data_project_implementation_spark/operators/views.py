@@ -83,6 +83,12 @@ def _sized_state(
     exchange, which is what asking for an exact count means; 1 still
     reproduces the round-11 single-file layout)."""
     if state_files == "auto":
+        # checkpoint first so the bounded count and the subsequent
+        # write share ONE execution of the fold (round-12 self-review:
+        # counting the lazy plan re-ran the whole state merge, doubling
+        # every micro-batch's cost); the cache is keys-sized and freed
+        # when the batch's reference is collected
+        df = df.localCheckpoint(eager=True)
         if df.limit(state_file_rows + 1).count() <= state_file_rows:
             return df.coalesce(1)
         return df
@@ -719,7 +725,7 @@ class MaterializedView:
                 spark, f"{out_dir}/keys", keep_last, distinct=True
             )
             return n1 + n2, seg
-        return st_mod.prune_state_chain(out_dir, keep_last)
+        return st_mod.prune_state_chain(out_dir, keep_last, spark=spark)
 
     # -- storage-aware deployment (round 12, VERDICT r11 #2) ---------------
 
@@ -777,12 +783,26 @@ class MaterializedView:
             view.sparkSession,
             f"{path}/{self._LAYOUT_FILE}",
             _json.dumps(
-                {"buckets": buckets, "keys": self._layout_keys(),
-                 "kind": self.kind}
+                {
+                    "buckets": buckets,
+                    "keys": self._layout_keys(),
+                    "kind": self.kind,
+                    # Murmur3 is TYPE-sensitive (hash(1 as int) !=
+                    # hash(1L)): pin the key types so a delta with a
+                    # differently-typed key cannot route the same key
+                    # value to a different bucket (stale + new copies
+                    # of the key surviving side by side)
+                    "key_types": [
+                        view.schema[k].dataType.simpleString()
+                        for k in self._layout_keys()
+                    ],
+                }
             ),
         )
 
-    def _layout(self, spark: SparkSession, path: str) -> int:
+    def _layout(
+        self, spark: SparkSession, path: str
+    ) -> tuple[int, list[str] | None]:
         import json as _json
 
         from ..sources import fsio
@@ -796,7 +816,7 @@ class MaterializedView:
                 f" keys={meta['keys']} — this view is kind={self.kind!r}"
                 f" keys={self._layout_keys()}"
             )
-        return int(meta["buckets"])
+        return int(meta["buckets"]), meta.get("key_types")
 
     def read_materialized(self, spark: SparkSession, path: str) -> DataFrame:
         """The full view back from its deployment layout (any reader
@@ -807,7 +827,20 @@ class MaterializedView:
         self, spark: SparkSession, path: str, touched_src: DataFrame,
         maintain, drop_emptied: bool,
     ) -> list[int]:
-        buckets = self._layout(spark, path)
+        buckets, key_types = self._layout(spark, path)
+        if key_types is not None:
+            got = [
+                touched_src.schema[k].dataType.simpleString()
+                for k in self._layout_keys()
+            ]
+            if got != key_types:
+                raise ValueError(
+                    f"CDC key types {got} do not match the store's layout"
+                    f" types {key_types} — the bucket hash is type-sensitive,"
+                    " so a differently-typed key routes to a DIFFERENT"
+                    " bucket (stale rows survive beside the new ones):"
+                    " cast the delta's keys to the layout types first"
+                )
         kb = self._kb(buckets)
         touched = sorted(
             r["kb"]
@@ -1086,13 +1119,19 @@ class LexicalIndex:
         per document, and bag-exactness is what the score hash
         certifies); the docfreq/stats chains prune old versions. Same
         crash-safety protocol as every other maintained view
-        (``streaming.compact_batch_view``)."""
+        (``streaming.compact_batch_view``) — and the same reach:
+        chains prune through the Hadoop FS, but SEGMENT compaction is
+        local/file:-only (see compact_batch_view's protocol note)."""
         from .. import streaming as st_mod
 
         n1, seg = st_mod.compact_batch_view(
             spark, f"{out_dir}/postings", keep_last
         )
         n2, _ = st_mod.compact_batch_view(spark, f"{out_dir}/lens", keep_last)
-        n3, _ = st_mod.prune_state_chain(f"{out_dir}/docfreq", keep_last)
-        n4, _ = st_mod.prune_state_chain(f"{out_dir}/stats", keep_last)
+        n3, _ = st_mod.prune_state_chain(
+            f"{out_dir}/docfreq", keep_last, spark=spark
+        )
+        n4, _ = st_mod.prune_state_chain(
+            f"{out_dir}/stats", keep_last, spark=spark
+        )
         return n1 + n2 + n3 + n4, seg

@@ -1953,7 +1953,8 @@ def stream_left_view_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv = MaterializedView("left", on=["o_orderkey"])
     n_merged, _seg = mv.compact(spark, out_dir, keep_last=1)
-    assert n_merged >= 4, f"compaction was vacuous ({n_merged} segments)"
+    if n_merged < 4:  # not assert: must survive python -O
+        raise ValueError(f"compaction was vacuous ({n_merged} segments)")
     return mv.stream_read(spark, out_dir, static_a=orders).orderBy(
         "o_orderkey", "l_linenumber"
     )
@@ -2073,7 +2074,8 @@ def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     n_merged, _seg = lx.compact(spark, out_dir, keep_last=1)
-    assert n_merged >= 4, f"compaction was vacuous ({n_merged} segments)"
+    if n_merged < 4:  # not assert: must survive python -O
+        raise ValueError(f"compaction was vacuous ({n_merged} segments)")
     state = lx.stream_read(spark, out_dir)
     return lx.search(state, BM25_QUERY_TERMS).orderBy("doc_id")
 

@@ -164,6 +164,27 @@ def sessionize(
     )
 
 
+def _local_dir(out_dir: str) -> str:
+    """Compaction's os-level protocol accepts local paths and ``file:``
+    URIs (normalized here — a store that STREAMS fine via the
+    Hadoop-FS gate paths must not crash at compaction just because it
+    was addressed as a URI); any other scheme is refused with the
+    documented guidance instead of a FileNotFoundError mid-lifecycle."""
+    if ":" not in out_dir.split("/", 1)[0]:
+        return out_dir
+    from urllib.parse import urlparse
+
+    parsed = urlparse(out_dir)
+    if parsed.scheme == "file":
+        return parsed.path
+    raise ValueError(
+        f"segment compaction is local-filesystem-only (got scheme"
+        f" {parsed.scheme!r}): the protocol leans on an atomic os.replace"
+        " publish — on HDFS port it to FileSystem.rename; on object"
+        " stores route compaction through a table format's commit"
+    )
+
+
 def recover_batch_view_compaction(out_dir: str) -> int:
     """Finish any interrupted :func:`compact_batch_view` (round 10).
 
@@ -189,6 +210,7 @@ def recover_batch_view_compaction(out_dir: str) -> int:
     import os as _os
     import shutil as _shutil
 
+    out_dir = _local_dir(out_dir)
     removed = 0
     tmp = _os.path.join(out_dir, "_tmp_compact")
     if _os.path.exists(tmp):
@@ -277,6 +299,7 @@ def compact_batch_view(
     import os as _os
     import shutil as _shutil
 
+    out_dir = _local_dir(out_dir)
     if keep_last < 1:
         # keep_last=0 would sweep the newest IN-FLIGHT batch into the
         # consolidated segment; a replayed micro-batch would then

@@ -236,8 +236,9 @@ def test_state_files_policy_regimes(spark):
             _sized_state,
         )
 
-        assert _sized_state(rows, "auto", 10) is rows
-        assert _sized_state(rows, "auto", 1_000_000) is not rows
+        big = _sized_state(rows, "auto", 10)
+        assert big.rdd.getNumPartitions() > 1  # no forced coalesce
+        assert _sized_state(rows, "auto", 1_000_000).rdd.getNumPartitions() == 1
         pinned = MaterializedView("agg", keys=["g"], value="v", state_files=3)
         pinned.stream_gate(f"{out}/pinned")(rows, 0)
         assert _n_parquet_files(f"{out}/pinned/v=0") == 3
@@ -568,11 +569,11 @@ def test_sql_catalog_refusals(spark):
         # join keys with two names
         "CREATE MATERIALIZED VIEW b6 AS SELECT * FROM r12_ra JOIN r12_rb"
         " ON r12_ra.k = r12_rb.bv": "share one name",
-        # a single-base kind over a join: the referenced columns do not
-        # all live on the first named relation
+        # a single-base kind over a join: the join would be silently
+        # dropped from the maintained state
         "CREATE MATERIALIZED VIEW b7 AS SELECT k, COUNT(*) AS n,"
         " SUM(bv) AS sum, MIN(bv) AS min, MAX(bv) AS max FROM r12_ra"
-        " JOIN r12_rb USING (k) GROUP BY k": "not its columns",
+        " JOIN r12_rb USING (k) GROUP BY k": "silently DROP",
     }
     for stmt, msg in cases.items():
         with pytest.raises(ValueError, match=msg):
@@ -583,6 +584,99 @@ def test_sql_catalog_refusals(spark):
         cat.sql("REFRESH MATERIALIZED VIEW ghost USING r12_rt")
     # passthrough still works
     assert cat.sql("SELECT 41 + 1 AS x").collect()[0]["x"] == 42
+
+
+def test_sql_catalog_self_review_refusals(spark):
+    """Round-12 self-review fixes: derivations the maintained state
+    would silently drop are refused (WHERE above the view node,
+    expression keys, expression order terms), duplicate CREATE needs
+    OR REPLACE, and SHOW returns a schema'd empty frame."""
+    cat = _sqlcat(spark)
+    spark.createDataFrame(
+        [(1, 1, 2), (1, 2, 3), (2, 1, 4)], "g int, o int, v int"
+    ).createOrReplaceTempView("r12_rv")
+    with pytest.raises(ValueError, match="silently DROP"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW rb1 AS SELECT DISTINCT g FROM r12_rv"
+            " WHERE g > 1"
+        )
+    with pytest.raises(ValueError, match="plain columns"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW rb2 AS SELECT g, o, v, SUM(v) OVER"
+            " (PARTITION BY g % 2 ORDER BY o ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS rs FROM r12_rv"
+        )
+    with pytest.raises(ValueError, match="ORDER BY terms"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW rb3 AS SELECT g, o, v FROM"
+            " (SELECT *, ROW_NUMBER() OVER (PARTITION BY g"
+            " ORDER BY o, v + o) AS rn FROM r12_rv) WHERE rn <= 1"
+        )
+    # a Filter above a JOIN is a dropped predicate too
+    spark.createDataFrame([(1, 5)], "g int, b int").createOrReplaceTempView(
+        "r12_rvb"
+    )
+    with pytest.raises(ValueError, match="silently DROP"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW rb4 AS SELECT * FROM r12_rv JOIN"
+            " r12_rvb USING (g) WHERE v > 2"
+        )
+    assert cat.sql("SHOW MATERIALIZED VIEWS").count() == 0
+    # duplicate CREATE refused; OR REPLACE rebinds
+    cat.sql("CREATE MATERIALIZED VIEW r12_dup AS SELECT DISTINCT g FROM r12_rv")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW r12_dup AS SELECT DISTINCT o FROM r12_rv"
+        )
+    out = cat.sql(
+        "CREATE OR REPLACE MATERIALIZED VIEW r12_dup AS"
+        " SELECT DISTINCT o FROM r12_rv"
+    )
+    assert out.columns == ["o"]
+    # a pre-filtered NAMED base is legitimate (the Filter sits BELOW
+    # the base's View node, maintained as part of the base definition)
+    spark.table("r12_rv").filter("g = 1").createOrReplaceTempView("r12_rvf")
+    ok = cat.sql(
+        "CREATE MATERIALIZED VIEW r12_okf AS SELECT DISTINCT g FROM r12_rvf"
+    )
+    assert [r["g"] for r in ok.collect()] == [1]
+
+
+def test_apply_delta_rejects_mismatched_key_types(spark):
+    """The bucket hash is type-sensitive (Murmur3 of INT 1 != BIGINT 1)
+    — a delta whose key dtype differs from the materialized layout
+    must be refused, or its keys route to the wrong buckets and stale
+    rows survive beside the new ones."""
+    root = tempfile.mkdtemp(prefix="mv_types_")
+    path = f"{root}/agg"
+    try:
+        mv = _agg_mv()
+        base = spark.createDataFrame([(1, 2), (2, 3)], "g bigint, v int")
+        mv.materialize(mv.compute(base), path, buckets=8)
+        bad = spark.createDataFrame([(1, 9)], "g int, v int")
+        with pytest.raises(ValueError, match="type-sensitive"):
+            mv.apply_delta(spark, path, bad)
+        mv.apply_delta(spark, path, bad.withColumn("g", F.col("g").cast("bigint")))
+        got = {r["g"]: r["n"] for r in mv.read_materialized(spark, path).collect()}
+        assert got == {1: 2, 2: 1}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compaction_accepts_file_uri_and_refuses_remote_schemes(spark):
+    from big_data_project_implementation_spark import streaming as st_mod
+
+    local = tempfile.mkdtemp(prefix="cbv_uri_")
+    try:
+        df = spark.createDataFrame([(1,), (2,)], "x int")
+        for i in range(3):
+            df.write.mode("overwrite").parquet(f"{local}/batch_id={i}")
+        n, seg = st_mod.compact_batch_view(spark, "file:" + local, keep_last=1)
+        assert n == 2 and seg == "batch_id=-1"
+        with pytest.raises(ValueError, match="local-filesystem-only"):
+            st_mod.compact_batch_view(spark, "s3a://bucket/view", keep_last=1)
+    finally:
+        shutil.rmtree(local, ignore_errors=True)
 
 
 def test_materialized_store_layout_guards(spark):
