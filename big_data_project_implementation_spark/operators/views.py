@@ -97,25 +97,36 @@ def _sized_state(
     return df.repartition(state_files)
 
 
-def _avg_row_bytes(df: DataFrame, sample_rows: int = 256) -> float | None:
-    """Serialized width estimate from a bounded sample — one tiny job
-    (JSON octet length over ≤ ``sample_rows`` rows; binary columns
-    base64-inflate ~33%, erring on the safe side of a broadcast
-    decision). None when the estimate itself fails (exotic column
-    types) — the caller then decides on row count alone."""
+def _row_bytes_stats(
+    df: DataFrame, n_rows: int, sample_rows: int = 1024
+) -> tuple[float, float] | None:
+    """Serialized width estimate — (avg, max) JSON octet length over a
+    RANDOM sample, not a prefix (ADVICE r12: a delta ordered by payload
+    size has a narrow head and a wide tail, and a prefix sample passes
+    the byte guard on exactly the delta the guard exists to catch).
+    The caller only byte-checks deltas already bounded to
+    ``auto_broadcast_rows``, so the sampling scan is one pass over an
+    arrival-sized input, never the mass; binary columns base64-inflate
+    ~33%, erring on the safe side of a broadcast decision. None when
+    the estimate itself fails (exotic column types) — the caller then
+    decides on row count alone."""
     try:
+        if n_rows > sample_rows:
+            # oversample 2x so the realized sample lands near the target
+            df = df.sample(fraction=min(1.0, 2.0 * sample_rows / n_rows),
+                           seed=7)
         row = (
-            df.limit(sample_rows)
-            .select(
-                F.avg(
-                    F.octet_length(
-                        F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-                    )
+            df.select(
+                F.octet_length(
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns]))
                 ).alias("b")
             )
+            .agg(F.avg("b").alias("avg"), F.max("b").alias("max"))
             .first()
         )
-        return float(row["b"]) if row["b"] is not None else None
+        if row["avg"] is None:
+            return None
+        return float(row["avg"]), float(row["max"])
     except Exception:
         return None
 
@@ -213,9 +224,12 @@ class MaterializedView:
         driver OOM at 100 TB key counts. A delta under the ROW cap is
         additionally BYTE-checked (ADVICE r11: row count alone would
         force-broadcast a wide-row delta past driver memory — the OOM
-        the policy exists to avoid): 256 sampled rows' serialized
+        the policy exists to avoid): a RANDOM sample's serialized
         width × the bounded count must stay under
-        ``auto_broadcast_bytes`` (None disables the byte check)."""
+        ``auto_broadcast_bytes``, and the sampled MAX row width bounds
+        the heavy-tail case the average misses (ADVICE r12 — both
+        checks, since a size-ordered delta defeats any prefix sample).
+        None disables the byte check."""
         if self.broadcast_deltas is not True and self.broadcast_deltas is not False:
             cap = self.auto_broadcast_rows
             for d in deltas:
@@ -225,9 +239,18 @@ class MaterializedView:
                 if n > cap:
                     return False
                 if n and self.auto_broadcast_bytes is not None:
-                    avg = _avg_row_bytes(d)
-                    if avg is not None and n * avg > self.auto_broadcast_bytes:
-                        return False
+                    stats = _row_bytes_stats(d, n)
+                    if stats is not None:
+                        avg, mx = stats
+                        # avg bounds the expected payload; max × count
+                        # bounds the heavy tail the average dilutes (4×
+                        # headroom so one wide outlier does not veto an
+                        # otherwise arrival-sized delta)
+                        if (
+                            n * avg > self.auto_broadcast_bytes
+                            or n * mx > 4 * self.auto_broadcast_bytes
+                        ):
+                            return False
             return True
         return self.broadcast_deltas
 

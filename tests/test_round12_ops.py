@@ -356,6 +356,15 @@ def test_auto_broadcast_is_byte_aware(spark):
         MaterializedView(
             "distinct", cols=["g"], auto_broadcast_bytes=0
         )
+    # ADVICE r12: a SIZE-ORDERED delta (narrow head, wide tail) must be
+    # vetoed too — a prefix sample sees only the narrow head and passes
+    # exactly the delta the byte guard exists to catch
+    tailheavy = spark.createDataFrame(
+        [(i, "y") for i in range(900)]
+        + [(i, "x" * 10_000) for i in range(900, 1000)],
+        "g int, v string",
+    ).coalesce(1)  # one ordered partition: the wide rows ARE the tail
+    assert mv._bcast(tailheavy) is False
 
 
 # -- VERDICT r11 #5 (missing): two-sided streaming views ------------------
