@@ -596,19 +596,16 @@ def test_sql_catalog_refusals(spark):
 
 
 def test_sql_catalog_self_review_refusals(spark):
-    """Round-12 self-review fixes: derivations the maintained state
-    would silently drop are refused (WHERE above the view node,
-    expression keys, expression order terms), duplicate CREATE needs
-    OR REPLACE, and SHOW returns a schema'd empty frame."""
+    """Round-12 self-review fixes, updated for round 13: derivations
+    the maintained state CAN fold are maintained (one deterministic
+    WHERE over the base — see test_sql_filtered_views), while the ones
+    it can't are still refused (expression keys, expression order
+    terms, HAVING-style filters on the view's own output, a join under
+    a single-base kind); duplicate CREATE needs OR REPLACE."""
     cat = _sqlcat(spark)
     spark.createDataFrame(
         [(1, 1, 2), (1, 2, 3), (2, 1, 4)], "g int, o int, v int"
     ).createOrReplaceTempView("r12_rv")
-    with pytest.raises(ValueError, match="silently DROP"):
-        cat.sql(
-            "CREATE MATERIALIZED VIEW rb1 AS SELECT DISTINCT g FROM r12_rv"
-            " WHERE g > 1"
-        )
     with pytest.raises(ValueError, match="plain columns"):
         cat.sql(
             "CREATE MATERIALIZED VIEW rb2 AS SELECT g, o, v, SUM(v) OVER"
@@ -621,14 +618,34 @@ def test_sql_catalog_self_review_refusals(spark):
             " (SELECT *, ROW_NUMBER() OVER (PARTITION BY g"
             " ORDER BY o, v + o) AS rn FROM r12_rv) WHERE rn <= 1"
         )
-    # a Filter above a JOIN is a dropped predicate too
+    # a filter on the VIEW'S OWN OUTPUT (HAVING / outer WHERE over the
+    # window result) cannot fold into base-row maintenance — and the
+    # ADVICE r12 case: an integer '<= k' outer filter over a SUM window
+    # must get the derivation refusal, not a confusing top-k error
+    with pytest.raises(ValueError, match="silently DROP"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW rb5 AS SELECT g, n FROM"
+            " (SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
+            " MAX(v) AS max FROM r12_rv GROUP BY g) WHERE n > 1"
+        )
+    with pytest.raises(ValueError, match="silently DROP"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW rb6 AS SELECT * FROM"
+            " (SELECT g, o, v, SUM(v) OVER (PARTITION BY g ORDER BY o"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs"
+            " FROM r12_rv) WHERE rs <= 3"
+        )
+    # ADVICE r12 (high): a JOIN hidden inside the top-k inline subquery
+    # escaped the r12 string-prefix scan — the structural walk refuses
     spark.createDataFrame([(1, 5)], "g int, b int").createOrReplaceTempView(
         "r12_rvb"
     )
     with pytest.raises(ValueError, match="silently DROP"):
         cat.sql(
-            "CREATE MATERIALIZED VIEW rb4 AS SELECT * FROM r12_rv JOIN"
-            " r12_rvb USING (g) WHERE v > 2"
+            "CREATE MATERIALIZED VIEW rb7 AS SELECT g, o, v FROM"
+            " (SELECT r12_rv.*, ROW_NUMBER() OVER (PARTITION BY r12_rv.g"
+            " ORDER BY v DESC, o) AS rn FROM r12_rv JOIN r12_rvb"
+            " USING (g)) WHERE rn <= 1"
         )
     assert cat.sql("SHOW MATERIALIZED VIEWS").count() == 0
     # duplicate CREATE refused; OR REPLACE rebinds
