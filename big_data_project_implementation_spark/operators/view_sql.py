@@ -346,7 +346,10 @@ class SqlViewCatalog:
                 buckets=buckets,
                 extra={
                     k: h.meta[k]
-                    for k in ("pred_sql", "pred_side", "pred_alias")
+                    for k in (
+                        "pred_sql", "pred_side", "pred_alias",
+                        "a_name", "b_name",
+                    )
                     if k in h.meta
                 },
             )
@@ -585,7 +588,13 @@ class SqlViewCatalog:
             )
         a_old = self._table(_alias_name(left))
         b_old = self._table(_alias_name(right))
-        meta: dict = {}
+        # side NAMES pinned for the STORED manifest: ATTACH re-resolves
+        # them in the new session (the bases stay authoritative for the
+        # maintenance flip terms; the store holds only the view)
+        meta: dict = {
+            "a_name": _alias_name(left),
+            "b_name": _alias_name(right),
+        }
         if len(pre_filters) > 1:
             self._refuse_pre_filters(pre_filters, jplan)
         if pre_filters:
@@ -858,9 +867,17 @@ class SqlViewCatalog:
                 )
             da = self._filtered(h, self.spark.table(delta_a), "a")
             db = self._filtered(h, self.spark.table(delta_b), "b")
-            h.state = h.mv.refresh(
-                h.state, a_old=h.a_old, delta_a=da, b_old=h.b_old, delta_b=db
-            )
+            store = h.meta.get("store")
+            if store is not None:
+                h.mv.apply_join_delta(
+                    self.spark, store, h.a_old, da, h.b_old, db
+                )
+                h.state = h.mv.read_materialized(self.spark, store)
+            else:
+                h.state = h.mv.refresh(
+                    h.state, a_old=h.a_old, delta_a=da,
+                    b_old=h.b_old, delta_b=db,
+                )
             h.a_old = h.a_old.unionByName(da)
             h.b_old = h.b_old.unionByName(db)
         else:
@@ -896,13 +913,20 @@ class SqlViewCatalog:
                 )
             a_new = self._filtered(h, self.spark.table(rem_a), "a")
             b_new = self._filtered(h, self.spark.table(rem_b), "b")
-            h.state = h.mv.retract(
-                h.state,
-                a_new=a_new,
-                retract_a=self._filtered(h, self.spark.table(del_a), "a"),
-                b_new=b_new,
-                retract_b=self._filtered(h, self.spark.table(del_b), "b"),
-            )
+            ra = self._filtered(h, self.spark.table(del_a), "a")
+            rb = self._filtered(h, self.spark.table(del_b), "b")
+            store = h.meta.get("store")
+            if store is not None:
+                h.mv.apply_join_retract(
+                    self.spark, store,
+                    retract_a=ra, retract_b=rb, a_new=a_new, b_new=b_new,
+                )
+                h.state = h.mv.read_materialized(self.spark, store)
+            else:
+                h.state = h.mv.retract(
+                    h.state,
+                    a_new=a_new, retract_a=ra, b_new=b_new, retract_b=rb,
+                )
             h.a_old, h.b_old = a_new, b_new
         elif kind in ("agg", "topk"):
             if del_b is not None or rem_a is None:
@@ -961,7 +985,7 @@ class SqlViewCatalog:
         )
         layout = MaterializedView.read_layout(self.spark, path)
         meta = {"store": path}
-        for k in ("pred_sql", "pred_side", "pred_alias"):
+        for k in ("pred_sql", "pred_side", "pred_alias", "a_name", "b_name"):
             if layout.get(k) is not None:
                 meta[k] = layout[k]
         if query is not None:
@@ -1012,8 +1036,32 @@ class SqlViewCatalog:
                     " definition would maintain the wrong view from the"
                     " first REFRESH on"
                 )
+        a_old = b_old = None
+        if mv.kind in ("inner", "semi", "anti"):
+            # the store holds the VIEW; the bases stay authoritative for
+            # the maintenance flip terms — re-resolve them by the names
+            # the manifest pinned at CREATE (a deployment's base tables;
+            # they must reflect the current base content)
+            if not layout.get("a_name") or not layout.get("b_name"):
+                raise ValueError(
+                    f"the join-view store at {path} pins no side names —"
+                    " re-CREATE it STORED AT with this catalog version"
+                )
+            a_old = self._table(layout["a_name"])
+            b_old = self._table(layout["b_name"])
+            if meta.get("pred_sql"):
+                which = meta.get("pred_side")
+                if which == "a":
+                    a_old = self._apply_pred(
+                        a_old, meta["pred_alias"], meta["pred_sql"]
+                    )
+                else:
+                    b_old = self._apply_pred(
+                        b_old, meta["pred_alias"], meta["pred_sql"]
+                    )
         h = _Handle(
-            name, mv, mv.read_materialized(self.spark, path), meta=meta
+            name, mv, mv.read_materialized(self.spark, path),
+            a_old=a_old, b_old=b_old, meta=meta,
         )
         self._views[name] = h
         return self._register(h)

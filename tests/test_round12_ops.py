@@ -535,12 +535,14 @@ def test_sql_stored_view_maintains_on_disk(spark):
         assert got[1] == (2, 4)
         cat.sql("DROP MATERIALIZED VIEW r12_sv")
         assert glob.glob(f"{path}/kb=*"), "DROP must leave the store files"
-        # join kinds refuse STORED AT (they deploy via the stream store)
+        # left/full outer kinds refuse STORED AT (null flips are
+        # two-sided — they deploy via the stream store); inner/semi/
+        # anti gained a bucketed store in round 13 (test_round13_ops)
         spark.createDataFrame([(1, "x")], "g int, s string").createOrReplaceTempView("r12_sj")
         with pytest.raises(ValueError, match="append-only streaming"):
             cat.sql(
                 f"CREATE MATERIALIZED VIEW r12_bad STORED AT '{root}/j' AS"
-                " SELECT * FROM r12_st JOIN r12_sj USING (g)"
+                " SELECT * FROM r12_st LEFT JOIN r12_sj USING (g)"
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -715,8 +717,10 @@ def test_materialized_store_layout_guards(spark):
         other = MaterializedView("agg", keys=["v"], value="g")
         with pytest.raises(ValueError, match="layout at"):
             other.apply_delta(spark, path, base)
+        # round 13: inner/semi/anti gained a bucketed store; the
+        # two-sided outer kinds still refuse with the reason
         with pytest.raises(ValueError, match="append-only streaming"):
-            MaterializedView("inner", on=["g"]).materialize(base, path)
+            MaterializedView("left", on=["g"]).materialize(base, path)
         with pytest.raises(ValueError, match="buckets must be"):
             mv.materialize(base, f"{root}/bad", buckets=0)
     finally:
