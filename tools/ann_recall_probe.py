@@ -87,7 +87,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--n-queries", type=int, default=25)
     ap.add_argument("--methods", default="ivf,ivfpq")
-    ap.add_argument("--refine", type=int, default=4)
+    # "auto" = the round-13 density-adaptive default (adaptive_refine):
+    # the probe's job is to certify the DEFAULTS, so it measures what a
+    # caller passing nothing would get
+    ap.add_argument("--refine", default="auto")
     ap.add_argument("--m", type=int, default=4)
     ap.add_argument("--codes", type=int, default=16)
     args = ap.parse_args()
@@ -127,13 +130,29 @@ def main() -> None:
         )
         t_ivf = round(time.time() - t0, 1)
 
-    ivfpq, t_ivfpq = None, None
+    ivfpq, t_ivfpq, refine_info = None, None, args.refine
     if "ivfpq" in methods:
         t0 = time.time()
+        if args.refine == "auto":
+            # resolve the adaptive default OUTSIDE ivfpq_topk so the
+            # chosen value lands in the probe record; same estimator,
+            # same codebooks (training is deterministic)
+            books = similarity.pq_codebooks(
+                corpus, m=args.m, k=args.codes
+            ).localCheckpoint(eager=True)
+            chosen = similarity.adaptive_refine(corpus, books, k=args.k)
+            refine = chosen["refine"]
+            refine_info = {
+                "mode": "auto",
+                **{k2: round(v, 6) if isinstance(v, float) else v
+                   for k2, v in chosen.items()},
+            }
+        else:
+            refine = int(args.refine)
         ivfpq = topk_pairs(
             similarity.ivfpq_topk(
                 queries, corpus, k=args.k, nprobe=nprobe, n_cells=n_cells,
-                m=args.m, n_codes=args.codes, refine=args.refine,
+                m=args.m, n_codes=args.codes, refine=refine,
             )
         )
         t_ivfpq = round(time.time() - t0, 1)
@@ -150,7 +169,7 @@ def main() -> None:
                 "probed_fraction": round(nprobe / n_cells, 4),
                 "pq_m": args.m,
                 "pq_codes": args.codes,
-                "refine": args.refine,
+                "refine": refine_info,
                 "exact_pairs": len(exact),
                 "recall_ivf": (
                     round(len(exact & ivf) / len(exact), 4)
