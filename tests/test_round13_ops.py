@@ -460,3 +460,44 @@ def test_adaptive_refine_measured_defaults(spark):
         assert legacy.count() > 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_catalog_save_restore(spark):
+    """SqlViewCatalog.save writes the name→store bindings; restore in a
+    fresh session ATTACHes everything in one call; in-memory views are
+    recorded as skipped, never silently 'recovered'."""
+    import json
+
+    root = tempfile.mkdtemp(prefix="mv_catalog_")
+    try:
+        base = spark.createDataFrame(
+            [(g, v) for g in range(4) for v in (g, g + 2)], "g int, v int"
+        )
+        base.createOrReplaceTempView("r13_ct")
+        cat = _sqlcat(spark)
+        cat.sql(
+            f"CREATE MATERIALIZED VIEW r13_cv STORED AT '{root}/agg'"
+            " BUCKETS 4 AS SELECT g, COUNT(*) AS n, SUM(v) AS sum,"
+            " MIN(v) AS min, MAX(v) AS max FROM r13_ct GROUP BY g"
+        )
+        cat.sql(
+            "CREATE MATERIALIZED VIEW r13_mem AS SELECT DISTINCT g FROM r13_ct"
+        )
+        saved = cat.save(root)
+        assert saved == ["r13_cv"]
+        with open(f"{root}/_MV_CATALOG") as fh:
+            rec = json.load(fh)
+        assert rec["skipped"] == ["r13_mem"]
+        fresh = spark.newSession()
+        cat2 = _sqlcat(fresh)
+        assert cat2.restore(root) == ["r13_cv"]
+        got = {r["g"]: r["n"] for r in fresh.table("r13_cv").collect()}
+        assert got == {g: 2 for g in range(4)}
+        # and the restored view keeps maintaining
+        fresh.createDataFrame([(0, 9), (9, 1)], "g int, v int")\
+            .createOrReplaceTempView("r13_cd")
+        cat2.sql("REFRESH MATERIALIZED VIEW r13_cv USING r13_cd")
+        got2 = {r["g"]: r["n"] for r in fresh.table("r13_cv").collect()}
+        assert got2[0] == 3 and got2[9] == 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
