@@ -259,12 +259,13 @@ class SqlViewCatalog:
         gate/test flows stay under the default and keep pure lazy
         plans (the plan-parity proof depends on that)."""
         n = h.meta["ops"] = h.meta.get("ops", 0) + 1
-        if (
-            self.checkpoint_every
-            and h.meta.get("store") is None
-            and n % self.checkpoint_every == 0
-        ):
-            h.state = h.state.localCheckpoint(eager=False)
+        if self.checkpoint_every and n % self.checkpoint_every == 0:
+            if h.meta.get("store") is None:
+                h.state = h.state.localCheckpoint(eager=False)
+            # a STORED view's state re-reads the store each verb, but a
+            # join view's old-side context is in-memory lineage either
+            # way (unionByName per refresh) — cut it too (round-13
+            # self-review)
             if h.a_old is not None:
                 h.a_old = h.a_old.localCheckpoint(eager=False)
                 h.b_old = h.b_old.localCheckpoint(eager=False)
@@ -428,22 +429,16 @@ class SqlViewCatalog:
         kind is still refused (it would be silently dropped). This
         walk runs BELOW any auto-generated subquery alias too, closing
         ADVICE r12's hole (a WHERE hidden inside the top-k inline
-        subquery escaped the string-prefix scan)."""
-        node, pred = start, None
+        subquery escaped the string-prefix scan). STACKED filters
+        (``FROM (SELECT … WHERE p1) WHERE p2`` spelled over nested
+        subqueries) conjoin — σ_p2∘σ_p1 = σ_{p1 AND p2}."""
+        node, preds = start, []
         while True:
             c = _cls(node)
             if c == "Project" or _is_auto_alias(node):
                 node = _children(node)[0]
             elif c == "Filter":
-                if pred is not None:
-                    raise ValueError(
-                        "the defining query derives its input (two WHERE"
-                        " stages above the base) — the maintained state"
-                        " would silently DROP one of them. Register the"
-                        " derived relation as a temp view and define the"
-                        f" view over it. Plan:\n{jplan.toString()}"
-                    )
-                pred = node.condition()
+                preds.append(node.condition())
                 node = _children(node)[0]
             elif c == "SubqueryAlias":
                 break
@@ -460,11 +455,14 @@ class SqlViewCatalog:
         base = self._table(base_name)
         pred_sql = None
         needed = list(needed_cols)
-        if pred is not None:
-            pred_sql = self._check_pred(pred, node.alias())
+        if preds:
+            pred_sql = " AND ".join(
+                f"({self._check_pred(p, node.alias())})" for p in preds
+            )
             needed += [
                 a.name()
-                for a in _jseq(pred.references().toSeq())
+                for p in preds
+                for a in _jseq(p.references().toSeq())
                 if a.name() not in needed
             ]
         missing = [c for c in needed if c not in base.columns]
@@ -493,7 +491,12 @@ class SqlViewCatalog:
                 " re-rolls per stream; materialize the choice as a column"
                 " of the base instead"
             )
-        return cond.sql()
+        # a filter above an inline subquery prints its references
+        # qualified by the ANALYZER'S auto-generated alias — strip that
+        # qualifier so the predicate re-resolves on base-shaped streams
+        # (the references themselves are base attributes; _base_of's
+        # needed-column check enforces it)
+        return re.sub(r"__auto_generated\w*\.", "", cond.sql())
 
     def _apply_pred(self, df: DataFrame, alias: str, pred_sql: str) -> DataFrame:
         """σ_p over a base-shaped relation (the base itself at CREATE,

@@ -837,6 +837,8 @@ class MaterializedView:
             "k": self.k,
             "out_col": self.out_col,
             "on": self.on,
+            "a_id": self.a_id,
+            "b_id": self.b_id,
         }
         if self.value is not None:
             if not isinstance(self.value, str):
@@ -978,6 +980,8 @@ class MaterializedView:
         return cls(
             kind,
             on=spec.get("on"),
+            a_id=spec.get("a_id"),
+            b_id=spec.get("b_id"),
             keys=meta.get("view_keys"),
             value=spec.get("value"),
             order_by=(

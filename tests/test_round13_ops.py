@@ -178,12 +178,24 @@ def test_sql_filtered_join_views(spark):
         " r13_jb USING (k) WHERE av + bv > 0": "both",
         "CREATE MATERIALIZED VIEW fx4 AS SELECT DISTINCT k FROM r13_ja"
         " WHERE rand() < 0.5": "nondeterministic",
-        "CREATE MATERIALIZED VIEW fx5 AS SELECT DISTINCT k FROM"
-        " (SELECT * FROM r13_ja WHERE av > 0) WHERE k > 1"
-        : "two WHERE stages",
     }.items():
         with pytest.raises(ValueError, match=msg):
             cat.sql(stmt)
+
+    # stacked filters over nested subqueries CONJOIN (σ_p2∘σ_p1)
+    cat.sql(
+        "CREATE MATERIALIZED VIEW r13_fs AS SELECT DISTINCT k FROM"
+        " (SELECT * FROM r13_ja WHERE av >= 4) WHERE k < 5"
+    )
+    spark.createDataFrame(
+        [(1, 4), (4, 16), (5, 10)], "k int, av int"
+    ).createOrReplaceTempView("r13_fsd")
+    cat.sql("REFRESH MATERIALIZED VIEW r13_fs USING r13_fsd")
+    # base k∈0..5 with av=2k: av>=4 ∧ k<5 → {2,3,4}; delta row (1,4)
+    # passes both predicates and folds in; (5,10) is filtered out
+    assert sorted(r["k"] for r in spark.table("r13_fs").collect()) == [
+        1, 2, 3, 4,
+    ]
 
 
 # -- VERDICT r12 next #2: ATTACH rebinds a store, no recompute -------------
@@ -350,6 +362,10 @@ def test_join_view_store_keyed_retract(spark):
             ).collect()
         )
         assert got == want
+        # the manifest pins the keyed-retract ids: a rebind keeps the
+        # keyed algebra, never silently downgrades to keyless
+        mv2 = MaterializedView.from_materialized(spark, path)
+        assert (mv2.a_id, mv2.b_id) == ("aid", "bid")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

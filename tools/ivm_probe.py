@@ -856,13 +856,222 @@ def probe_store(spark, sf_dir: str, factor: int, work: str) -> dict:
     }
 
 
+def _store_size_mb(path: str) -> float:
+    return round(
+        sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        / 1e6,
+        2,
+    )
+
+
+def _replicate_custkey(df, factor: int, stride: int = 1_000_000_000):
+    from pyspark.sql import functions as F
+
+    if factor <= 1:
+        return df.withColumn("o_custkey", F.col("o_custkey").cast("bigint"))
+    return (
+        df.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        )
+        .withColumn(
+            "o_custkey",
+            F.col("o_custkey").cast("bigint")
+            + F.col("_r").cast("bigint") * F.lit(stride),
+        )
+        .drop("_r")
+    )
+
+
+def probe_storeagg(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 13 (VERDICT r12 stretch #9): the 4096-bucket store probe
+    at a SECOND single-base kind — the agg view's delta touches the
+    same ~1%-of-customers key slice, so its pruned scan fraction must
+    match the window kind's (the layout prunes on keys, not on the
+    maintained shape). Same measurement discipline as probe_store
+    (SQL-node scan metric, CDC slice materialized once)."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    n_buckets = 4096
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    cut = F.lit(CUT_A).cast("date")
+    old = _replicate_custkey(o.filter(F.col("o_orderdate") < cut), factor)
+    o.filter(
+        (F.col("o_orderdate") >= cut) & (F.col("o_custkey") % 101 == 0)
+    ).withColumn("o_custkey", F.col("o_custkey").cast("bigint")).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/sa_delta.parquet")
+    delta = spark.read.parquet(f"{work}/sa_delta.parquet")
+    mv = MaterializedView("agg", keys=["o_custkey"], value="price_cents")
+    path = f"{work}/sa_view"
+    t0 = time.time()
+    mv.materialize(mv.compute(old.drop("o_orderdate")), path, buckets=n_buckets)
+    t_mat = round(time.time() - t0, 2)
+    store_mb = _store_size_mb(path)
+    t_apply, mb_apply = metered(
+        spark,
+        lambda: mv.apply_delta(spark, path, delta.drop("o_orderdate")),
+    )
+    touched = len(
+        delta.select(mv._kb(n_buckets).alias("kb")).distinct().collect()
+    )
+    return {
+        "state_rows": spark.read.parquet(path).count(),
+        "store_mb": store_mb,
+        "n_buckets": n_buckets,
+        "delta_rows": delta.count(),
+        "touched_buckets": touched,
+        "materialize_s": t_mat,
+        "apply_delta_s": t_apply,
+        "input_mb_apply_delta": mb_apply,
+        "scan_fraction_apply": (
+            round(mb_apply / store_mb, 4) if mb_apply is not None else None
+        ),
+    }
+
+
+def probe_storejoin(spark, sf_dir: str, factor: int, work: str) -> dict:
+    """Round 13 (VERDICT r12 missing #3): the JOIN-VIEW row of the
+    4096-bucket scan-fraction table — an inner orders⋈customer view
+    keyed by o_custkey, maintained on disk with apply_join_delta /
+    apply_join_retract. Unlike the single-base kinds, a join view's
+    maintenance legitimately scans its BASE SIDES once per call (the
+    algebra's B_new probe / flip terms), so both bases are written as
+    parquet tables (the deployment shape) and their file sizes are
+    reported separately: ``store_scan_mb_est = total − bases`` is the
+    store's pruned contribution, the number that must stay delta-sized
+    while ``store_mb`` grows with the corpus. CDC slices materialized
+    once (probe hygiene)."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_implementation_spark.operators.views import (
+        MaterializedView,
+    )
+
+    n_buckets = 4096
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cut = F.lit(CUT_A).cast("date")
+    # bases as real tables (a deployment's sides are tables, and the
+    # scan accounting below needs their file sizes)
+    _replicate_custkey(o.filter(F.col("o_orderdate") < cut), factor).drop(
+        "o_orderdate"
+    ).write.mode("overwrite").parquet(f"{work}/sj_a.parquet")
+    _replicate_custkey(c, factor).write.mode("overwrite").parquet(
+        f"{work}/sj_b.parquet"
+    )
+    a_old = spark.read.parquet(f"{work}/sj_a.parquet")
+    b_old = spark.read.parquet(f"{work}/sj_b.parquet")
+    # CDC: one day's orders for ~1% of customers (a side), plus a
+    # 0.1% new-customer slice (b side) — materialized once
+    o.filter(
+        (F.col("o_orderdate") >= cut) & (F.col("o_custkey") % 101 == 0)
+    ).withColumn("o_custkey", F.col("o_custkey").cast("bigint")).drop(
+        "o_orderdate"
+    ).write.mode("overwrite").parquet(f"{work}/sj_da.parquet")
+    c.filter(F.col("o_custkey") % 1009 == 0).withColumn(
+        "o_custkey", F.col("o_custkey").cast("bigint") + F.lit(500_000_000)
+    ).write.mode("overwrite").parquet(f"{work}/sj_db.parquet")
+    delta_a = spark.read.parquet(f"{work}/sj_da.parquet")
+    delta_b = spark.read.parquet(f"{work}/sj_db.parquet")
+    base_mb = round(
+        _store_size_mb(f"{work}/sj_a.parquet")
+        + _store_size_mb(f"{work}/sj_b.parquet")
+        + _store_size_mb(f"{work}/sj_da.parquet")
+        + _store_size_mb(f"{work}/sj_db.parquet"),
+        2,
+    )
+    mv = MaterializedView("inner", on=["o_custkey"])
+    path = f"{work}/sj_view"
+    t0 = time.time()
+    mv.materialize(mv.compute(a_old, b_old), path, buckets=n_buckets)
+    t_mat = round(time.time() - t0, 2)
+    store_mb = _store_size_mb(path)
+    t_apply, mb_apply = metered(
+        spark,
+        lambda: mv.apply_join_delta(spark, path, a_old, delta_a, b_old, delta_b),
+    )
+    touched = len(
+        delta_a.select(mv._kb(n_buckets).alias("kb"))
+        .unionByName(delta_b.select(mv._kb(n_buckets).alias("kb")))
+        .distinct()
+        .collect()
+    )
+    # the no-layout alternative: recompute the view from the current
+    # bases and rewrite the ENTIRE store (same base scans, full write)
+    a_now = a_old.unionByName(delta_a)
+    b_now = b_old.unionByName(delta_b)
+    t_rewrite, mb_rewrite = metered(
+        spark,
+        lambda: mv.materialize(
+            mv.compute(a_now, b_now), f"{work}/sj_rewrite", buckets=n_buckets
+        ),
+    )
+    # keyless retraction of a slice of the arrivals
+    delta_a.filter(F.col("o_orderkey") % 7 == 0).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/sj_ra.parquet")
+    ra = spark.read.parquet(f"{work}/sj_ra.parquet")
+    rb = delta_b.filter(F.lit(False))
+    t_retract, mb_retract = metered(
+        spark,
+        lambda: mv.apply_join_retract(
+            spark, path, retract_a=ra, retract_b=rb,
+            a_new=a_now.exceptAll(ra), b_new=b_now,
+        ),
+    )
+    store_scan_est = (
+        round(max(0.0, mb_apply - base_mb), 2) if mb_apply is not None else None
+    )
+    return {
+        "view_rows": spark.read.parquet(path).count(),
+        "store_mb": store_mb,
+        "base_side_mb": base_mb,
+        "n_buckets": n_buckets,
+        "delta_rows": delta_a.count() + delta_b.count(),
+        "touched_buckets": touched,
+        "materialize_s": t_mat,
+        "apply_join_delta_s": t_apply,
+        "input_mb_apply_total": mb_apply,
+        "store_scan_mb_est": store_scan_est,
+        "rewrite_store_s": t_rewrite,
+        "input_mb_rewrite": mb_rewrite,
+        "apply_join_retract_s": t_retract,
+        "input_mb_retract_total": mb_retract,
+        "scan_fraction_store_est": (
+            round(store_scan_est / store_mb, 4)
+            if store_scan_est is not None
+            else None
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--shapes",
-        default="inner,left,full,retract,topk,semianti,distinct,joinagg,scd2,window,store",
+        default="inner,left,full,retract,topk,semianti,distinct,joinagg,scd2,window,store,storeagg,storejoin",
         help="comma list of probe families to run",
     )
     args = ap.parse_args()
@@ -885,11 +1094,13 @@ def main() -> None:
         "scd2": probe_scd2,
         "window": probe_window,
         "store": probe_store,
+        "storeagg": probe_storeagg,
+        "storejoin": probe_storejoin,
     }
     report: dict = {"factor": args.factor}
     for shape in ("inner", "left", "full", "retract", "topk",
                   "semianti", "distinct", "joinagg", "scd2", "window",
-                  "store"):
+                  "store", "storeagg", "storejoin"):
         if shape not in shapes:
             continue
         fn = fns[shape]
