@@ -80,7 +80,8 @@ unregisters the name but leaves the files (the store is a table, not
 session state). ``ATTACH`` re-binds an existing store in a NEW
 session from its ``_MV_LAYOUT`` manifest — no recompute (round 13,
 VERDICT r12 missing #2: restart durability is the point of a disk
-store).
+store); :meth:`SqlViewCatalog.save` / :meth:`SqlViewCatalog.restore`
+persist and re-bind a whole catalog's stored views in one call.
 
 Anything else passes through to ``spark.sql`` untouched, so the
 catalog can front an entire session. Every verb re-registers the
@@ -337,10 +338,12 @@ class SqlViewCatalog:
             # deployment layout — maintenance verbs become touched-
             # bucket partition overwrites, and readers (this session
             # or any other engine) see plain hive-partitioned parquet.
-            # materialize() itself refuses join kinds (they deploy
-            # through the append-only streaming store). A filtered
-            # view's predicate is pinned INTO the manifest so ATTACH
-            # in a fresh session keeps filtering the streams.
+            # materialize() itself refuses the left/full outer kinds
+            # (two-sided null flips — they deploy through the streaming
+            # store); inner/semi/anti are key-local and store fine
+            # (round 13). A filtered view's predicate and a join view's
+            # side names are pinned INTO the manifest so ATTACH in a
+            # fresh session keeps the same maintenance.
             h.mv.materialize(
                 h.state,
                 store_path,
