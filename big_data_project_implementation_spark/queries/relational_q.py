@@ -2536,6 +2536,67 @@ def view_sql_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "view_sql_exprkey",
+    oracle="""
+    SELECT date_trunc('day', ts) AS d, event_type, COUNT(*) AS n,
+           CAST(SUM(value_cents) AS BIGINT) AS sum,
+           MIN(value_cents) AS min, MAX(value_cents) AS max
+    FROM (SELECT ts, user_id, event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+          FROM events)
+    WHERE event_type <> 'view' AND NOT (user_id % 13 = 0)
+    GROUP BY d, event_type
+    ORDER BY d, event_type
+    """,
+)
+def view_sql_exprkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPRESSION-KEY maintained view (round 13): ``GROUP BY
+    date_trunc('day', ts)`` — the time-bucketed rollup every event
+    pipeline keeps — over a derived integer measure (``value_cents``
+    computed in a subquery) and a WHERE. Deterministic scalar key
+    expressions commute with key-local maintenance exactly like σ_p:
+    CREATE records the ordered derivation STAGES (the cents
+    projection, the filter, the date_trunc key) off the analyzed plan
+    objects and replays them over every REFRESH delta and RETRACT
+    stream, so the maintained state is keyed by the COMPUTED day
+    column. Chain: CREATE over two-thirds of events + REFRESH with
+    the rest + RETRACT of the ``user_id % 13`` rows — hash-equal to
+    DuckDB recomputing the derived rollup over the post-purge base.
+    Reference surface: CreateViewAsSelect.scala accepts arbitrary
+    derived queries (recomputing); this maintains the rollup
+    incrementally (operators/view_sql.py ``_base_of``/``_create_agg``)."""
+    from big_data_project_implementation_spark.operators.view_sql import (
+        SqlViewCatalog,
+    )
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                          "event_type", "value")
+    e.filter(F.col("event_id") % 3 != 0).createOrReplaceTempView("sqlv13_eold")
+    e.filter(F.col("event_id") % 3 == 0).createOrReplaceTempView("sqlv13_edelta")
+    dead = F.col("user_id") % 13 == 0
+    e.filter(dead).createOrReplaceTempView("sqlv13_edead")
+    e.filter(~dead).createOrReplaceTempView("sqlv13_erem")
+    cat = SqlViewCatalog(spark)
+    cat.sql(
+        "CREATE MATERIALIZED VIEW sqlv13_eview AS"
+        " SELECT date_trunc('day', ts) AS d, event_type, COUNT(*) AS n,"
+        " SUM(value_cents) AS sum, MIN(value_cents) AS min,"
+        " MAX(value_cents) AS max"
+        " FROM (SELECT ts, user_id, event_type,"
+        "       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents"
+        "       FROM sqlv13_eold)"
+        " WHERE event_type <> 'view'"
+        " GROUP BY date_trunc('day', ts), event_type"
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW sqlv13_eview USING sqlv13_edelta")
+    cat.sql(
+        "ALTER MATERIALIZED VIEW sqlv13_eview RETRACT USING sqlv13_edead"
+        " REMAINING sqlv13_erem"
+    )
+    return spark.table("sqlv13_eview").orderBy("d", "event_type")
+
+
+@query(
     "view_join_materialized",
     oracle="""
     SELECT l.o_orderkey, l.lid, l.qty, o.o_orderstatus

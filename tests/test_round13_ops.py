@@ -483,6 +483,163 @@ def test_adaptive_refine_measured_defaults(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# -- expression keys: π_e folds into maintenance like σ_p ------------------
+
+
+def test_sql_expression_key_views(spark):
+    """``GROUP BY date_trunc('day', ts)`` — the time-bucketed rollup —
+    and computed DISTINCT columns maintain: deterministic scalar key
+    expressions commute with key-local maintenance, so the catalog
+    records the ordered derivation stages (filters AND computed
+    columns) at CREATE and replays them over every delta/retract
+    stream. Nondeterministic keys and unprojected computed keys are
+    refused with the reason."""
+    cat = _sqlcat(spark)
+    rows = [
+        (i, f"2024-01-{(i % 9) + 1:02d} 0{i % 7}:00:00", i * 7 % 50)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, v long").selectExpr(
+        "k", "cast(ts as timestamp) ts", "v"
+    )
+    df.filter("k % 3 != 0").createOrReplaceTempView("r13_et")
+    df.filter("k % 3 = 0").createOrReplaceTempView("r13_ed")
+    df.createOrReplaceTempView("r13_em")
+
+    Q = (
+        "SELECT date_trunc('day', ts) AS d, COUNT(*) AS n, SUM(v) AS sum,"
+        " MIN(v) AS min, MAX(v) AS max FROM {t} WHERE v % 2 = 0"
+        " GROUP BY date_trunc('day', ts)"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_ev AS " + Q.format(t="r13_et"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_ev USING r13_ed")
+    assert _canon(spark.table("r13_ev")) == _canon(
+        spark.sql(Q.format(t="r13_em"))
+    )
+    dead = "k % 11 = 0"
+    df.filter(dead).createOrReplaceTempView("r13_edead")
+    df.filter(f"NOT ({dead})").createOrReplaceTempView("r13_erem")
+    cat.sql(
+        "ALTER MATERIALIZED VIEW r13_ev RETRACT USING r13_edead"
+        " REMAINING r13_erem"
+    )
+    assert _canon(spark.table("r13_ev")) == _canon(
+        spark.sql(Q.format(t="r13_erem"))
+    )
+
+    # computed DISTINCT columns (the derive stage lives in the Project
+    # below Distinct) + an outer filter REFERENCING the derived column
+    D = (
+        "SELECT DISTINCT date_trunc('day', ts) AS d, v % 10 AS bucket"
+        " FROM (SELECT * FROM {t}) WHERE v % 10 < 8"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_evd AS " + D.format(t="r13_et"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_evd USING r13_ed")
+    assert _canon(spark.table("r13_evd")) == _canon(
+        spark.sql(D.format(t="r13_em"))
+    )
+
+    # window and top-k views over a DERIVED partition key (full-width:
+    # the maintained state is the transformed base + the window column)
+    W = (
+        "SELECT k, ts, v, vb, SUM(v) OVER (PARTITION BY vb ORDER BY k, v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs"
+        " FROM (SELECT *, v % 5 AS vb FROM {t})"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_evw AS " + W.format(t="r13_et"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_evw USING r13_ed")
+    assert _canon(spark.table("r13_evw")) == _canon(
+        spark.sql(W.format(t="r13_em"))
+    )
+    T = (
+        "SELECT k, ts, v, vb FROM (SELECT *, ROW_NUMBER() OVER"
+        " (PARTITION BY vb ORDER BY v DESC, k) AS rn"
+        " FROM (SELECT *, v % 5 AS vb FROM {t})) WHERE rn <= 2"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_evt AS " + T.format(t="r13_et"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_evt USING r13_ed")
+    assert _canon(spark.table("r13_evt")) == _canon(
+        spark.sql(T.format(t="r13_em"))
+    )
+
+    # refusals: nondeterministic key; computed key not in the select list
+    with pytest.raises(ValueError, match="nondeterministic"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW ex1 AS SELECT rand() AS r,"
+            " COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min, MAX(v) AS max"
+            " FROM r13_et GROUP BY rand()"
+        )
+    with pytest.raises(ValueError, match="must appear in the select list"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW ex2 AS SELECT COUNT(*) AS n,"
+            " SUM(v) AS sum, MIN(v) AS min, MAX(v) AS max"
+            " FROM r13_et GROUP BY date_trunc('day', ts)"
+        )
+
+
+def test_sql_expression_key_stored_attach(spark):
+    """Expression-key views deploy and ATTACH: the derivation STAGES
+    are pinned into the store manifest, so a fresh session's catalog
+    keeps deriving the key on every delta — and the AS-clause
+    verification compares the stages, refusing a different
+    derivation."""
+    root = tempfile.mkdtemp(prefix="mv_exprkey_")
+    path = f"{root}/v"
+    try:
+        rows = [
+            (i, f"2024-01-{(i % 9) + 1:02d} 03:00:00", i % 40)
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, ts string, v long"
+        ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+        df.createOrReplaceTempView("r13_est")
+        cat = _sqlcat(spark)
+        Q = (
+            "SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,"
+            " SUM(v) AS sum, MIN(v) AS min, MAX(v) AS max FROM {t}"
+            " GROUP BY date_trunc('day', ts)"
+        )
+        cat.sql(
+            f"CREATE MATERIALIZED VIEW r13_esv STORED AT '{path}'"
+            " BUCKETS 8 AS " + Q.format(t="r13_est")
+        )
+        fresh = spark.newSession()
+        cat2 = _sqlcat(fresh)
+        cat2.sql(f"ATTACH MATERIALIZED VIEW r13_esv2 AT '{path}'")
+        extra = [(900 + i, f"2024-02-0{i % 9 + 1} 01:00:00", i) for i in range(30)]
+        fresh.createDataFrame(extra, "k int, ts string, v long").selectExpr(
+            "k", "cast(ts as timestamp) ts", "v"
+        ).createOrReplaceTempView("r13_esd")
+        cat2.sql("REFRESH MATERIALIZED VIEW r13_esv2 USING r13_esd")
+        merged = df.unionByName(
+            spark.createDataFrame(extra, "k int, ts string, v long").selectExpr(
+                "k", "cast(ts as timestamp) ts", "v"
+            )
+        )
+        merged.createOrReplaceTempView("r13_esm")
+        assert _canon(fresh.table("r13_esv2")) == _canon(
+            spark.sql(Q.format(t="r13_esm"))
+        )
+        # AS-clause: the same derivation agrees; a different key
+        # expression refuses (stages compared, alias-normalized)
+        fresh.createDataFrame([(1, "2024-01-01 00:00:00", 2)],
+                              "k int, ts string, v long").selectExpr(
+            "k", "cast(ts as timestamp) ts", "v"
+        ).createOrReplaceTempView("r13_esx")
+        cat2.sql(
+            f"ATTACH MATERIALIZED VIEW r13_ok AT '{path}' AS "
+            + Q.format(t="r13_esx")
+        )
+        with pytest.raises(ValueError, match="disagrees"):
+            cat2.sql(
+                f"ATTACH MATERIALIZED VIEW r13_bad AT '{path}' AS "
+                + Q.replace("'day'", "'month'").format(t="r13_esx")
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_catalog_save_restore(spark):
     """SqlViewCatalog.save writes the name→store bindings; restore in a
     fresh session ATTACHes everything in one call; in-memory views are
