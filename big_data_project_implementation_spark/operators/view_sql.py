@@ -195,6 +195,15 @@ def _is_auto_alias(p) -> bool:
     )
 
 
+def _conjuncts(cond) -> list:
+    """Flatten an ``And`` tree into its conjuncts — a single ``WHERE
+    rn <= 3 AND o > 1`` is one Filter node, but each conjunct routes
+    independently (the rn bound, a side filter, a read-time pred)."""
+    if _cls(cond) == "And":
+        return _conjuncts(cond.left()) + _conjuncts(cond.right())
+    return [cond]
+
+
 def _ref_ids(expr) -> set[int]:
     ids, it = set(), expr.references().iterator()
     while it.hasNext():
@@ -357,7 +366,7 @@ class SqlViewCatalog:
                 extra={
                     k: h.meta[k]
                     for k in (
-                        "stages", "alias",
+                        "stages", "alias", "post_pred",
                         "pred_sql", "pred_side", "pred_alias",
                         "a_name", "b_name",
                     )
@@ -415,18 +424,41 @@ class SqlViewCatalog:
                     f" Plan:\n{root.toString()}"
                 )
 
-    def _refuse_pre_filters(self, pre_filters, jplan) -> None:
-        if pre_filters:
+    def _refuse_pre_filters(self, leftover_conds, jplan) -> None:
+        if leftover_conds:
             raise ValueError(
-                "the defining query derives its input ABOVE the view node"
-                " (HAVING, a filter on the view's own output, or a WHERE"
-                " above a join the maintained state cannot push) — the"
-                " maintained state would silently DROP that derivation."
-                " A WHERE directly over the base IS maintained; spell the"
-                " query so the predicate applies to base rows, or register"
-                " the derived relation as a temp view and define the view"
-                f" over it directly. Plan:\n{jplan.toString()}"
+                "the defining query filters ABOVE the view node on"
+                " something that is neither the view's own output"
+                " (HAVING and output filters ARE maintained, read-time)"
+                " nor deterministic — the maintained state would silently"
+                " DROP that derivation. A deterministic WHERE over the"
+                " base or the view's output IS maintained; spell the"
+                " query so the predicate applies to one of those, or"
+                " register the derived relation as a temp view and define"
+                f" the view over it directly. Plan:\n{jplan.toString()}"
             )
+
+    def _split_post(self, conds, node):
+        """Partition the conjuncts collected ABOVE the view node into
+        READ-TIME predicates and the rest (round 13 — HAVING and
+        filters on the view's own output, e.g. ``GROUP BY k HAVING
+        n > 5`` or ``WHERE bv > 0`` over an outer join's result):
+        a deterministic predicate whose references all resolve to the
+        view node's OWN OUTPUT commutes with nothing and needs to —
+        the maintained state stays UNFILTERED and the public
+        projection applies σ_h at read, which is exactly the defining
+        query's semantics (the filter sits above the view node in its
+        plan). Takes and returns CONJUNCTS (condition expressions) —
+        each routes independently. Returns ``(post_pred_sql | None,
+        remaining_conjuncts)``."""
+        out_ids = _output_ids(node)
+        post, rest = [], []
+        for cond in conds:
+            if cond.deterministic() and _ref_ids(cond) <= out_ids:
+                post.append(f"({self._clean_sql(cond.sql())})")
+            else:
+                rest.append(cond)
+        return (" AND ".join(post) or None), rest
 
     def _base_of(self, start, needed_cols: list[str], jplan,
                  extra_stages: list | None = None):
@@ -586,9 +618,18 @@ class SqlViewCatalog:
             ) from exc
 
     def _public(self, h: _Handle) -> DataFrame:
-        if h.mv.kind == "distinct":
-            return h.state.filter(F.col("n") > 0).drop("n")
-        return h.state
+        pub = (
+            h.state.filter(F.col("n") > 0).drop("n")
+            if h.mv.kind == "distinct"
+            else h.state
+        )
+        if h.meta.get("post_pred"):
+            # HAVING / output filters: the maintained state is
+            # UNFILTERED (σ_h over view output commutes with nothing
+            # and needs to — it applies at read, the defining query's
+            # own shape)
+            pub = pub.filter(F.expr(h.meta["post_pred"]))
+        return pub
 
     def _register(self, h: _Handle) -> DataFrame:
         pub = self._public(h)
@@ -670,53 +711,50 @@ class SqlViewCatalog:
             "a_name": _alias_name(left),
             "b_name": _alias_name(right),
         }
-        if len(pre_filters) > 1:
-            self._refuse_pre_filters(pre_filters, jplan)
-        if pre_filters:
-            pcond = pre_filters[0].condition()
+        # a predicate that commutes with ONE side filters that side's
+        # inputs (it SHRINKS the maintained state): either side of an
+        # inner join, the LEFT side of left/semi/anti. Everything else
+        # that resolves to the join's own output — both-sides
+        # predicates, the right side of a LEFT join, any predicate
+        # over a FULL join — is READ-TIME (σ_h over the unfiltered
+        # maintained view, exactly the defining query's semantics:
+        # the filter sits above the join in its plan).
+        side_f, rest = None, []
+        for pcond in (
+            c for f in pre_filters for c in _conjuncts(f.condition())
+        ):
             refs = _ref_ids(pcond)
-            if refs <= _output_ids(left):
-                side = "a"
-            elif refs <= _output_ids(right):
-                side = "b"
+            side = (
+                "a"
+                if refs <= _output_ids(left)
+                else ("b" if refs <= _output_ids(right) else None)
+            )
+            commutes = side == "a" or (side == "b" and kind == "inner")
+            if (
+                pcond.deterministic()
+                and commutes
+                and kind != "full"
+                and side_f is None
+            ):
+                side_f = (side, pcond)
             else:
-                raise ValueError(
-                    f"the WHERE predicate {pcond.sql()!r} references both"
-                    " join sides (or the join's own output) — a maintained"
-                    " join view's predicate must resolve to ONE side so it"
-                    " can filter that side's deltas; the maintained state"
-                    " would otherwise silently DROP it. Register the"
-                    " filtered join as a temp view and recompute, or split"
-                    " the predicate"
-                )
-            if kind == "full":
-                raise ValueError(
-                    "a WHERE over a FULL OUTER join view does not commute"
-                    " with maintenance (null-extended rows from the other"
-                    " side appear and disappear under the predicate) — the"
-                    " maintained state would silently DROP it; maintain"
-                    " the unfiltered full view and filter at read time"
-                )
-            if kind == "left" and side == "b":
-                raise ValueError(
-                    "a WHERE on the RIGHT side of a LEFT join view does"
-                    " not commute with maintenance (it drops the"
-                    " null-extension rows the view must keep) — the"
-                    " maintained state would silently DROP it; filter the"
-                    " right side into a temp view first if you mean"
-                    " LEFT JOIN (SELECT … WHERE …)"
-                )
+                rest.append(pcond)
+        post_pred, rest = self._split_post(rest, join)
+        if rest:
+            self._refuse_pre_filters(rest, jplan)
+        if post_pred:
+            meta["post_pred"] = post_pred
+        if side_f:
+            side, pcond = side_f
             node = left if side == "a" else right
             pred_sql = self._check_pred(pcond, node.alias())
             if side == "a":
                 a_old = self._apply_pred(a_old, node.alias(), pred_sql)
             else:
                 b_old = self._apply_pred(b_old, node.alias(), pred_sql)
-            meta = {
-                "pred_sql": pred_sql,
-                "pred_side": side,
-                "pred_alias": node.alias(),
-            }
+            meta.update(
+                pred_sql=pred_sql, pred_side=side, pred_alias=node.alias()
+            )
         mv = MaterializedView(
             kind, on=on, broadcast_deltas=self.broadcast_deltas
         )
@@ -742,18 +780,30 @@ class SqlViewCatalog:
     def _create_distinct(
         self, name: str, df: DataFrame, node, pre_filters, jplan
     ) -> _Handle:
-        self._refuse_pre_filters(pre_filters, jplan)
+        post_pred, rest = self._split_post(
+            [c for f in pre_filters for c in _conjuncts(f.condition())], node
+        )
+        self._refuse_pre_filters(rest, jplan)
         mv = MaterializedView(
             "distinct", cols=df.columns, broadcast_deltas=self.broadcast_deltas
         )
-        return self._single_base_handle(
+        h = self._single_base_handle(
             name, mv, _children(node)[0], df.columns, jplan
         )
+        if post_pred:
+            h.meta["post_pred"] = post_pred
+        return h
 
     def _create_agg(
         self, name: str, df: DataFrame, node, pre_filters, jplan
     ) -> _Handle:
-        self._refuse_pre_filters(pre_filters, jplan)
+        # HAVING (any spelling: HAVING COUNT(*) > 5, HAVING n > 5, an
+        # outer WHERE over the aggregated subquery) resolves to a
+        # Filter over the Aggregate's own output — read-time
+        post_pred, rest = self._split_post(
+            [c for f in pre_filters for c in _conjuncts(f.condition())], node
+        )
+        self._refuse_pre_filters(rest, jplan)
         aggs = _jseq(node.aggregateExpressions())
         keys: list[str] = []
         key_derives: list[list[str]] = []
@@ -867,6 +917,8 @@ class SqlViewCatalog:
             raise ValueError(
                 f"agg view columns must be {h.state.columns}, got {df.columns}"
             )
+        if post_pred:
+            h.meta["post_pred"] = post_pred
         return h
 
     def _create_windowed(
@@ -888,20 +940,21 @@ class SqlViewCatalog:
         ]
         order_seq = _jseq(spec.orderSpec())
         order_by = _sort_columns(order_seq)
+        conds = [c for f in pre_filters for c in _conjuncts(f.condition())]
         if _cls(wf) == "RowNumber":
-            # the top-k spelling: the ONE allowed pre-filter is
+            # the top-k spelling: the ONE required conjunct is
             # rn <= k, bound to the window output BY exprId (ADVICE
             # r12: a name-based match mis-classified sum windows with
             # integer outer filters, and the string prefix scan let a
             # WHERE inside the subquery escape)
             fm = next(
                 (
-                    f
-                    for f in pre_filters
-                    if _cls(f.condition()) == "LessThanOrEqual"
-                    and _cls(f.condition().left()) == "AttributeReference"
-                    and f.condition().left().exprId().equals(alias.exprId())
-                    and _cls(f.condition().right()) == "Literal"
+                    c
+                    for c in conds
+                    if _cls(c) == "LessThanOrEqual"
+                    and _cls(c.left()) == "AttributeReference"
+                    and c.left().exprId().equals(alias.exprId())
+                    and _cls(c.right()) == "Literal"
                 ),
                 None,
             )
@@ -910,14 +963,18 @@ class SqlViewCatalog:
                     "a top-k view is ROW_NUMBER() OVER (...) AS rn filtered"
                     " by rn <= k in the outer query; no such filter found"
                 )
-            self._refuse_pre_filters(
-                [f for f in pre_filters if f is not fm], jplan
+            # further output conjuncts are read-time — split against
+            # the window's CHILD output (the public top-k view has no
+            # rn column, so rn-referencing extras stay refused)
+            post_pred, rest = self._split_post(
+                [c for c in conds if c is not fm], _children(node)[0]
             )
+            self._refuse_pre_filters(rest, jplan)
             mv = MaterializedView(
                 "topk",
                 keys=keys,
                 order_by=order_by,
-                k=int(fm.condition().right().value()),
+                k=int(fm.right().value()),
                 broadcast_deltas=self.broadcast_deltas,
             )
             h = self._single_base_handle(
@@ -928,8 +985,11 @@ class SqlViewCatalog:
                     f"top-k view columns must be the base's"
                     f" ({h.state.columns}, rn excluded); got {df.columns}"
                 )
+            if post_pred:
+                h.meta["post_pred"] = post_pred
             return h
-        self._refuse_pre_filters(pre_filters, jplan)
+        post_pred, rest = self._split_post(conds, node)
+        self._refuse_pre_filters(rest, jplan)
         if _cls(wf) != "AggregateExpression" \
                 or _cls(wf.aggregateFunction()) != "Sum":
             raise ValueError(
@@ -966,6 +1026,8 @@ class SqlViewCatalog:
                 f" {alias.name()!r} last ({h.state.columns});"
                 f" got {df.columns}"
             )
+        if post_pred:
+            h.meta["post_pred"] = post_pred
         return h
 
     # -- the recorded derivation predicate, applied to every stream ---------
@@ -1166,7 +1228,7 @@ class SqlViewCatalog:
         layout = MaterializedView.read_layout(self.spark, path)
         meta = {"store": path}
         for k in (
-            "stages", "alias",
+            "stages", "alias", "post_pred",
             "pred_sql", "pred_side", "pred_alias", "a_name", "b_name",
         ):
             if layout.get(k) is not None:
@@ -1206,6 +1268,7 @@ class SqlViewCatalog:
                 "out_col": shadow.mv.out_col,
                 "order_by": _order_spec(shadow.mv.order_by),
                 "stages": norm_stages(shadow.meta),
+                "post_pred": shadow.meta.get("post_pred"),
                 "pred_sql": norm_pred(
                     shadow.meta.get("pred_sql"),
                     shadow.meta.get("pred_alias"),
@@ -1220,6 +1283,7 @@ class SqlViewCatalog:
                 "out_col": mv.out_col,
                 "order_by": _order_spec(mv.order_by),
                 "stages": norm_stages(meta),
+                "post_pred": meta.get("post_pred"),
                 "pred_sql": norm_pred(
                     meta.get("pred_sql"), meta.get("pred_alias")
                 ),

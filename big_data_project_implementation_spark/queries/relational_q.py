@@ -2536,6 +2536,64 @@ def view_sql_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "view_sql_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS sum,
+           MIN(price_cents) AS min, MAX(price_cents) AS max
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+          FROM orders)
+    WHERE price_cents % 2 = 0 AND o_orderkey % 11 <> 0
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 1
+    ORDER BY o_custkey
+    """,
+)
+def view_sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING on a maintained view (round 13): a filter over the
+    view's OWN OUTPUT commutes with nothing and needs to — the
+    maintained state stays UNFILTERED (every REFRESH/RETRACT runs the
+    ordinary keyed algebra) and the public projection applies σ_h at
+    read, which is exactly where HAVING sits in the defining query's
+    plan. The chain deliberately RETRACTS groups back UNDER the bound:
+    the read filter must re-hide them, which recompute-from-scratch
+    gets right only if the state under the filter is exact. Same base
+    slices as `view_sql_filtered` plus ``HAVING COUNT(*) > 1`` — hash
+    -equal to DuckDB recomputing the HAVING'd query over the
+    post-purge base (operators/view_sql.py ``_split_post``)."""
+    from big_data_project_implementation_spark.operators.view_sql import (
+        SqlViewCatalog,
+    )
+
+    base = _wv_base(spark, sf_dir).drop("o_orderdate")
+    base.filter(F.col("o_orderkey") % 3 != 0).createOrReplaceTempView(
+        "sqlv13_hold"
+    )
+    base.filter(F.col("o_orderkey") % 3 == 0).createOrReplaceTempView(
+        "sqlv13_hdelta"
+    )
+    dead = F.col("o_orderkey") % 11 == 0
+    base.filter(dead).createOrReplaceTempView("sqlv13_hdead")
+    base.filter(~dead).createOrReplaceTempView("sqlv13_hrem")
+    cat = SqlViewCatalog(spark)
+    cat.sql(
+        "CREATE MATERIALIZED VIEW sqlv13_hview AS"
+        " SELECT o_custkey, COUNT(*) AS n, SUM(price_cents) AS sum,"
+        " MIN(price_cents) AS min, MAX(price_cents) AS max"
+        " FROM sqlv13_hold WHERE price_cents % 2 = 0 GROUP BY o_custkey"
+        " HAVING COUNT(*) > 1"
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW sqlv13_hview USING sqlv13_hdelta")
+    cat.sql(
+        "ALTER MATERIALIZED VIEW sqlv13_hview RETRACT USING sqlv13_hdead"
+        " REMAINING sqlv13_hrem"
+    )
+    return spark.table("sqlv13_hview").orderBy("o_custkey")
+
+
+@query(
     "view_sql_exprkey",
     oracle="""
     SELECT date_trunc('day', ts) AS d, event_type, COUNT(*) AS n,

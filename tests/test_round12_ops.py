@@ -620,23 +620,34 @@ def test_sql_catalog_self_review_refusals(spark):
             " (SELECT *, ROW_NUMBER() OVER (PARTITION BY g"
             " ORDER BY o, v + o) AS rn FROM r12_rv) WHERE rn <= 1"
         )
-    # a filter on the VIEW'S OWN OUTPUT (HAVING / outer WHERE over the
-    # window result) cannot fold into base-row maintenance — and the
-    # ADVICE r12 case: an integer '<= k' outer filter over a SUM window
-    # must get the derivation refusal, not a confusing top-k error
-    with pytest.raises(ValueError, match="silently DROP"):
+    # a filter on the VIEW'S OWN OUTPUT is read-time since round 13
+    # (HAVING and output filters maintain over unfiltered state) —
+    # but a view that also PRUNES the state's columns is still
+    # refused: the maintained state must be the full mergeable state
+    with pytest.raises(ValueError, match="agg view columns must be"):
         cat.sql(
             "CREATE MATERIALIZED VIEW rb5 AS SELECT g, n FROM"
             " (SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
             " MAX(v) AS max FROM r12_rv GROUP BY g) WHERE n > 1"
         )
-    with pytest.raises(ValueError, match="silently DROP"):
-        cat.sql(
-            "CREATE MATERIALIZED VIEW rb6 AS SELECT * FROM"
-            " (SELECT g, o, v, SUM(v) OVER (PARTITION BY g ORDER BY o"
-            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs"
-            " FROM r12_rv) WHERE rs <= 3"
-        )
+    # the ADVICE r12 case: an integer '<= k' outer filter over a SUM
+    # window is NOT mis-classified as a top-k bound — since round 13
+    # it maintains as a read-time filter over the running-sum view
+    out_rb6 = cat.sql(
+        "CREATE MATERIALIZED VIEW rb6 AS SELECT * FROM"
+        " (SELECT g, o, v, SUM(v) OVER (PARTITION BY g ORDER BY o"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs"
+        " FROM r12_rv) WHERE rs <= 3"
+    )
+    assert sorted(tuple(r) for r in out_rb6.collect()) == sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT g, o, v, SUM(v) OVER (PARTITION BY g"
+            " ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+            " ROW) AS rs FROM r12_rv) WHERE rs <= 3"
+        ).collect()
+    )
+    cat.sql("DROP MATERIALIZED VIEW rb6")
     # ADVICE r12 (high): a JOIN hidden inside the top-k inline subquery
     # escaped the r12 string-prefix scan — the structural walk refuses
     spark.createDataFrame([(1, 5)], "g int, b int").createOrReplaceTempView(

@@ -168,14 +168,28 @@ def test_sql_filtered_join_views(spark):
     want_l = a.filter("av % 4 = 0").join(b, "k", "left")
     assert _canon(spark.table("r13_fl")) == _canon(want_l)
 
-    # refusals: the non-commuting predicate shapes
+    # the shapes that do NOT commute as side filters maintain as
+    # READ-TIME predicates over the unfiltered join state (round 13):
+    # right side of a LEFT join, any predicate over a FULL join, a
+    # both-sides predicate on an inner join
+    for nm, q in {
+        "fx1": "SELECT * FROM {a} LEFT JOIN {b} USING (k) WHERE bv > 0",
+        "fx2": "SELECT * FROM {a} FULL JOIN {b} USING (k) WHERE av > 0",
+        "fx3": "SELECT * FROM {a} JOIN {b} USING (k) WHERE av + bv > 300",
+    }.items():
+        cat.sql(
+            f"CREATE MATERIALIZED VIEW {nm} AS "
+            + q.format(a="r13_ja", b="r13_jb")
+        )
+        cat.sql(f"REFRESH MATERIALIZED VIEW {nm} USING r13_jda, r13_jdb")
+        a.createOrReplaceTempView("r13_jfa")
+        b.createOrReplaceTempView("r13_jfb")
+        assert _canon(spark.table(nm)) == _canon(
+            spark.sql(q.format(a="r13_jfa", b="r13_jfb"))
+        ), nm
+
+    # refusals: the genuinely unmaintainable shapes
     for stmt, msg in {
-        "CREATE MATERIALIZED VIEW fx1 AS SELECT * FROM r13_ja LEFT JOIN"
-        " r13_jb USING (k) WHERE bv > 0": "RIGHT side of a LEFT join",
-        "CREATE MATERIALIZED VIEW fx2 AS SELECT * FROM r13_ja FULL JOIN"
-        " r13_jb USING (k) WHERE av > 0": "FULL OUTER",
-        "CREATE MATERIALIZED VIEW fx3 AS SELECT * FROM r13_ja JOIN"
-        " r13_jb USING (k) WHERE av + bv > 0": "both",
         "CREATE MATERIALIZED VIEW fx4 AS SELECT DISTINCT k FROM r13_ja"
         " WHERE rand() < 0.5": "nondeterministic",
         # ORDER BY over the view query: a maintained view is a table,
@@ -479,6 +493,86 @@ def test_adaptive_refine_measured_defaults(spark):
         os.remove(os.path.join(root, "_ANN_MANIFEST"))
         legacy = sim.ivfpq_topk_from_index(qs, emb, root, k=5, nprobe=4)
         assert legacy.count() > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# -- HAVING / output filters: read-time over unfiltered state --------------
+
+
+def test_sql_having_and_output_filters(spark):
+    """Filters over the view's OWN OUTPUT maintain as read-time
+    predicates (round 13): HAVING in any spelling (raw aggregate or
+    alias, or an outer WHERE over the aggregated subquery), output
+    filters over distinct/window/top-k results — the maintained state
+    stays UNFILTERED and the public projection applies σ_h, which is
+    exactly where the filter sits in the defining query's plan. The
+    predicate is pinned into the store manifest so ATTACH keeps it."""
+    cat = _sqlcat(spark)
+    rows = [(g, o, g * 10 + o) for g in (1, 2, 3) for o in range(1, 6)]
+    spark.createDataFrame(rows, "g int, o int, v int").createOrReplaceTempView(
+        "r13_ht"
+    )
+    spark.createDataFrame(
+        [(1, 9, 19), (1, 8, 18), (4, 1, 41)], "g int, o int, v int"
+    ).createOrReplaceTempView("r13_hd")
+    spark.sql(
+        "SELECT * FROM r13_ht UNION ALL SELECT * FROM r13_hd"
+    ).createOrReplaceTempView("r13_hm")
+
+    # HAVING over the raw aggregate (resolves to the n alias) + WHERE
+    A = (
+        "SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
+        " MAX(v) AS max FROM {t} WHERE v %% 2 = 0 GROUP BY g"
+        " HAVING COUNT(*) > %d"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_hv AS " + A.format(t="r13_ht") % 2)
+    cat.sql("REFRESH MATERIALIZED VIEW r13_hv USING r13_hd")
+    want = spark.sql(A.format(t="r13_hm") % 2)
+    assert _canon(spark.table("r13_hv")) == _canon(want)
+    assert spark.table("r13_hv").count() > 0  # non-vacuous
+
+    # a RETRACT that drops a group back under the HAVING bound: the
+    # unfiltered state keeps the group, the read filter hides it
+    dead = spark.sql("SELECT * FROM r13_hm WHERE g = 1 AND o >= 4")
+    dead.createOrReplaceTempView("r13_hdead")
+    spark.sql(
+        "SELECT * FROM r13_hm WHERE NOT (g = 1 AND o >= 4)"
+    ).createOrReplaceTempView("r13_hrem")
+    cat.sql(
+        "ALTER MATERIALIZED VIEW r13_hv RETRACT USING r13_hdead"
+        " REMAINING r13_hrem"
+    )
+    want2 = spark.sql(
+        "SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
+        " MAX(v) AS max FROM r13_hrem WHERE v % 2 = 0 GROUP BY g"
+        " HAVING COUNT(*) > 2"
+    )
+    assert _canon(spark.table("r13_hv")) == _canon(want2)
+
+    # distinct + outer WHERE over the distinct output
+    D = "SELECT * FROM (SELECT DISTINCT g, o FROM {t}) WHERE o > 3"
+    cat.sql("CREATE MATERIALIZED VIEW r13_hvd AS " + D.format(t="r13_ht"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_hvd USING r13_hd")
+    assert _canon(spark.table("r13_hvd")) == _canon(
+        spark.sql(D.format(t="r13_hm"))
+    )
+
+    # STORED + ATTACH: the post predicate survives the manifest
+    root = tempfile.mkdtemp(prefix="mv_having_")
+    try:
+        cat.sql(
+            f"CREATE MATERIALIZED VIEW r13_hs STORED AT '{root}/v'"
+            " BUCKETS 8 AS " + A.format(t="r13_ht") % 2
+        )
+        fresh = spark.newSession()
+        cat2 = _sqlcat(fresh)
+        cat2.sql(f"ATTACH MATERIALIZED VIEW r13_hs2 AT '{root}/v'")
+        fresh.createDataFrame(
+            [(1, 9, 19), (1, 8, 18), (4, 1, 41)], "g int, o int, v int"
+        ).createOrReplaceTempView("r13_hd2")
+        cat2.sql("REFRESH MATERIALIZED VIEW r13_hs2 USING r13_hd2")
+        assert _canon(fresh.table("r13_hs2")) == _canon(want)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
