@@ -28,20 +28,26 @@ door that silently recomputed would defeat its point.
 
 **Derivations are maintained, not refused** (round 13, VERDICT r12
 missing #1 — the single most common view in existence is ``… FROM t
-WHERE p GROUP BY k``): deterministic ``WHERE`` filters (σ_p) AND
-computed scalar columns (π_e — ``SELECT date_trunc('day', ts) AS d …
-GROUP BY date_trunc('day', ts)``, the time-bucketed rollup, or a
-derived measure in a subquery) both commute with every key-local
-maintenance step, so CREATE records the ORDERED STAGE LIST off the
-analyzed plan and every REFRESH/RETRACT replays it over the incoming
-stream before the algebra sees it. Stages nest (a filter may
-reference a derived column); a computed GROUP BY key must be
-projected under an alias (the state is keyed by that column). For
-join views a predicate resolvable to ONE side filters that side's
-inputs (inner: either side; left/semi/anti: the left side — a
-right-side predicate does not commute past null extension; full:
-refused outright). Nondeterministic derivations (``rand() < 0.5``,
-``GROUP BY rand()``) are refused — each delta would re-roll the dice.
+WHERE p GROUP BY k``). BELOW the view node: deterministic ``WHERE``
+filters (σ_p) and computed scalar columns (π_e — ``SELECT
+date_trunc('day', ts) AS d … GROUP BY date_trunc('day', ts)``, the
+time-bucketed rollup, or a derived measure in a subquery) commute
+with every key-local maintenance step, so CREATE records the ORDERED
+STAGE LIST off the analyzed plan and every REFRESH/RETRACT replays it
+over the incoming stream before the algebra sees it; a computed GROUP
+BY key must be projected under an alias (the state is keyed by that
+column). ABOVE the view node: HAVING (any spelling), filters on the
+view's output, and derived/pruned/reordered output columns (``SELECT
+g, n, sum / n AS avg FROM (<mergeable state>) WHERE n > 5`` — avg and
+every other non-mergeable aggregate derives this way) are READ-TIME:
+the maintained state stays the full view-node output and the public
+read replays the chain, exactly where those ops sit in the plan. For
+join views a predicate that commutes with ONE side filters that
+side's inputs (inner: either side; left/semi/anti: the left side);
+everything else above the join — both-sides predicates, the right
+side of a LEFT join, any predicate over a FULL join — reads through
+the chain. Nondeterministic derivations (``rand() < 0.5``, ``GROUP BY
+rand()``) are refused — each delta/read would re-roll the dice.
 
 Contracts (each enforced, not assumed):
 
@@ -366,7 +372,7 @@ class SqlViewCatalog:
                 extra={
                     k: h.meta[k]
                     for k in (
-                        "stages", "alias", "post_pred",
+                        "stages", "alias", "post",
                         "pred_sql", "pred_side", "pred_alias",
                         "a_name", "b_name",
                     )
@@ -384,34 +390,54 @@ class SqlViewCatalog:
         ATTACH … AS verification)."""
         df = self.spark.sql(query)
         jplan = df._jdf.queryExecution().analyzed()
-        node, pre_filters = self._descend(jplan)
+        node, ops = self._descend(jplan)
         if _cls(node) == "Join":
-            return self._create_join(name, df, jplan, node, pre_filters)
-        if _cls(node) == "Distinct":
-            return self._create_distinct(name, df, node, pre_filters, jplan)
-        if _cls(node) == "Aggregate":
-            return self._create_agg(name, df, node, pre_filters, jplan)
-        return self._create_windowed(name, df, node, pre_filters, jplan)
+            h = self._create_join(name, df, jplan, node, ops)
+        elif _cls(node) == "Distinct":
+            h = self._create_distinct(name, df, node, ops, jplan)
+        elif _cls(node) == "Aggregate":
+            h = self._create_agg(name, df, node, ops, jplan)
+        else:
+            h = self._create_windowed(name, df, node, ops, jplan)
+        # the read-time chain replayed over the maintained output must
+        # reproduce the defining query's exact column list — anything
+        # else means a shape the chain cannot express (e.g. the select
+        # list reorders the state, or keeps the top-k rn column)
+        pub = self._public(h)
+        if pub.columns != df.columns:
+            raise ValueError(
+                f"the maintained view's public columns {pub.columns} do"
+                f" not match the defining query's {df.columns} — spell"
+                " the view's select list in the maintained-state order"
+                " (keys first, then the state columns; top-k excludes"
+                " rn), or derive the reshaping in an outer SELECT over"
+                " the view subquery (maintained read-time)"
+            )
+        return h
 
     def _descend(self, root):
         """From the analyzed root down to the VIEW NODE (Join /
-        Distinct / Aggregate / Window), passing through Projects and
-        the analyzer's auto-generated inline-subquery aliases, and
-        COLLECTING every Filter seen on the way (the caller decides
-        which filters are legitimate: the top-k ``rn <= k`` filter, a
-        join view's one-sided predicate — anything else above the view
-        node would be silently dropped by the maintained state and is
-        refused). Any other node shape cannot be maintained."""
-        node, pre_filters = root, []
+        Distinct / Aggregate / Window), passing through the analyzer's
+        auto-generated inline-subquery aliases and COLLECTING every
+        Filter CONJUNCT and Project seen on the way, in TOP→BOTTOM
+        order — the ops above the view node are READ-TIME (the caller
+        extracts the ones that are something else first: the top-k
+        ``rn <= k`` conjunct, a join view's one-sided side filter).
+        Any other node shape cannot be maintained."""
+        node, ops = root, []
         while True:
             c = _cls(node)
-            if c == "Project" or _is_auto_alias(node):
+            if _is_auto_alias(node):
+                node = _children(node)[0]
+            elif c == "Project":
+                ops.append(("p", _jseq(node.projectList())))
                 node = _children(node)[0]
             elif c == "Filter":
-                pre_filters.append(node)
+                for cj in _conjuncts(node.condition()):
+                    ops.append(("f", cj))
                 node = _children(node)[0]
             elif c in ("Join", "Distinct", "Aggregate", "Window"):
-                return node, pre_filters
+                return node, ops
             else:
                 raise ValueError(
                     "cannot infer a maintainable view kind from the plan —"
@@ -419,46 +445,113 @@ class SqlViewCatalog:
                     "anti), SELECT DISTINCT, GROUP BY in the mergeable-state"
                     " shape (COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
                     " MAX(v) AS max), SUM() OVER a running ROWS frame,"
-                    " ROW_NUMBER() <= k; each optionally over one"
-                    " deterministic WHERE on the base."
+                    " ROW_NUMBER() <= k; each optionally under read-time"
+                    " filters/projections over the view's output and over"
+                    " deterministic WHEREs/computed columns on the base."
                     f" Plan:\n{root.toString()}"
                 )
 
-    def _refuse_pre_filters(self, leftover_conds, jplan) -> None:
-        if leftover_conds:
-            raise ValueError(
-                "the defining query filters ABOVE the view node on"
-                " something that is neither the view's own output"
-                " (HAVING and output filters ARE maintained, read-time)"
-                " nor deterministic — the maintained state would silently"
-                " DROP that derivation. A deterministic WHERE over the"
-                " base or the view's output IS maintained; spell the"
-                " query so the predicate applies to one of those, or"
-                " register the derived relation as a temp view and define"
-                f" the view over it directly. Plan:\n{jplan.toString()}"
-            )
+    def _post_chain(self, ops, consumed=(), strip=(), drop_cols=()) -> list:
+        """The READ-TIME derivation chain (round 13 — HAVING, output
+        filters, derived/pruned/reordered output columns: ``SELECT g,
+        n, sum / n AS avg FROM (<mergeable state>) WHERE n > 5``):
+        everything above the view node commutes with nothing and needs
+        to — the maintained state stays the full view-node output and
+        the public projection replays the chain at read, which is
+        exactly where those ops sit in the defining query's plan.
+        Takes ``_descend``'s top→bottom op list minus the conjuncts a
+        kind handler consumed (the top-k rn bound, a join side
+        filter); returns the bottom-up JSON chain of
+        ``{"f": <pred sql>}`` / ``{"p": [[out, <expr sql> | None],…]}``
+        entries (``None`` = plain passthrough column). Refuses
+        nondeterministic ops — they would re-roll on every read.
+        ``strip`` lists qualifiers to remove from the rendered SQL:
+        join-kind ops print side-qualified references (``pb.bv > 0``,
+        the USING shaping's ``coalesce(pa.k, pb.k)``), but the
+        maintained state is the DataFrame-level join output, where the
+        same columns are unqualified and the USING key is already
+        merged — stripped, the shaping projection degenerates to the
+        identity (``coalesce(k, k)`` over the one merged key)."""
 
-    def _split_post(self, conds, node):
-        """Partition the conjuncts collected ABOVE the view node into
-        READ-TIME predicates and the rest (round 13 — HAVING and
-        filters on the view's own output, e.g. ``GROUP BY k HAVING
-        n > 5`` or ``WHERE bv > 0`` over an outer join's result):
-        a deterministic predicate whose references all resolve to the
-        view node's OWN OUTPUT commutes with nothing and needs to —
-        the maintained state stays UNFILTERED and the public
-        projection applies σ_h at read, which is exactly the defining
-        query's semantics (the filter sits above the view node in its
-        plan). Takes and returns CONJUNCTS (condition expressions) —
-        each routes independently. Returns ``(post_pred_sql | None,
-        remaining_conjuncts)``."""
-        out_ids = _output_ids(node)
-        post, rest = [], []
-        for cond in conds:
-            if cond.deterministic() and _ref_ids(cond) <= out_ids:
-                post.append(f"({self._clean_sql(cond.sql())})")
+        def clean(sql: str) -> str:
+            sql = self._clean_sql(sql)
+            for q in strip:
+                sql = sql.replace(f"{q}.", "")
+            return sql
+
+        chain: list = []
+        for kind_, payload in reversed(ops):
+            if kind_ == "f":
+                if any(payload is c for c in consumed):
+                    continue
+                if not payload.deterministic():
+                    raise ValueError(
+                        f"the filter {payload.sql()!r} over the view's"
+                        " output is nondeterministic — a maintained view"
+                        " must read the SAME rows every time; materialize"
+                        " the choice as a column of the base instead"
+                    )
+                chain.append({"f": clean(payload.sql())})
             else:
-                rest.append(cond)
-        return (" AND ".join(post) or None), rest
+                entries = []
+                for e in payload:
+                    if _cls(e) == "AttributeReference":
+                        if e.name() in drop_cols:
+                            # a passthrough of a column the kind's
+                            # algebra consumes (the top-k rn): the
+                            # public state has no such column — plain
+                            # re-listings of it drop with the column,
+                            # anything DERIVED from it still refuses
+                            continue
+                        entries.append([e.name(), None])
+                    elif _cls(e) == "Alias" and e.child().deterministic():
+                        entries.append(
+                            [e.name(), clean(e.child().sql())]
+                        )
+                    elif _cls(e) == "Alias":
+                        raise ValueError(
+                            f"the output column {e.sql()!r} is"
+                            " nondeterministic — a maintained view must"
+                            " read the SAME values every time; materialize"
+                            " the choice as a column of the base instead"
+                        )
+                    else:
+                        raise ValueError(
+                            f"unsupported projection {e.sql()!r} over the"
+                            " view's output — read-time output columns must"
+                            " be plain columns or aliased deterministic"
+                            " scalar expressions"
+                        )
+                chain.append({"p": entries})
+        return chain
+
+    def _apply_post(self, df: DataFrame, chain: list, context: str) -> DataFrame:
+        """Replay the read-time chain over the maintained view-node
+        output — at ``_register`` time and on every read through the
+        registered name. Resolution failures surface as CREATE/ATTACH
+        errors, never at the first SELECT."""
+        for st in chain:
+            try:
+                if "f" in st:
+                    df = df.filter(F.expr(st["f"]))
+                else:
+                    df = df.select(
+                        *[
+                            F.col(out) if sql is None
+                            else F.expr(sql).alias(out)
+                            for out, sql in st["p"]
+                        ]
+                    )
+            except ValueError:
+                raise
+            except Exception as exc:
+                raise ValueError(
+                    f"cannot apply the read-time derivation {st!r} over"
+                    f" the maintained {context} view's output — a filter"
+                    " or output column may only reference what the view"
+                    f" node itself produces ({exc})"
+                ) from exc
+        return df
 
     def _base_of(self, start, needed_cols: list[str], jplan,
                  extra_stages: list | None = None):
@@ -623,12 +716,12 @@ class SqlViewCatalog:
             if h.mv.kind == "distinct"
             else h.state
         )
-        if h.meta.get("post_pred"):
-            # HAVING / output filters: the maintained state is
-            # UNFILTERED (σ_h over view output commutes with nothing
-            # and needs to — it applies at read, the defining query's
-            # own shape)
-            pub = pub.filter(F.expr(h.meta["post_pred"]))
+        if h.meta.get("post"):
+            # HAVING / output filters / derived output columns: the
+            # maintained state is the UNFILTERED full view-node output
+            # (read-time ops commute with nothing and need to — they
+            # apply at read, the defining query's own shape)
+            pub = self._apply_post(pub, h.meta["post"], h.mv.kind)
         return pub
 
     def _register(self, h: _Handle) -> DataFrame:
@@ -649,7 +742,7 @@ class SqlViewCatalog:
         return self.spark.table(name)
 
     def _create_join(
-        self, name: str, df: DataFrame, jplan, join, pre_filters
+        self, name: str, df: DataFrame, jplan, join, ops
     ) -> _Handle:
         jt = join.joinType().toString()
         if jt not in _JOIN_TYPES:
@@ -714,15 +807,18 @@ class SqlViewCatalog:
         # a predicate that commutes with ONE side filters that side's
         # inputs (it SHRINKS the maintained state): either side of an
         # inner join, the LEFT side of left/semi/anti. Everything else
-        # that resolves to the join's own output — both-sides
-        # predicates, the right side of a LEFT join, any predicate
-        # over a FULL join — is READ-TIME (σ_h over the unfiltered
-        # maintained view, exactly the defining query's semantics:
-        # the filter sits above the join in its plan).
-        side_f, rest = None, []
-        for pcond in (
-            c for f in pre_filters for c in _conjuncts(f.condition())
-        ):
+        # above the join — both-sides predicates, the right side of a
+        # LEFT join, any predicate over a FULL join, output
+        # projections — is READ-TIME (replayed over the unfiltered
+        # maintained view, exactly the defining query's semantics).
+        # Side extraction looks only at the conjuncts DIRECTLY above
+        # the join (below any projection): σ commutes with π only when
+        # the projection keeps the referenced columns, which holds
+        # there by construction.
+        side_f, consumed = None, []
+        for kind_, pcond in reversed(ops):
+            if kind_ != "f":
+                break
             refs = _ref_ids(pcond)
             side = (
                 "a"
@@ -737,13 +833,12 @@ class SqlViewCatalog:
                 and side_f is None
             ):
                 side_f = (side, pcond)
-            else:
-                rest.append(pcond)
-        post_pred, rest = self._split_post(rest, join)
-        if rest:
-            self._refuse_pre_filters(rest, jplan)
-        if post_pred:
-            meta["post_pred"] = post_pred
+                consumed.append(pcond)
+        chain = self._post_chain(
+            ops, consumed, strip=(meta["a_name"], meta["b_name"])
+        )
+        if chain:
+            meta["post"] = chain
         if side_f:
             side, pcond = side_f
             node = left if side == "a" else right
@@ -759,12 +854,9 @@ class SqlViewCatalog:
             kind, on=on, broadcast_deltas=self.broadcast_deltas
         )
         state = mv.compute(a_old, b_old)
-        if state.columns != df.columns:
-            raise ValueError(
-                f"a maintained join view is full-width: define it as"
-                f" SELECT * (expected columns {state.columns},"
-                f" got {df.columns})"
-            )
+        # the maintained state is the FULL join width; a narrower or
+        # reshaped select list is read-time (the chain) — _infer's
+        # final public-vs-defining-columns check guards the rest
         return _Handle(name, mv, state, a_old=a_old, b_old=b_old, meta=meta)
 
     def _single_base_handle(
@@ -778,32 +870,31 @@ class SqlViewCatalog:
         return _Handle(name, mv, mv.compute(base), meta=meta)
 
     def _create_distinct(
-        self, name: str, df: DataFrame, node, pre_filters, jplan
+        self, name: str, df: DataFrame, node, ops, jplan
     ) -> _Handle:
-        post_pred, rest = self._split_post(
-            [c for f in pre_filters for c in _conjuncts(f.condition())], node
-        )
-        self._refuse_pre_filters(rest, jplan)
+        chain = self._post_chain(ops)
+        # the maintained DISTINCT is over the Distinct NODE'S output —
+        # an outer projection is read-time and does NOT narrow the
+        # dedup columns (π_g(DISTINCT(g, o)) keeps one row per (g, o):
+        # a distinct over just g would be a DIFFERENT, wrong view)
+        cols = [a.name() for a in _jseq(node.output())]
         mv = MaterializedView(
-            "distinct", cols=df.columns, broadcast_deltas=self.broadcast_deltas
+            "distinct", cols=cols, broadcast_deltas=self.broadcast_deltas
         )
         h = self._single_base_handle(
-            name, mv, _children(node)[0], df.columns, jplan
+            name, mv, _children(node)[0], cols, jplan
         )
-        if post_pred:
-            h.meta["post_pred"] = post_pred
+        if chain:
+            h.meta["post"] = chain
         return h
 
     def _create_agg(
-        self, name: str, df: DataFrame, node, pre_filters, jplan
+        self, name: str, df: DataFrame, node, ops, jplan
     ) -> _Handle:
         # HAVING (any spelling: HAVING COUNT(*) > 5, HAVING n > 5, an
-        # outer WHERE over the aggregated subquery) resolves to a
-        # Filter over the Aggregate's own output — read-time
-        post_pred, rest = self._split_post(
-            [c for f in pre_filters for c in _conjuncts(f.condition())], node
-        )
-        self._refuse_pre_filters(rest, jplan)
+        # outer WHERE over the aggregated subquery) and derived output
+        # columns (sum / n AS avg) are read-time ops over the state
+        chain = self._post_chain(ops)
         aggs = _jseq(node.aggregateExpressions())
         keys: list[str] = []
         key_derives: list[list[str]] = []
@@ -913,16 +1004,12 @@ class SqlViewCatalog:
             name, mv, _children(node)[0], keys + [value], jplan,
             extra_stages=[{"d": key_derives}] if key_derives else None,
         )
-        if h.state.columns != df.columns:
-            raise ValueError(
-                f"agg view columns must be {h.state.columns}, got {df.columns}"
-            )
-        if post_pred:
-            h.meta["post_pred"] = post_pred
+        if chain:
+            h.meta["post"] = chain
         return h
 
     def _create_windowed(
-        self, name: str, df: DataFrame, node, pre_filters, jplan
+        self, name: str, df: DataFrame, node, ops, jplan
     ) -> _Handle:
         wes = _jseq(node.windowExpressions())
         if len(wes) != 1 or _cls(wes[0]) != "Alias" \
@@ -940,7 +1027,6 @@ class SqlViewCatalog:
         ]
         order_seq = _jseq(spec.orderSpec())
         order_by = _sort_columns(order_seq)
-        conds = [c for f in pre_filters for c in _conjuncts(f.condition())]
         if _cls(wf) == "RowNumber":
             # the top-k spelling: the ONE required conjunct is
             # rn <= k, bound to the window output BY exprId (ADVICE
@@ -950,8 +1036,9 @@ class SqlViewCatalog:
             fm = next(
                 (
                     c
-                    for c in conds
-                    if _cls(c) == "LessThanOrEqual"
+                    for kind_, c in ops
+                    if kind_ == "f"
+                    and _cls(c) == "LessThanOrEqual"
                     and _cls(c.left()) == "AttributeReference"
                     and c.left().exprId().equals(alias.exprId())
                     and _cls(c.right()) == "Literal"
@@ -963,13 +1050,12 @@ class SqlViewCatalog:
                     "a top-k view is ROW_NUMBER() OVER (...) AS rn filtered"
                     " by rn <= k in the outer query; no such filter found"
                 )
-            # further output conjuncts are read-time — split against
-            # the window's CHILD output (the public top-k view has no
-            # rn column, so rn-referencing extras stay refused)
-            post_pred, rest = self._split_post(
-                [c for c in conds if c is not fm], _children(node)[0]
+            # everything else above the window is read-time over the
+            # PUBLIC top-k view, which has no rn column — a chain op
+            # referencing rn fails to apply and refuses at CREATE
+            chain = self._post_chain(
+                ops, consumed=[fm], drop_cols=(alias.name(),)
             )
-            self._refuse_pre_filters(rest, jplan)
             mv = MaterializedView(
                 "topk",
                 keys=keys,
@@ -977,19 +1063,14 @@ class SqlViewCatalog:
                 k=int(fm.right().value()),
                 broadcast_deltas=self.broadcast_deltas,
             )
+            base_cols = [a.name() for a in _jseq(_children(node)[0].output())]
             h = self._single_base_handle(
-                name, mv, _children(node)[0], df.columns, jplan
+                name, mv, _children(node)[0], base_cols, jplan
             )
-            if h.state.columns != df.columns:
-                raise ValueError(
-                    f"top-k view columns must be the base's"
-                    f" ({h.state.columns}, rn excluded); got {df.columns}"
-                )
-            if post_pred:
-                h.meta["post_pred"] = post_pred
+            if chain:
+                h.meta["post"] = chain
             return h
-        post_pred, rest = self._split_post(conds, node)
-        self._refuse_pre_filters(rest, jplan)
+        chain = self._post_chain(ops)
         if _cls(wf) != "AggregateExpression" \
                 or _cls(wf.aggregateFunction()) != "Sum":
             raise ValueError(
@@ -1020,14 +1101,8 @@ class SqlViewCatalog:
         h = self._single_base_handle(
             name, mv, _children(node)[0], keys + order_names + [val], jplan
         )
-        if h.state.columns != df.columns:
-            raise ValueError(
-                f"window view columns must be base columns +"
-                f" {alias.name()!r} last ({h.state.columns});"
-                f" got {df.columns}"
-            )
-        if post_pred:
-            h.meta["post_pred"] = post_pred
+        if chain:
+            h.meta["post"] = chain
         return h
 
     # -- the recorded derivation predicate, applied to every stream ---------
@@ -1228,7 +1303,7 @@ class SqlViewCatalog:
         layout = MaterializedView.read_layout(self.spark, path)
         meta = {"store": path}
         for k in (
-            "stages", "alias", "post_pred",
+            "stages", "alias", "post",
             "pred_sql", "pred_side", "pred_alias", "a_name", "b_name",
         ):
             if layout.get(k) is not None:
@@ -1268,7 +1343,7 @@ class SqlViewCatalog:
                 "out_col": shadow.mv.out_col,
                 "order_by": _order_spec(shadow.mv.order_by),
                 "stages": norm_stages(shadow.meta),
-                "post_pred": shadow.meta.get("post_pred"),
+                "post": shadow.meta.get("post"),
                 "pred_sql": norm_pred(
                     shadow.meta.get("pred_sql"),
                     shadow.meta.get("pred_alias"),
@@ -1283,7 +1358,7 @@ class SqlViewCatalog:
                 "out_col": mv.out_col,
                 "order_by": _order_spec(mv.order_by),
                 "stages": norm_stages(meta),
-                "post_pred": meta.get("post_pred"),
+                "post": meta.get("post"),
                 "pred_sql": norm_pred(
                     meta.get("pred_sql"), meta.get("pred_alias")
                 ),

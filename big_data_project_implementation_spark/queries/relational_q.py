@@ -2536,6 +2536,68 @@ def view_sql_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "view_sql_derived",
+    oracle="""
+    SELECT o_custkey, n, CAST(sum AS DOUBLE) / n AS avg_cents,
+           max - min AS spread_cents
+    FROM (SELECT o_custkey, COUNT(*) AS n,
+                 CAST(SUM(price_cents) AS BIGINT) AS sum,
+                 MIN(price_cents) AS min, MAX(price_cents) AS max
+          FROM (SELECT o_custkey, o_orderkey,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS price_cents
+                FROM orders)
+          WHERE o_orderkey % 11 <> 0
+          GROUP BY o_custkey)
+    WHERE n > 1
+    ORDER BY o_custkey
+    """,
+)
+def view_sql_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED OUTPUT COLUMNS on a maintained view (round 13): ``AVG``
+    and spread derive from the mergeable (n, sum, min, max) state at
+    READ — the defining query spells the derivation as an outer SELECT
+    over the state subquery, the catalog records the projection chain
+    off the analyzed plan, the maintained state stays the full
+    mergeable state (REFRESH/RETRACT run the ordinary keyed algebra),
+    and the public read replays π (avg, spread) ∘ σ (n > 1). This is
+    how every non-mergeable aggregate (avg, ratio, range) becomes a
+    maintained view without lossy state. Chain: CREATE + REFRESH +
+    RETRACT, hash-equal to DuckDB recomputing the derived query over
+    the post-purge base (operators/view_sql.py ``_post_chain``)."""
+    from big_data_project_implementation_spark.operators.view_sql import (
+        SqlViewCatalog,
+    )
+
+    base = _wv_base(spark, sf_dir).drop("o_orderdate")
+    base.filter(F.col("o_orderkey") % 3 != 0).createOrReplaceTempView(
+        "sqlv13_dold"
+    )
+    base.filter(F.col("o_orderkey") % 3 == 0).createOrReplaceTempView(
+        "sqlv13_ddelta"
+    )
+    dead = F.col("o_orderkey") % 11 == 0
+    base.filter(dead).createOrReplaceTempView("sqlv13_ddead")
+    base.filter(~dead).createOrReplaceTempView("sqlv13_drem")
+    cat = SqlViewCatalog(spark)
+    cat.sql(
+        "CREATE MATERIALIZED VIEW sqlv13_dview AS"
+        " SELECT o_custkey, n, CAST(sum AS DOUBLE) / n AS avg_cents,"
+        " max - min AS spread_cents FROM"
+        " (SELECT o_custkey, COUNT(*) AS n, SUM(price_cents) AS sum,"
+        " MIN(price_cents) AS min, MAX(price_cents) AS max"
+        " FROM sqlv13_dold GROUP BY o_custkey)"
+        " WHERE n > 1"
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW sqlv13_dview USING sqlv13_ddelta")
+    cat.sql(
+        "ALTER MATERIALIZED VIEW sqlv13_dview RETRACT USING sqlv13_ddead"
+        " REMAINING sqlv13_drem"
+    )
+    return spark.table("sqlv13_dview").orderBy("o_custkey")
+
+
+@query(
     "view_sql_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n,

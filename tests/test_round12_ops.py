@@ -620,16 +620,16 @@ def test_sql_catalog_self_review_refusals(spark):
             " (SELECT *, ROW_NUMBER() OVER (PARTITION BY g"
             " ORDER BY o, v + o) AS rn FROM r12_rv) WHERE rn <= 1"
         )
-    # a filter on the VIEW'S OWN OUTPUT is read-time since round 13
-    # (HAVING and output filters maintain over unfiltered state) —
-    # but a view that also PRUNES the state's columns is still
-    # refused: the maintained state must be the full mergeable state
-    with pytest.raises(ValueError, match="agg view columns must be"):
-        cat.sql(
-            "CREATE MATERIALIZED VIEW rb5 AS SELECT g, n FROM"
-            " (SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
-            " MAX(v) AS max FROM r12_rv GROUP BY g) WHERE n > 1"
-        )
+    # a filter on the VIEW'S OWN OUTPUT and a pruning projection over
+    # the state are read-time since round 13: the state stays the full
+    # mergeable (n, sum, min, max) and the public read prunes/filters
+    out_rb5 = cat.sql(
+        "CREATE MATERIALIZED VIEW rb5 AS SELECT g, n FROM"
+        " (SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
+        " MAX(v) AS max FROM r12_rv GROUP BY g) WHERE n > 1"
+    )
+    assert sorted(tuple(r) for r in out_rb5.collect()) == [(1, 2)]
+    cat.sql("DROP MATERIALIZED VIEW rb5")
     # the ADVICE r12 case: an integer '<= k' outer filter over a SUM
     # window is NOT mis-classified as a top-k bound — since round 13
     # it maintains as a read-time filter over the running-sum view

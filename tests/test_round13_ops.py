@@ -577,6 +577,75 @@ def test_sql_having_and_output_filters(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_sql_derived_output_columns(spark):
+    """Read-time PROJECTIONS over the maintained output (round 13):
+    ``SELECT g, n, sum / n AS avg FROM (<mergeable state>)`` — derived
+    aggregates (avg, ratios), renames, pruning and reordering all
+    maintain by replaying the projection chain over the unfiltered
+    state at read. Includes the bag-semantics fix: a projection over a
+    DISTINCT subquery keeps one row per distinct TUPLE (duplicates in
+    the projected column), never silently narrowing the dedup keys."""
+    cat = _sqlcat(spark)
+    rows = [(g, o, g * 10 + o) for g in (1, 2, 3) for o in range(1, 5)]
+    spark.createDataFrame(rows, "g int, o int, v int").createOrReplaceTempView(
+        "r13_pt"
+    )
+    spark.createDataFrame(
+        [(1, 9, 19), (4, 1, 41)], "g int, o int, v int"
+    ).createOrReplaceTempView("r13_pd")
+    spark.sql(
+        "SELECT * FROM r13_pt UNION ALL SELECT * FROM r13_pd"
+    ).createOrReplaceTempView("r13_pm")
+
+    # avg view: derived from the mergeable state at read
+    A = (
+        "SELECT g, n, sum / n AS avg, max - min AS spread FROM"
+        " (SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
+        " MAX(v) AS max FROM {t} GROUP BY g) WHERE n > 1"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_pv AS " + A.format(t="r13_pt"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_pv USING r13_pd")
+    assert _canon(spark.table("r13_pv")) == _canon(
+        spark.sql(A.format(t="r13_pm"))
+    )
+    assert spark.table("r13_pv").columns == ["g", "n", "avg", "spread"]
+
+    # bag semantics: π_g over DISTINCT (g, o) keeps duplicates in g
+    B = "SELECT g FROM (SELECT DISTINCT g, o FROM {t})"
+    cat.sql("CREATE MATERIALIZED VIEW r13_pb AS " + B.format(t="r13_pt"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_pb USING r13_pd")
+    got = sorted(r["g"] for r in spark.table("r13_pb").collect())
+    want = sorted(r["g"] for r in spark.sql(B.format(t="r13_pm")).collect())
+    assert got == want and len(got) > len(set(got))  # duplicates kept
+
+    # join view with a projected/renamed output
+    a = spark.createDataFrame([(k, k * 2) for k in range(6)], "k int, av int")
+    b = spark.createDataFrame(
+        [(k, k * 100) for k in range(0, 6, 2)], "k int, bv int"
+    )
+    a.createOrReplaceTempView("r13_pja")
+    b.createOrReplaceTempView("r13_pjb")
+    a.filter("1=0").createOrReplaceTempView("r13_pea")
+    b.filter("1=0").createOrReplaceTempView("r13_peb")
+    J = "SELECT k, av + bv AS total FROM {a} JOIN {b} USING (k)"
+    cat.sql(
+        "CREATE MATERIALIZED VIEW r13_pj AS "
+        + J.format(a="r13_pja", b="r13_pjb")
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW r13_pj USING r13_pea, r13_peb")
+    assert _canon(spark.table("r13_pj")) == _canon(
+        spark.sql(J.format(a="r13_pja", b="r13_pjb"))
+    )
+
+    # nondeterministic output columns refuse
+    with pytest.raises(ValueError, match="nondeterministic"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW px1 AS SELECT g, n * rand() AS r FROM"
+            " (SELECT g, COUNT(*) AS n, SUM(v) AS sum, MIN(v) AS min,"
+            " MAX(v) AS max FROM r13_pt GROUP BY g)"
+        )
+
+
 # -- expression keys: π_e folds into maintenance like σ_p ------------------
 
 
