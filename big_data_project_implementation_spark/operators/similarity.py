@@ -1111,6 +1111,11 @@ def embedding_covariance(
     )
 
 
+#: serve-time memo for indexes that predate the _ANN_MANIFEST — one
+#: adaptive_refine measurement per (index path, k) per process
+_INLINE_REFINE_CACHE: dict = {}
+
+
 def refine_for_k(shortlist_floor: float, k: int, lo: int = 4, hi: int = 64) -> int:
     """The shortlist multiplier that covers a measured candidate floor
     at serving depth ``k`` — clamped so one noisy estimate can neither
@@ -1234,6 +1239,7 @@ def adaptive_refine(
     return {
         "refine": refine_for_k(floor, k),
         "shortlist_floor": floor,
+        "k": k,
         "n": n,
         "sampled": n_c,
     }
@@ -1519,17 +1525,32 @@ def build_ann_index(
     manifest = adaptive_refine(
         corpus, books, id_col=id_col, vec_col=vec_col
     )
-    with open(_os.path.join(path, "_ANN_MANIFEST"), "w") as fh:
-        fh.write(_json.dumps(manifest))
+    from big_data_project_implementation_spark.sources import fsio
+
+    fsio.write_text(
+        corpus.sparkSession, f"{path}/_ANN_MANIFEST", _json.dumps(manifest)
+    )
 
 
-def read_ann_manifest(path: str) -> dict | None:
+def read_ann_manifest(path: str, spark=None) -> dict | None:
     """The index's measured-parameter manifest, or None for an index
     built before round 13 (serving then measures inline — see
-    :func:`ivfpq_topk_from_index`)."""
+    :func:`ivfpq_topk_from_index`). Reads through the engine
+    filesystem (round-13 self-review: the index's other artifacts go
+    through the Hadoop FS, so HDFS/s3a paths must work here too);
+    local paths fall back to plain IO when no session is active."""
     import json as _json
     import os as _os
 
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        from big_data_project_implementation_spark.sources import fsio
+
+        if not fsio.exists(spark, f"{path}/_ANN_MANIFEST"):
+            return None
+        return _json.loads(fsio.read_text(spark, f"{path}/_ANN_MANIFEST"))
     p = _os.path.join(path, "_ANN_MANIFEST")
     if not _os.path.exists(p):
         return None
@@ -1688,13 +1709,27 @@ def ivfpq_topk_from_index(
     cents = spark.read.parquet(f"{path}/centroids")
     books = spark.read.parquet(f"{path}/codebooks")
     if refine is None:
-        manifest = read_ann_manifest(path)
+        manifest = read_ann_manifest(path, spark)
         if manifest is not None:
-            refine = refine_for_k(manifest["shortlist_floor"], k)
+            # the floor was measured at the manifest's k: a deeper
+            # serving k has strictly deeper exact-top-k members, so
+            # scale the floor by k/measured_k (uniform-tail-density
+            # extrapolation) before deriving refine (round-13
+            # self-review: an unscaled floor under-covers large k)
+            mk = manifest.get("k") or 5
+            floor = manifest["shortlist_floor"] * max(1.0, k / mk)
+            refine = refine_for_k(floor, k)
+        elif (path, k) in _INLINE_REFINE_CACHE:
+            refine = _INLINE_REFINE_CACHE[(path, k)]
         else:
+            # pre-manifest index: measure once per (path, k) and memo
+            # it — the estimator is a bounded sampled job, but paying
+            # it on EVERY serve call would put training in the query
+            # path (round-13 self-review)
             refine = adaptive_refine(
                 corpus, books, k=k, id_col=id_col, vec_col=vec_col
             )["refine"]
+            _INLINE_REFINE_CACHE[(path, k)] = refine
     assigned = spark.read.parquet(_codes_dir(path)).select(
         "cell", "neighbor_id", "codes"
     )

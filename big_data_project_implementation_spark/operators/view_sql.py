@@ -476,7 +476,7 @@ class SqlViewCatalog:
         def clean(sql: str) -> str:
             sql = self._clean_sql(sql)
             for q in strip:
-                sql = sql.replace(f"{q}.", "")
+                sql = self._strip_qualifier(sql, re.escape(q))
             return sql
 
         chain: list = []
@@ -602,7 +602,7 @@ class SqlViewCatalog:
                 node = _children(node)[0]
             elif c == "Filter":
                 rev_stages.append(
-                    {"f": self._check_pred(node.condition(), None)}
+                    {"f": self._check_pred(node.condition())}
                 )
                 node = _children(node)[0]
             elif c == "SubqueryAlias":
@@ -638,7 +638,7 @@ class SqlViewCatalog:
             base = self._apply_stages(base, node.alias(), stages)
         return base, node.alias(), stages
 
-    def _check_pred(self, cond, alias: str | None = None) -> str:
+    def _check_pred(self, cond) -> str:
         """A maintainable derivation predicate: deterministic (a
         ``rand() < 0.5`` filtered view would re-roll the dice on every
         delta — refused), and spelled in SQL the maintenance streams
@@ -654,13 +654,27 @@ class SqlViewCatalog:
         return self._clean_sql(cond.sql())
 
     @staticmethod
-    def _clean_sql(sql: str) -> str:
+    def _strip_qualifier(sql: str, pattern: str) -> str:
+        """Remove a relation qualifier from rendered expression SQL
+        WITHOUT touching string literals (round-13 self-review: a
+        blind ``str.replace`` rewrote ``WHERE s <> 'jc.x'`` into
+        ``s <> 'x'`` — wrong rows forever after). The rendered SQL's
+        only quoted regions are single-quoted literals (``''`` escapes)
+        and backticked identifiers; the qualifier is replaced in the
+        unquoted segments only, at word boundaries."""
+        parts = re.split(r"('(?:[^']|'')*'|`(?:[^`]|``)*`)", sql)
+        rx = re.compile(rf"\b{pattern}\.")
+        return "".join(
+            p if i % 2 else rx.sub("", p) for i, p in enumerate(parts)
+        )
+
+    def _clean_sql(self, sql: str) -> str:
         """An expression above an inline subquery prints its references
         qualified by the ANALYZER'S auto-generated alias — strip that
         qualifier so the expression re-resolves on base-shaped streams
         (the references themselves are base or derived attributes;
         ``_base_of``'s availability check enforces it)."""
-        return re.sub(r"__auto_generated\w*\.", "", sql)
+        return self._strip_qualifier(sql, r"__auto_generated\w*")
 
     def _apply_stages(self, df: DataFrame, alias: str, stages: list) -> DataFrame:
         """Replay the recorded derivation stages over a base-shaped
@@ -696,19 +710,10 @@ class SqlViewCatalog:
         return df
 
     def _apply_pred(self, df: DataFrame, alias: str, pred_sql: str) -> DataFrame:
-        """σ_p over a base-shaped relation (the base itself at CREATE,
-        each delta/retract stream at maintenance) — aliased to the
-        base's name so the predicate's qualified references resolve."""
-        try:
-            return df.alias(alias).filter(F.expr(pred_sql))
-        except Exception as exc:  # fail at CREATE, not first REFRESH
-            raise ValueError(
-                f"cannot re-resolve the WHERE predicate {pred_sql!r}"
-                f" against a relation aliased {alias!r} — maintained"
-                " filtered views need the base as a session temp view so"
-                " the predicate's qualifiers resolve on every delta"
-                f" ({exc})"
-            ) from exc
+        """σ_p over a side-shaped relation (a join side at CREATE,
+        that side's delta/retract streams at maintenance) — one filter
+        stage through the same machinery as the base stages."""
+        return self._apply_stages(df, alias, [{"f": pred_sql}])
 
     def _public(self, h: _Handle) -> DataFrame:
         pub = (
@@ -811,14 +816,18 @@ class SqlViewCatalog:
         # LEFT join, any predicate over a FULL join, output
         # projections — is READ-TIME (replayed over the unfiltered
         # maintained view, exactly the defining query's semantics).
-        # Side extraction looks only at the conjuncts DIRECTLY above
-        # the join (below any projection): σ commutes with π only when
-        # the projection keeps the referenced columns, which holds
-        # there by construction.
+        # Side extraction scans EVERY filter conjunct above the join
+        # (round-13 self-review: the analyzer's USING-merge Project
+        # sits between the WHERE and the Join, so a below-projection-
+        # only scan never fired for the documented USING spelling and
+        # the state silently stayed unfiltered): refs ⊆ one side's
+        # output exprIds means every projection in between passed
+        # those attributes through untouched, so pushing the conjunct
+        # down to the side commutes with the whole chain.
         side_f, consumed = None, []
         for kind_, pcond in reversed(ops):
             if kind_ != "f":
-                break
+                continue
             refs = _ref_ids(pcond)
             side = (
                 "a"
@@ -842,7 +851,7 @@ class SqlViewCatalog:
         if side_f:
             side, pcond = side_f
             node = left if side == "a" else right
-            pred_sql = self._check_pred(pcond, node.alias())
+            pred_sql = self._check_pred(pcond)
             if side == "a":
                 a_old = self._apply_pred(a_old, node.alias(), pred_sql)
             else:
@@ -1314,9 +1323,11 @@ class SqlViewCatalog:
 
             def norm_pred(sql: str | None, alias: str | None) -> str | None:
                 # the predicate prints qualified by its base's alias —
-                # strip each side's OWN qualifier so the same predicate
-                # over a differently-named base still agrees
-                return sql.replace(f"{alias}.", "") if sql else sql
+                # strip each side's OWN qualifier (literal-safe) so the
+                # same predicate over a differently-named base agrees
+                if not sql or not alias:
+                    return sql
+                return self._strip_qualifier(sql, re.escape(alias))
 
             def norm_stages(m: dict) -> list | None:
                 stages, alias = m.get("stages"), m.get("alias")

@@ -577,6 +577,35 @@ def test_sql_having_and_output_filters(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_sql_qualifier_strip_is_literal_safe(spark):
+    """Round-13 self-review regressions: (a) the qualifier strip must
+    not rewrite string literals that happen to contain a side name
+    followed by a dot; (b) the one-sided side filter must actually be
+    EXTRACTED for the documented USING spelling (the analyzer's
+    USING-merge Project sits between the WHERE and the Join — the
+    state must shrink, not just the read)."""
+    cat = _sqlcat(spark)
+    c = spark.createDataFrame(
+        [(1, "jc.x", 1), (2, "y", 2)], "k int, s string, cv int"
+    )
+    c.createOrReplaceTempView("jc")
+    spark.createDataFrame([(1, 100), (2, 200)], "k int, bv int")\
+        .createOrReplaceTempView("jb")
+    c.filter("1=0").createOrReplaceTempView("r13_qea")
+    spark.table("jb").filter("1=0").createOrReplaceTempView("r13_qeb")
+    cat.sql(
+        "CREATE MATERIALIZED VIEW r13_qs AS SELECT * FROM jc JOIN jb"
+        " USING (k) WHERE s <> 'jc.x'"
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW r13_qs USING r13_qea, r13_qeb")
+    assert _canon(spark.table("r13_qs")) == _canon(
+        spark.sql("SELECT * FROM jc JOIN jb USING (k) WHERE s <> 'jc.x'")
+    )
+    # (b) the side filter is recorded (state-shrinking), not read-time
+    h = cat._views["r13_qs"]
+    assert h.meta.get("pred_side") == "a" and "s" in h.meta["pred_sql"]
+
+
 def test_sql_derived_output_columns(spark):
     """Read-time PROJECTIONS over the maintained output (round 13):
     ``SELECT g, n, sum / n AS avg FROM (<mergeable state>)`` — derived
