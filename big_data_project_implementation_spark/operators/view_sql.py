@@ -46,8 +46,13 @@ join views a predicate that commutes with ONE side filters that
 side's inputs (inner: either side; left/semi/anti: the left side);
 everything else above the join — both-sides predicates, the right
 side of a LEFT join, any predicate over a FULL join — reads through
-the chain. Nondeterministic derivations (``rand() < 0.5``, ``GROUP BY
-rand()``) are refused — each delta/read would re-roll the dice.
+the chain. NAMED inline subqueries (``FROM (SELECT …) s``) are
+transparent above and below the view node — their qualifiers strip
+from the recorded SQL — while a REGISTERED name stays an atomic base
+(deltas arrive shaped like it; the two are distinguished structurally
+by the ``View`` node). Nondeterministic derivations (``rand() < 0.5``,
+``GROUP BY rand()``) are refused — each delta/read would re-roll the
+dice.
 
 Contracts (each enforced, not assumed):
 
@@ -199,6 +204,18 @@ def _is_auto_alias(p) -> bool:
     return _cls(p) == "SubqueryAlias" and p.alias().startswith(
         "__auto_generated"
     )
+
+
+def _is_inline_wrap(p) -> bool:
+    """A NAMED inline subquery alias (``FROM (SELECT …) s`` — round
+    13): a SubqueryAlias whose child is a plan OP rather than a
+    ``View`` node. A REGISTERED relation is always SubqueryAlias →
+    View (that name stays an atomic base: deltas arrive shaped like
+    it); an inline wrap is transparent — the walk passes through and
+    its qualifier is stripped from recorded SQL."""
+    return _cls(p) == "SubqueryAlias" and not _is_auto_alias(p) and _cls(
+        _children(p)[0]
+    ) != "View"
 
 
 def _conjuncts(cond) -> list:
@@ -390,15 +407,15 @@ class SqlViewCatalog:
         ATTACH … AS verification)."""
         df = self.spark.sql(query)
         jplan = df._jdf.queryExecution().analyzed()
-        node, ops = self._descend(jplan)
+        node, ops, wraps = self._descend(jplan)
         if _cls(node) == "Join":
-            h = self._create_join(name, df, jplan, node, ops)
+            h = self._create_join(name, df, jplan, node, ops, wraps)
         elif _cls(node) == "Distinct":
-            h = self._create_distinct(name, df, node, ops, jplan)
+            h = self._create_distinct(name, df, node, ops, jplan, wraps)
         elif _cls(node) == "Aggregate":
-            h = self._create_agg(name, df, node, ops, jplan)
+            h = self._create_agg(name, df, node, ops, jplan, wraps)
         else:
-            h = self._create_windowed(name, df, node, ops, jplan)
+            h = self._create_windowed(name, df, node, ops, jplan, wraps)
         # the read-time chain replayed over the maintained output must
         # reproduce the defining query's exact column list — anything
         # else means a shape the chain cannot express (e.g. the select
@@ -424,10 +441,12 @@ class SqlViewCatalog:
         extracts the ones that are something else first: the top-k
         ``rn <= k`` conjunct, a join view's one-sided side filter).
         Any other node shape cannot be maintained."""
-        node, ops = root, []
+        node, ops, wraps = root, [], []
         while True:
             c = _cls(node)
-            if _is_auto_alias(node):
+            if _is_auto_alias(node) or _is_inline_wrap(node):
+                if not _is_auto_alias(node):
+                    wraps.append(node.alias())
                 node = _children(node)[0]
             elif c == "Project":
                 ops.append(("p", _jseq(node.projectList())))
@@ -437,7 +456,7 @@ class SqlViewCatalog:
                     ops.append(("f", cj))
                 node = _children(node)[0]
             elif c in ("Join", "Distinct", "Aggregate", "Window"):
-                return node, ops
+                return node, ops, wraps
             else:
                 raise ValueError(
                     "cannot infer a maintainable view kind from the plan —"
@@ -571,10 +590,16 @@ class SqlViewCatalog:
         apply in plan order, bottom-up, so a filter over a derived
         column sees that column. ``extra_stages`` (the agg kind's
         computed GROUP BY keys) append ABOVE the walked stages."""
-        node, rev_stages = start, []
+        node, rev_stages, wraps = start, [], []
         while True:
             c = _cls(node)
-            if _is_auto_alias(node):
+            if _is_auto_alias(node) or _is_inline_wrap(node):
+                if not _is_auto_alias(node):
+                    # a NAMED inline wrap (FROM (SELECT …) s) is
+                    # transparent — its qualifier is stripped from the
+                    # recorded stage SQL so streams re-resolve on the
+                    # inner base's shape (round 13)
+                    wraps.append(node.alias())
                 node = _children(node)[0]
             elif c == "Project":
                 derives = []
@@ -619,6 +644,21 @@ class SqlViewCatalog:
         base_name = _alias_name(node)
         base = self._table(base_name)
         stages = list(reversed(rev_stages)) + list(extra_stages or [])
+        for q in wraps:
+            stages = [
+                {
+                    k: (
+                        self._strip_qualifier(v, re.escape(q))
+                        if k == "f"
+                        else [
+                            [o, self._strip_qualifier(s, re.escape(q))]
+                            for o, s in v
+                        ]
+                    )
+                    for k, v in st.items()
+                }
+                for st in stages
+            ]
         # availability check stage by stage — a needed column must be a
         # base column or derived by some stage before the view node
         available = set(base.columns)
@@ -747,7 +787,7 @@ class SqlViewCatalog:
         return self.spark.table(name)
 
     def _create_join(
-        self, name: str, df: DataFrame, jplan, join, ops
+        self, name: str, df: DataFrame, jplan, join, ops, wraps=()
     ) -> _Handle:
         jt = join.joinType().toString()
         if jt not in _JOIN_TYPES:
@@ -844,7 +884,8 @@ class SqlViewCatalog:
                 side_f = (side, pcond)
                 consumed.append(pcond)
         chain = self._post_chain(
-            ops, consumed, strip=(meta["a_name"], meta["b_name"])
+            ops, consumed,
+            strip=(meta["a_name"], meta["b_name"], *wraps),
         )
         if chain:
             meta["post"] = chain
@@ -879,9 +920,9 @@ class SqlViewCatalog:
         return _Handle(name, mv, mv.compute(base), meta=meta)
 
     def _create_distinct(
-        self, name: str, df: DataFrame, node, ops, jplan
+        self, name: str, df: DataFrame, node, ops, jplan, wraps=()
     ) -> _Handle:
-        chain = self._post_chain(ops)
+        chain = self._post_chain(ops, strip=wraps)
         # the maintained DISTINCT is over the Distinct NODE'S output —
         # an outer projection is read-time and does NOT narrow the
         # dedup columns (π_g(DISTINCT(g, o)) keeps one row per (g, o):
@@ -898,12 +939,12 @@ class SqlViewCatalog:
         return h
 
     def _create_agg(
-        self, name: str, df: DataFrame, node, ops, jplan
+        self, name: str, df: DataFrame, node, ops, jplan, wraps=()
     ) -> _Handle:
         # HAVING (any spelling: HAVING COUNT(*) > 5, HAVING n > 5, an
         # outer WHERE over the aggregated subquery) and derived output
         # columns (sum / n AS avg) are read-time ops over the state
-        chain = self._post_chain(ops)
+        chain = self._post_chain(ops, strip=wraps)
         aggs = _jseq(node.aggregateExpressions())
         keys: list[str] = []
         key_derives: list[list[str]] = []
@@ -1018,7 +1059,7 @@ class SqlViewCatalog:
         return h
 
     def _create_windowed(
-        self, name: str, df: DataFrame, node, ops, jplan
+        self, name: str, df: DataFrame, node, ops, jplan, wraps=()
     ) -> _Handle:
         wes = _jseq(node.windowExpressions())
         if len(wes) != 1 or _cls(wes[0]) != "Alias" \
@@ -1063,7 +1104,7 @@ class SqlViewCatalog:
             # PUBLIC top-k view, which has no rn column — a chain op
             # referencing rn fails to apply and refuses at CREATE
             chain = self._post_chain(
-                ops, consumed=[fm], drop_cols=(alias.name(),)
+                ops, consumed=[fm], strip=wraps, drop_cols=(alias.name(),)
             )
             mv = MaterializedView(
                 "topk",
@@ -1079,7 +1120,7 @@ class SqlViewCatalog:
             if chain:
                 h.meta["post"] = chain
             return h
-        chain = self._post_chain(ops)
+        chain = self._post_chain(ops, strip=wraps)
         if _cls(wf) != "AggregateExpression" \
                 or _cls(wf.aggregateFunction()) != "Sum":
             raise ValueError(

@@ -577,6 +577,71 @@ def test_sql_having_and_output_filters(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_sql_named_subquery_wraps(spark):
+    """``FROM (SELECT …) s`` — NAMED inline subquery aliases are
+    transparent (round 13): a SubqueryAlias whose child is a plan op
+    (not a ``View`` node) passes through the walk above AND below the
+    view node, with its qualifier stripped from the recorded SQL so
+    maintenance streams re-resolve on the inner base's shape. A
+    REGISTERED name remains an atomic base (deltas arrive shaped like
+    it), distinguished structurally by the View node."""
+    cat = _sqlcat(spark)
+    rows = [(g, o, g * 10 + o) for g in (1, 2, 3) for o in range(1, 6)]
+    spark.createDataFrame(rows, "g int, o int, v int").createOrReplaceTempView(
+        "r13_wt"
+    )
+    spark.createDataFrame(
+        [(1, 9, 19), (4, 1, 41)], "g int, o int, v int"
+    ).createOrReplaceTempView("r13_wd")
+    spark.sql(
+        "SELECT * FROM r13_wt UNION ALL SELECT * FROM r13_wd"
+    ).createOrReplaceTempView("r13_wm")
+
+    # wrap ABOVE the view node: HAVING spelled via a named subquery
+    Q1 = (
+        "SELECT s.g, s.n FROM (SELECT g, COUNT(*) AS n, SUM(v) AS sum,"
+        " MIN(v) AS min, MAX(v) AS max FROM {t} GROUP BY g) s"
+        " WHERE s.n > 4"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_w1 AS " + Q1.format(t="r13_wt"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_w1 USING r13_wd")
+    assert _canon(spark.table("r13_w1")) == _canon(
+        spark.sql(Q1.format(t="r13_wm"))
+    )
+
+    # wrap BELOW the view node: derived column + filter inside, with
+    # s-qualified references in the GROUP BY expression
+    Q2 = (
+        "SELECT s.d, COUNT(*) AS n, SUM(s.v) AS sum, MIN(s.v) AS min,"
+        " MAX(s.v) AS max FROM (SELECT v % 5 AS d, v FROM {t}"
+        " WHERE v > 12) s GROUP BY s.d"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_w2 AS " + Q2.format(t="r13_wt"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_w2 USING r13_wd")
+    assert _canon(spark.table("r13_w2")) == _canon(
+        spark.sql(Q2.format(t="r13_wm"))
+    )
+
+    # nested wraps compose
+    Q3 = (
+        "SELECT dd, COUNT(*) AS n, SUM(vv) AS sum, MIN(vv) AS min,"
+        " MAX(vv) AS max FROM (SELECT d AS dd, v AS vv FROM"
+        " (SELECT v % 4 AS d, v FROM {t}) s1) s2 GROUP BY dd"
+    )
+    cat.sql("CREATE MATERIALIZED VIEW r13_w3 AS " + Q3.format(t="r13_wt"))
+    cat.sql("REFRESH MATERIALIZED VIEW r13_w3 USING r13_wd")
+    assert _canon(spark.table("r13_w3")) == _canon(
+        spark.sql(Q3.format(t="r13_wm"))
+    )
+
+    # a REGISTERED derived view stays an atomic base
+    spark.table("r13_wt").filter("g = 1").createOrReplaceTempView("r13_wf")
+    out = cat.sql(
+        "CREATE MATERIALIZED VIEW r13_w4 AS SELECT DISTINCT g FROM r13_wf"
+    )
+    assert [r["g"] for r in out.collect()] == [1]
+
+
 def test_sql_qualifier_strip_is_literal_safe(spark):
     """Round-13 self-review regressions: (a) the qualifier strip must
     not rewrite string literals that happen to contain a side name
