@@ -1534,12 +1534,16 @@ def delta_anti_join_retract(
     return view.exceptAll(gone).unionByName(flips)
 
 
+_RUNNING_FNS = ("sum", "count", "min", "max", "avg")
+
+
 def running_window_view(
     df: DataFrame,
     keys: list[str],
     order_by: list[Column],
-    measure: Column | str,
+    measure: Column | str | None,
     out_col: str = "running_sum",
+    fn: str = "sum",
 ) -> DataFrame:
     """The view definition for the window-IVM pair below: every input
     row annotated with its per-key RUNNING SUM of ``measure`` over
@@ -1552,13 +1556,32 @@ def running_window_view(
     hash-certified."""
     from pyspark.sql.window import Window
 
-    m = F.col(measure) if isinstance(measure, str) else measure
+    if fn not in _RUNNING_FNS:
+        raise ValueError(f"running window fn must be one of {_RUNNING_FNS}")
+    if measure is None:
+        if fn != "count":
+            raise ValueError(f"running {fn!r} needs a measure column")
+        m = F.lit(1)  # COUNT(*)
+    else:
+        m = F.col(measure) if isinstance(measure, str) else measure
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn(out_col, F.sum(m).over(w).cast("bigint"))
+    # sum/count cast bigint (the integer-exact certification contract;
+    # the cast applies to the WINDOWED column — casting the aggregate
+    # before .over() demotes it to a non-window aggregate); min/max
+    # keep the measure's type; avg is double — deterministic under the
+    # touched-key rewrite (same rows, same sequential frame) but
+    # certify it with rounding against cross-engine oracles
+    col = {
+        "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+        "avg": F.avg,
+    }[fn](m).over(w)
+    if fn in ("sum", "count"):
+        col = col.cast("bigint")
+    return df.withColumn(out_col, col)
 
 
 def window_view_refresh(
@@ -1566,9 +1589,10 @@ def window_view_refresh(
     delta: DataFrame,
     keys: list[str],
     order_by: list[Column],
-    measure: Column | str,
+    measure: Column | str | None,
     out_col: str = "running_sum",
     broadcast_deltas: bool = True,
+    fn: str = "sum",
 ) -> DataFrame:
     """Incrementally refresh a materialized RUNNING-AGG window view
     under APPEND-ONLY arrivals (round 11, VERDICT r10 stretch #8) —
@@ -1613,7 +1637,7 @@ def window_view_refresh(
         .unionByName(delta.select(*[c for c in state.columns if c != out_col]))
     )
     return untouched.unionByName(
-        running_window_view(cand, keys, order_by, measure, out_col)
+        running_window_view(cand, keys, order_by, measure, out_col, fn)
     )
 
 
@@ -1622,9 +1646,10 @@ def window_view_retract(
     deleted: DataFrame,
     keys: list[str],
     order_by: list[Column],
-    measure: Column | str,
+    measure: Column | str | None,
     out_col: str = "running_sum",
     broadcast_deltas: bool = True,
+    fn: str = "sum",
 ) -> DataFrame:
     """Apply DELETIONS to a materialized RUNNING-AGG window view
     (round 11): deleting a row shifts every LATER row of its key, so
@@ -1649,7 +1674,7 @@ def window_view_retract(
         .exceptAll(deleted.select(*base_cols))
     )
     return untouched.unionByName(
-        running_window_view(cand, keys, order_by, measure, out_col)
+        running_window_view(cand, keys, order_by, measure, out_col, fn)
     )
 
 
@@ -1658,9 +1683,10 @@ def window_view_delta(
     delta: DataFrame,
     keys: list[str],
     order_by: list[Column],
-    measure: Column | str,
+    measure: Column | str | None,
     out_col: str = "running_sum",
     broadcast_deltas: bool = True,
+    fn: str = "sum",
 ) -> DataFrame:
     """The rows a window-view refresh REWRITES (round 11) — the
     deployment shape of :func:`window_view_refresh`, mirroring
@@ -1685,4 +1711,4 @@ def window_view_delta(
         .drop(out_col)
         .unionByName(delta.select(*[c for c in state.columns if c != out_col]))
     )
-    return running_window_view(cand, keys, order_by, measure, out_col)
+    return running_window_view(cand, keys, order_by, measure, out_col, fn)

@@ -66,11 +66,12 @@ Contracts (each enforced, not assumed):
   MAX(v) AS max FROM t [WHERE p] GROUP BY k…`` (any other aggregate
   derives from this state; maintaining a lossy projection is
   impossible).
-- Window views: ``SUM(v) OVER (PARTITION BY … ORDER BY <total order>
-  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` — the ROWS
-  frame is REQUIRED spelling: SQL's default RANGE frame diverges from
-  the maintained rows-frame view whenever the order has ties, so the
-  parser refuses rather than certify a lie.
+- Window views: ``SUM|COUNT|MIN|MAX|AVG(v) OVER (PARTITION BY …
+  ORDER BY <total order> ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+  ROW)`` (``COUNT(*)`` too) — the ROWS frame is REQUIRED spelling:
+  SQL's default RANGE frame diverges from the maintained rows-frame
+  view whenever the order has ties, so the parser refuses rather than
+  certify a lie.
 - Top-k views: ``SELECT <base cols> FROM (SELECT *, ROW_NUMBER() OVER
   (PARTITION BY … ORDER BY <total order>) AS rn FROM t [WHERE p])
   WHERE rn <= k``.
@@ -1121,15 +1122,25 @@ class SqlViewCatalog:
                 h.meta["post"] = chain
             return h
         chain = self._post_chain(ops, strip=wraps)
+        # running-agg windows over every touched-key-rewritable
+        # aggregate (round 13: SUM since round 12; COUNT/MIN/MAX/AVG
+        # now — maintenance re-windows whole touched keys, so the
+        # aggregate is a parameter of the rewrite, not a constraint)
+        _fns = {"Sum": "sum", "Count": "count", "Min": "min",
+                "Max": "max", "Average": "avg"}
         if _cls(wf) != "AggregateExpression" \
-                or _cls(wf.aggregateFunction()) != "Sum":
+                or _cls(wf.aggregateFunction()) not in _fns \
+                or wf.isDistinct():
             raise ValueError(
-                f"only SUM() running windows and ROW_NUMBER() top-k are"
-                f" maintainable; got {wf.sql()}"
+                f"only SUM/COUNT/MIN/MAX/AVG running windows and"
+                f" ROW_NUMBER() top-k are maintainable; got {wf.sql()}"
             )
-        val = _attr_name(
-            _jseq(wf.aggregateFunction().children())[0], "the summed measure"
-        )
+        fn = _fns[_cls(wf.aggregateFunction())]
+        fn_args = _jseq(wf.aggregateFunction().children())
+        if fn == "count" and len(fn_args) == 1 and _cls(fn_args[0]) == "Literal":
+            val = None  # COUNT(*)
+        else:
+            val = _attr_name(fn_args[0], "the windowed measure")
         frame_sql = spec.frameSpecification().sql()
         if frame_sql != "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW":
             raise ValueError(
@@ -1145,11 +1156,13 @@ class SqlViewCatalog:
             order_by=order_by,
             value=val,
             out_col=alias.name(),
+            fn=fn,
             broadcast_deltas=self.broadcast_deltas,
         )
         order_names = [so.child().name() for so in order_seq]
         h = self._single_base_handle(
-            name, mv, _children(node)[0], keys + order_names + [val], jplan
+            name, mv, _children(node)[0],
+            keys + order_names + ([val] if val is not None else []), jplan
         )
         if chain:
             h.meta["post"] = chain
@@ -1393,6 +1406,7 @@ class SqlViewCatalog:
                 "value": shadow.mv.value,
                 "k": shadow.mv.k,
                 "out_col": shadow.mv.out_col,
+                "fn": shadow.mv.fn,
                 "order_by": _order_spec(shadow.mv.order_by),
                 "stages": norm_stages(shadow.meta),
                 "post": shadow.meta.get("post"),
@@ -1408,6 +1422,7 @@ class SqlViewCatalog:
                 "value": mv.value,
                 "k": mv.k,
                 "out_col": mv.out_col,
+                "fn": mv.fn,
                 "order_by": _order_spec(mv.order_by),
                 "stages": norm_stages(meta),
                 "post": meta.get("post"),

@@ -36,8 +36,9 @@ agg       per-key (n, sum, min, max) of ``value``  merge_agg_states /
 topk      top ``k`` rows per ``keys`` by           topk_view_refresh /
           ``order_by`` (must be a total order)     topk_view_retract
 distinct  count-annotated DISTINCT ``cols``        distinct_view_apply
-window    every row + its per-key RUNNING SUM of   window_view_refresh /
-          ``value`` over ``order_by`` (round 11)   window_view_retract
+window    every row + its per-key RUNNING AGG      window_view_refresh /
+          (``fn``: sum/count/min/max/avg) of       window_view_retract
+          ``value`` over ``order_by`` (round 11)
 ========  =======================================  =====================
 
 Broadcast policy: ``broadcast_deltas=True`` (default) hints every
@@ -195,6 +196,7 @@ class MaterializedView:
         a_id: str | None = None,
         b_id: str | None = None,
         out_col: str = "running_sum",
+        fn: str = "sum",
         broadcast_deltas: bool | str = True,
         auto_broadcast_rows: int = 1_000_000,
         auto_broadcast_bytes: int | None = 256 << 20,
@@ -209,7 +211,7 @@ class MaterializedView:
             "distinct": cols is not None,
             "window": keys is not None
             and order_by is not None
-            and value is not None,
+            and (value is not None or fn == "count"),
         }
         if kind in _JOIN_KINDS:
             if not on:
@@ -219,7 +221,8 @@ class MaterializedView:
                 "agg": "keys=[...] and value=",
                 "topk": "keys=[...], order_by=[...] and k=",
                 "distinct": "cols=[...]",
-                "window": "keys=[...], order_by=[...] and value=",
+                "window": "keys=[...], order_by=[...] and value="
+                          " (value may be omitted only for fn='count')",
             }[kind]
             raise ValueError(f"{kind!r} view needs {wants}")
         if (a_id or b_id) and kind != "inner":
@@ -233,6 +236,10 @@ class MaterializedView:
                 "keyed retraction needs BOTH a_id and b_id — a join row"
                 " dies when either contributor's id was deleted, so one"
                 " id alone cannot retract correctly"
+            )
+        if kind == "window" and fn not in relational._RUNNING_FNS:
+            raise ValueError(
+                f"window view fn must be one of {relational._RUNNING_FNS}"
             )
         if broadcast_deltas not in (True, False, "auto"):
             raise ValueError("broadcast_deltas must be True, False or 'auto'")
@@ -252,6 +259,7 @@ class MaterializedView:
         self.a_id = a_id
         self.b_id = b_id
         self.out_col = out_col
+        self.fn = fn
         self.broadcast_deltas = broadcast_deltas
         self.auto_broadcast_rows = auto_broadcast_rows
         self.auto_broadcast_bytes = auto_broadcast_bytes
@@ -342,7 +350,8 @@ class MaterializedView:
             return relational.distinct_view_state(a, self.cols)
         if self.kind == "window":
             return relational.running_window_view(
-                a, self.keys, self.order_by, self.value, self.out_col
+                a, self.keys, self.order_by, self.value, self.out_col,
+                self.fn,
             )
         from pyspark.sql.window import Window
 
@@ -397,7 +406,7 @@ class MaterializedView:
             raise ValueError("delta() is the window-view shape")
         return relational.window_view_delta(
             view, arrivals, self.keys, self.order_by, self.value,
-            self.out_col, self._bcast(arrivals),
+            self.out_col, self._bcast(arrivals), self.fn,
         )
 
     def refresh(
@@ -444,7 +453,7 @@ class MaterializedView:
         if self.kind == "window":
             return relational.window_view_refresh(
                 view, delta, self.keys, self.order_by, self.value,
-                self.out_col, self._bcast(delta),
+                self.out_col, self._bcast(delta), self.fn,
             )
         return relational.distinct_view_apply(
             view, delta, delta.filter(F.lit(False)), self.cols
@@ -499,7 +508,7 @@ class MaterializedView:
         if self.kind == "window":
             return relational.window_view_retract(
                 view, deleted, self.keys, self.order_by, self.value,
-                self.out_col, self._bcast(deleted),
+                self.out_col, self._bcast(deleted), self.fn,
             )
         if base_remaining is None:
             raise ValueError(
@@ -836,6 +845,7 @@ class MaterializedView:
             "cols": self.cols,
             "k": self.k,
             "out_col": self.out_col,
+            "fn": self.fn,
             "on": self.on,
             "a_id": self.a_id,
             "b_id": self.b_id,
@@ -992,6 +1002,7 @@ class MaterializedView:
             k=spec.get("k"),
             cols=spec.get("cols"),
             out_col=spec.get("out_col") or "running_sum",
+            fn=spec.get("fn") or "sum",
             broadcast_deltas=broadcast_deltas,
         )
 

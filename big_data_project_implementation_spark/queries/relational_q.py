@@ -2536,6 +2536,70 @@ def view_sql_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "view_sql_window_fns",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+           MAX(price_cents) OVER w AS running_max
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+          FROM orders)
+    WHERE o_orderkey % 7 <> 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def view_sql_window_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING-WINDOW FUNCTION FAMILY (round 13): maintenance of the
+    window view re-windows whole touched keys, so the aggregate is a
+    PARAMETER of the rewrite — COUNT(*)/COUNT(v)/MIN/MAX/AVG maintain
+    exactly like round 12's SUM (``relational.running_window_view
+    fn=``). Two maintained views over the same base — a COUNT(*)
+    running count and a MAX running max — each CREATE + REFRESH +
+    RETRACT through the SQL catalog, then joined on the row key for
+    one certified result against DuckDB recomputing both windows over
+    the post-purge base."""
+    from big_data_project_implementation_spark.operators.view_sql import (
+        SqlViewCatalog,
+    )
+
+    base = _wv_base(spark, sf_dir)
+    base.filter(F.col("o_orderkey") % 3 != 0).createOrReplaceTempView(
+        "sqlv13_wfold"
+    )
+    base.filter(F.col("o_orderkey") % 3 == 0).createOrReplaceTempView(
+        "sqlv13_wfdelta"
+    )
+    base.filter(F.col("o_orderkey") % 7 == 0).createOrReplaceTempView(
+        "sqlv13_wfdead"
+    )
+    cat = SqlViewCatalog(spark)
+    for nm, fn_sql in (("sqlv13_wfn", "COUNT(*)"),
+                       ("sqlv13_wfm", "MAX(price_cents)")):
+        cat.sql(
+            f"CREATE MATERIALIZED VIEW {nm} AS"
+            f" SELECT o_custkey, o_orderkey, o_orderdate, price_cents,"
+            f" {fn_sql} OVER (PARTITION BY o_custkey"
+            " ORDER BY o_orderdate, o_orderkey"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS r FROM sqlv13_wfold"
+        )
+        cat.sql(f"REFRESH MATERIALIZED VIEW {nm} USING sqlv13_wfdelta")
+        cat.sql(f"ALTER MATERIALIZED VIEW {nm} RETRACT USING sqlv13_wfdead")
+    n = spark.table("sqlv13_wfn").select(
+        "o_custkey", "o_orderkey", F.col("r").alias("running_n")
+    )
+    m = spark.table("sqlv13_wfm").select(
+        "o_orderkey", F.col("r").alias("running_max")
+    )
+    return n.join(m, "o_orderkey").select(
+        "o_custkey", "o_orderkey", "running_n", "running_max"
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
     "view_sql_derived",
     oracle="""
     SELECT o_custkey, n, CAST(sum AS DOUBLE) / n AS avg_cents,

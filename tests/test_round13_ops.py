@@ -577,6 +577,76 @@ def test_sql_having_and_output_filters(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_window_view_fn_family(spark):
+    """Running windows over every touched-key-rewritable aggregate
+    (round 13): SUM (round 12) plus COUNT(*)/COUNT(v)/MIN/MAX/AVG —
+    maintenance re-windows whole touched keys, so the aggregate is a
+    parameter of the rewrite, not a constraint. Each fn's refresh and
+    a MAX retract hash-match recompute; fn survives the STORED
+    manifest through ATTACH."""
+    import tempfile as _tf
+
+    cat = _sqlcat(spark)
+    rows = [(g, o, g * 10 + o) for g in (1, 2, 3) for o in range(1, 6)]
+    spark.createDataFrame(rows, "g int, o int, v int").createOrReplaceTempView(
+        "r13_ft"
+    )
+    spark.createDataFrame(
+        [(1, 9, 19), (2, 0, 3), (4, 1, 41)], "g int, o int, v int"
+    ).createOrReplaceTempView("r13_fd")
+    spark.sql(
+        "SELECT * FROM r13_ft UNION ALL SELECT * FROM r13_fd"
+    ).createOrReplaceTempView("r13_fm")
+    for i, fn_sql in enumerate(
+        ["COUNT(*)", "COUNT(v)", "MIN(v)", "MAX(v)", "AVG(v)"]
+    ):
+        Q = (
+            f"SELECT g, o, v, {fn_sql} OVER (PARTITION BY g ORDER BY o, v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r"
+            " FROM {t}"
+        )
+        nm = f"r13_fv{i}"
+        cat.sql(f"CREATE MATERIALIZED VIEW {nm} AS " + Q.format(t="r13_ft"))
+        cat.sql(f"REFRESH MATERIALIZED VIEW {nm} USING r13_fd")
+        assert _canon(spark.table(nm)) == _canon(
+            spark.sql(Q.format(t="r13_fm"))
+        ), fn_sql
+    # retract on the MAX window: deleting the key's max re-windows it
+    spark.sql(
+        "SELECT * FROM r13_fm WHERE g = 1 AND o = 9"
+    ).createOrReplaceTempView("r13_fdel")
+    cat.sql("ALTER MATERIALIZED VIEW r13_fv3 RETRACT USING r13_fdel")
+    want = spark.sql(
+        "SELECT g, o, v, MAX(v) OVER (PARTITION BY g ORDER BY o, v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r"
+        " FROM (SELECT * FROM r13_fm WHERE NOT (g = 1 AND o = 9))"
+    )
+    assert _canon(spark.table("r13_fv3")) == _canon(want)
+    # an unsupported window function still refuses with the list
+    with pytest.raises(ValueError, match="running windows"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW r13_fbad AS SELECT g, o, v,"
+            " STDDEV(v) OVER (PARTITION BY g ORDER BY o, v"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r"
+            " FROM r13_ft"
+        )
+    # fn survives the manifest through ATTACH
+    root = _tf.mkdtemp(prefix="mv_fnattach_")
+    try:
+        cat.sql(
+            f"CREATE MATERIALIZED VIEW r13_fst STORED AT '{root}/v'"
+            " BUCKETS 8 AS SELECT g, o, v, MAX(v) OVER (PARTITION BY g"
+            " ORDER BY o, v ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW) AS r FROM r13_ft"
+        )
+        fresh = spark.newSession()
+        cat2 = _sqlcat(fresh)
+        cat2.sql(f"ATTACH MATERIALIZED VIEW r13_fst2 AT '{root}/v'")
+        assert cat2._views["r13_fst2"].mv.fn == "max"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_sql_named_subquery_wraps(spark):
     """``FROM (SELECT …) s`` — NAMED inline subquery aliases are
     transparent (round 13): a SubqueryAlias whose child is a plan op
