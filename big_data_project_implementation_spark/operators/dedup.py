@@ -148,30 +148,41 @@ def _bitmask_set_pairs(
         ).alias(f"m{w}")
         for w in range(L)
     ]
+    # keep the mask WORDS as flat bigint columns, never an array: the
+    # popcount kernel below runs once per CANDIDATE PAIR (u²/2 rows),
+    # and the old array form (zip_with + aggregate) is interpreted
+    # (HigherOrderFunction = CodegenFallback) — measured 10x slower
+    # than the codegen'd flat form on a 25M-row popcount stream
+    # (guide §1/§4: the per-pair kernel is the stage; make it codegen).
+    # L is bounded by the caller's vocab gate (<= 4096 → L <= 64).
+    def _popsum(cols: list) -> Column:
+        s = F.bit_count(cols[0]).cast("bigint")
+        for c in cols[1:]:
+            s = s + F.bit_count(c).cast("bigint")
+        return s
+
     masks = (
         posts.join(F.broadcast(vocab), "shingle")
         .groupBy("sid")
         .agg(*aggs)
         .select(
             "sid",
-            F.array(*[f"m{w}" for w in range(L)]).alias("mask"),
-            F.aggregate(
-                F.array(*[f"m{w}" for w in range(L)]),
-                F.lit(0).cast("bigint"),
-                lambda acc, m: acc + F.bit_count(m),
-            ).alias("n"),
+            *[F.col(f"m{w}") for w in range(L)],
+            _popsum([F.col(f"m{w}") for w in range(L)]).alias("n"),
         )
     )
     a = masks.select(
-        F.col("sid").alias("sid_a"), F.col("mask").alias("ma"), F.col("n").alias("n_a")
+        F.col("sid").alias("sid_a"),
+        *[F.col(f"m{w}").alias(f"ma{w}") for w in range(L)],
+        F.col("n").alias("n_a"),
     )
     b = masks.select(
-        F.col("sid").alias("sid_b"), F.col("mask").alias("mb"), F.col("n").alias("n_b")
+        F.col("sid").alias("sid_b"),
+        *[F.col(f"m{w}").alias(f"mb{w}") for w in range(L)],
+        F.col("n").alias("n_b"),
     )
-    nc = F.aggregate(
-        F.zip_with("ma", "mb", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    nc = _popsum(
+        [F.col(f"ma{w}").bitwiseAND(F.col(f"mb{w}")) for w in range(L)]
     )
     len_ok = F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
     if n_parts:  # fan the u^2/2 popcount stream over every core

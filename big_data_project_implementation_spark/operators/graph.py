@@ -256,13 +256,15 @@ def label_propagation(
             side.withColumnRenamed("node", "v"), "v"
         ).select(F.col("u").alias("node"), "label")
         if not probe:
-            counts = neigh.groupBy("node", "label").agg(F.count("*").alias("c"))
-            return counts.groupBy("node").agg(
-                # argmax by (count, -label): most frequent neighbor
-                # label, smallest label on ties
-                F.max_by(
-                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("label")
+            # deterministic mode == the LPA argmax (most frequent
+            # neighbor label, SMALLEST label on ties — pinned by
+            # tests/test_graph.py): one hash aggregation with map-side
+            # partial maps instead of the old two-level groupBy
+            # (count per (node,label) → argmax per node), which paid a
+            # second exchange per sweep (guide §2.4: two operations
+            # keyed the same way should share one shuffle).
+            return neigh.groupBy("node").agg(
+                F.mode("label", True).alias("label")
             )
         # probe sweep: ride the node's OWN label through the same
         # aggregation (one node-cardinality row per node unioned into

@@ -428,13 +428,24 @@ def ivf_centroids(
     # (single small parquet file) across cores; pass-through at scale
     corpus = _spread(corpus)
     for _ in range(iters):
-        w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cell"))
+        # argmax via max_by (same tie-break as the old sort window:
+        # max cosine, smallest cell on ties — maximizing (_cos, -cell))
+        # — map-side combined, so the exchange carries one row per
+        # vector instead of one per (vector, cell) candidate, and the
+        # per-partition sort disappears (guide §2.3/§2.4). first(_vec)
+        # is deterministic here: every candidate row of a group carries
+        # the SAME _vec (crossJoin replication).
         assigned = (
             corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
             .crossJoin(F.broadcast(cents))
             .withColumn("_cos", cosine_q("_vec", "centroid"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
+            .groupBy("_id")
+            .agg(
+                F.max_by(
+                    "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
+                ).alias("cell"),
+                F.first("_vec").alias("_vec"),
+            )
             # plain _q6: the overflow guard ran on the seed/entry
             # projection above, and hot inner loops keep the unchecked
             # form per _q6_checked's own contract (ADVICE r7 — the
@@ -482,17 +493,21 @@ def ivf_topk(
     The candidate join is keyed on ``cell`` — at scale the inverted
     lists are a bucketed/partitioned table and a probe touches
     nprobe/n_cells of the corpus instead of all of it."""
+    # nearest-cell argmax via max_by (max cosine, smallest cell on
+    # ties — identical to the old sort window) so the routing pass is
+    # one map-side-combined aggregation, not an exchange + sort of the
+    # full (vector × cell) candidate stream (guide §2.3/§2.4)
     c_assigned = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .crossJoin(F.broadcast(centroids))
         .withColumn("_cos", cosine_q("c_vec", "centroid"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(F.desc("_cos"), F.asc("cell"))
-            ),
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+            F.first("c_vec").alias("c_vec"),
         )
-        .filter(F.col("_rk") == 1)
         .select("cell", "neighbor_id", "c_vec")
     )
     q_probes = (
@@ -562,13 +577,18 @@ def cluster_mixture(
     cents = ivf_centroids(
         emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("cell"))
+    # nearest-cell argmax via max_by (max cosine, smallest cell on
+    # ties — identical to the old sort window), map-side combined
     assigned = (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         .crossJoin(F.broadcast(cents))
         .withColumn("_cos", cosine_q("_vec", "centroid"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+        .groupBy("_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        )
         .select("_id", "cell")
     )
     cnt = assigned.groupBy("cell").agg(
@@ -706,7 +726,6 @@ def semdedup(
     rounds shuffle 8-byte edge endpoints only.
     """
     cents = ivf_centroids(emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
-    w = Window.partitionBy("id").orderBy(F.desc("_cos"), F.asc("cell"))
     # Pre-normalize once so every pair score is a plain dot product
     # (cosine would recompute both norms per candidate pair), THEN
     # quantize the unit vector to 1e-6 integer micro-units (round 6):
@@ -722,12 +741,21 @@ def semdedup(
             x.cast("double") / norm(F.col("vec")) * 1e6 + F.lit(0.5)
         ).cast("long"),
     )
+    # nearest-cell argmax via max_by (max cosine, smallest cell on
+    # ties — identical to the old sort window), map-side combined; the
+    # unit-quantization projection runs once per SURVIVOR, exactly as
+    # it did after the old rk==1 filter
     assigned = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(cents))
         .withColumn("_cos", cosine_q("vec", "centroid"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+            F.first("vec").alias("vec"),
+        )
         .select("id", unitq.alias("uvec"), "cell")
         .localCheckpoint(eager=True)
     )
@@ -905,6 +933,12 @@ def pq_codebooks(
             F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)
         ).alias("sv"),
     )
+    # the exploded/sliced/quantized subvector stream feeds the seeding
+    # groupBy AND every Lloyd iteration — cache it so the slice +
+    # overflow-checked quantization runs once, not 1 + iters times
+    # (training input is sample-sized by contract at 100 TB, so the
+    # cached footprint is bounded by the training sample)
+    subs.cache()
     # seed from DISTINCT subvectors (lowest id per distinct value):
     # duplicate subvectors among the first-k-by-id seeds would create
     # identical centroids, and identical centroids tie every argmin to
@@ -1310,17 +1344,18 @@ def ivfpq_topk(
     codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
+    # nearest-cell argmax via max_by (max cosine, smallest cell on
+    # ties — identical to the old sort window), map-side combined
     c_assigned = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .crossJoin(F.broadcast(cents))
         .withColumn("_cos", cosine_q("c_vec", "centroid"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(F.desc("_cos"), F.asc("cell"))
-            ),
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
         )
-        .filter(F.col("_rk") == 1)
         .select("cell", "neighbor_id")
         .join(codes, "neighbor_id")
     )
@@ -1450,21 +1485,20 @@ def ivfpq_encode_with_model(
     codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
+    # nearest-cell argmax via max_by (max cosine, smallest cell on
+    # ties — identical to the old sort window), map-side combined
     return (
         df.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
         .crossJoin(F.broadcast(cents))
         .withColumn("_cos", cosine_q("c_vec", "centroid"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.desc("_cos"), F.asc("cell")
-                )
-            ),
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
         )
-        .filter(F.col("_rk") == 1)
         .select("cell", "neighbor_id")
         .join(codes, "neighbor_id")
         .select("cell", "neighbor_id", "codes")

@@ -1869,12 +1869,24 @@ def train_quality_classifier(
     dim = n_features + 1
     n_docs = feat.count()  # 1-row scalar, once (not per iteration)
     spark = df.sparkSession
-    w = spark.createDataFrame(
-        [([0.0] * dim,)], f"w array<double>"
-    )
-    out_rows = []
+    # The model is dim = n_features + 1 doubles — a BOUNDED driver
+    # vector (same class as the vocab-bounded BPE merge table), so the
+    # GD loop holds it driver-side and runs exactly ONE job per
+    # iteration: the gradient aggregation, collected as one dim-row
+    # array. The old 1-row-DataFrame form paid a broadcast build plus
+    # an eager localCheckpoint job per iteration for the same floats
+    # (guide §1.2: per-iteration fixed costs are the stage here).
+    # Numerics are bit-identical: the weight update, squared-norm fold
+    # and dot product run in the SAME left-to-right IEEE order the old
+    # zip_with/aggregate expressions used (pinned by the numpy-parity
+    # test), and math.sqrt == F.sqrt (both correctly rounded).
+    import math
+
+    w_cur = [0.0] * dim
+    out_rows: list[tuple] = []
     for it in range(1, iters + 1):
-        scored = feat.crossJoin(F.broadcast(w)).select(
+        w_lit = F.array(*[F.lit(x) for x in w_cur])
+        scored = feat.select(
             "y",
             "f",
             (
@@ -1883,7 +1895,7 @@ def train_quality_classifier(
                     F.lit(1.0)
                     + F.exp(
                         -F.aggregate(
-                            F.zip_with("f", "w", lambda x, wt: x * wt),
+                            F.zip_with("f", w_lit, lambda x, wt: x * wt),
                             F.lit(0.0),
                             lambda acc, v: acc + v,
                         )
@@ -1908,43 +1920,32 @@ def train_quality_classifier(
             .groupBy("pos")
             .agg(F.sum("g").alias("g"), F.sum("l").alias("l"))
         )
-        grad = stats.groupBy().agg(
+        row = stats.groupBy().agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "g"))),
                 lambda s: s["g"] / n_docs,
             ).alias("grad"),
             (F.sum("l") / n_docs).alias("loss"),
-        )
-        w = (
-            w.crossJoin(F.broadcast(grad))
-            .select(
-                F.zip_with(
-                    "w", "grad", lambda wt, g: wt - F.lit(lr) * g
-                ).alias("w"),
-                "loss",
-                F.sqrt(
-                    F.aggregate(
-                        F.transform("grad", lambda g: g * g),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                ).alias("grad_norm"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        out_rows.append(
-            w.select(
-                F.lit(it).cast("bigint").alias("iter"),
-                F.round("loss", 6).alias("loss"),
-                F.round("grad_norm", 6).alias("grad_norm"),
-                F.col("w").alias("weights"),
-            )
-        )
-        w = w.select("w")
-    out = out_rows[0]
-    for r in out_rows[1:]:
-        out = out.unionAll(r)
-    return out
+        ).first()
+        grad_list, loss = list(row["grad"]), row["loss"]
+        sq = 0.0
+        for g in grad_list:  # left fold, same order as the old aggregate()
+            sq += g * g
+        grad_norm = math.sqrt(sq)
+        w_cur = [wt - lr * g for wt, g in zip(w_cur, grad_list)]
+        out_rows.append((it, loss, grad_norm, list(w_cur)))
+    out = spark.createDataFrame(
+        out_rows, "iter bigint, loss double, grad_norm double, weights array<double>"
+    )
+    # the 6dp rounding stays in Spark so the rounding function is the
+    # same one every other query output uses (HALF_UP, not Python's
+    # bankers rounding)
+    return out.select(
+        "iter",
+        F.round("loss", 6).alias("loss"),
+        F.round("grad_norm", 6).alias("grad_norm"),
+        "weights",
+    )
 
 
 def classifier_auc(
