@@ -116,7 +116,10 @@ def shingles(text: Column | str, k: int = 3) -> Column:
 
 
 def _bitmask_set_pairs(
-    sets: DataFrame, threshold: float, n_parts: int | None = None
+    sets: DataFrame,
+    threshold: float,
+    n_parts: int | None = None,
+    nwords: int | None = None,
 ) -> DataFrame:
     """All-pairs exact Jaccard over distinct shingle sets for SMALL
     vocabularies: encode each set as a bitmask over the vocab (one
@@ -138,7 +141,8 @@ def _bitmask_set_pairs(
         .distinct()
         .withColumn("vid", F.row_number().over(Window.orderBy("shingle")) - 1)
     )
-    nwords = vocab.count()  # exact; gated small by the caller
+    if nwords is None:
+        nwords = vocab.count()  # exact; gated small by the caller
     L = (nwords + 63) // 64
     aggs = [
         F.expr(
@@ -247,7 +251,14 @@ def ngram_jaccard_pairs(
             F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
-    member = docs.withColumn("sid", F.min("id").over(Window.partitionBy("sh")))
+    # the hash prefix key changes NOTHING semantically (a function of
+    # sh added to the partition key keeps groups identical) but lets
+    # the window's partition sort resolve almost every comparison on
+    # 8 bytes instead of comparing full shingle arrays element-wise
+    member = docs.withColumn(
+        "sid",
+        F.min("id").over(Window.partitionBy(F.xxhash64("sh"), F.col("sh"))),
+    )
     member.cache()  # reused: sets, intra pairs, expansion joins
     sets = member.filter(F.col("id") == F.col("sid")).select(
         "sid", "sh", F.size("sh").alias("n")
@@ -264,16 +275,21 @@ def ngram_jaccard_pairs(
         F.col("sid").alias("sid_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
     )
     if sets.count() <= dense_max_sets:  # cheap agg-only job, no data to driver
-        vocab_est = sets.select(F.explode("sh").alias("s")).agg(
-            F.approx_count_distinct("s").alias("v")
-        ).first()["v"]
+        # EXACT distinct vocab (the dense gate already bounds the
+        # posting stream): one job that _bitmask_set_pairs reuses as
+        # its word count instead of re-counting the same vocabulary
+        vocab_est = (
+            sets.select(F.explode("sh").alias("s")).distinct().count()
+        )
         # the streamed side of the nested-loop would otherwise inherit
         # the (often AQE-coalesced, possibly single) upstream partition
         # count — u^2/2 array_intersect verifications must fan out over
         # every core, so rebalance the u-row side explicitly (cheap)
         n_parts = _target_parallelism(df)
         if vocab_est <= 4096:
-            set_pairs = _bitmask_set_pairs(sets, threshold, n_parts)
+            set_pairs = _bitmask_set_pairs(
+                sets, threshold, n_parts, nwords=vocab_est
+            )
         else:
             set_pairs = (
                 a.repartition(n_parts)
@@ -492,7 +508,13 @@ def minhash_lsh_pairs(
     all_sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes
     )
-    member = all_sig.withColumn("sid", F.min("id").over(Window.partitionBy("sig")))
+    # hash-prefix partition key: same groups (the hash is a function
+    # of sig), but the partition sort compares 8 bytes first instead
+    # of 64-element signature arrays
+    member = all_sig.withColumn(
+        "sid",
+        F.min("id").over(Window.partitionBy(F.xxhash64("sig"), F.col("sig"))),
+    )
     member.cache()  # reused: distinct sigs, intra pairs, expansion
     sig = member.filter(F.col("id") == F.col("sid")).select("sid", "sig")
     bands_df = sig.select(
@@ -1112,6 +1134,21 @@ def connected_components(
     prev_sig = _edge_signature(edges)
     import logging
 
+    def _sized(ck: DataFrame, n_edges: int) -> DataFrame:
+        """Partition the checkpointed edge set BY ITS MEASURED SIZE
+        (the signature already paid for the count): the contraction
+        rounds inherit the upstream pair-join's partitioning otherwise,
+        and a shrunken edge set spread over dozens of near-empty
+        partitions pays ~100 task launches per round for sub-MB work
+        (guide §2: make partitioning scale-adaptive, derive from input
+        size). coalesce() is narrow — no shuffle — and the cap at the
+        current partition count keeps a genuinely large edge set (the
+        100 TB shape) at full parallelism."""
+        target = max(1, min(ck.rdd.getNumPartitions(), n_edges // 500_000 + 1))
+        return ck.coalesce(target) if target < ck.rdd.getNumPartitions() else ck
+
+    edges = _sized(edges, prev_sig[0])
+
     for _round in range(max_iterations):
         # large-star: for each node u, link every strictly-larger
         # neighbor v to m = min(N(u) ∪ {u}).
@@ -1143,7 +1180,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         sig = _edge_signature(new_edges)
-        edges = new_edges
+        edges = _sized(new_edges, sig[0])
         # the count is already paid for by the convergence signature;
         # logging it gives the O(log n) edge-decay evidence per run
         # (SCALING.md's rounds-x-decay probes read these lines)

@@ -933,12 +933,12 @@ def pq_codebooks(
             F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)
         ).alias("sv"),
     )
-    # the exploded/sliced/quantized subvector stream feeds the seeding
-    # groupBy AND every Lloyd iteration — cache it so the slice +
-    # overflow-checked quantization runs once, not 1 + iters times
-    # (training input is sample-sized by contract at 100 TB, so the
-    # cached footprint is bounded by the training sample)
-    subs.cache()
+    # NB: re-computing this stream per Lloyd iteration is CHEAPER than
+    # caching it — measured: a .cache() here REGRESSED pq_codebooks
+    # 3.6s → 4.8s at sf0.1 (the columnar InMemoryRelation build over
+    # array<bigint> rows costs more than the explode+slice+quantize it
+    # saves), exactly the guide §5 warning that caching only pays when
+    # recomputation is expensive.
     # seed from DISTINCT subvectors (lowest id per distinct value):
     # duplicate subvectors among the first-k-by-id seeds would create
     # identical centroids, and identical centroids tie every argmin to
