@@ -85,8 +85,15 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # -- shuffle sizing ------------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # keep scan partitions meaty: 128 MiB splits like a real cluster
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # keep scan partitions meaty: 128 MiB splits like a real cluster.
+        # Scale-dependent (guide §6: 512 MiB - 1 GiB cuts task-scheduling
+        # overhead and the map-task count feeding shuffles on large
+        # sequential scans), so overridable per deployment; the local
+        # default stays 128 MiB to keep the driver's bench comparable.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         # -- python boundary: Arrow everywhere -----------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
