@@ -248,7 +248,21 @@ def label_propagation(
     # n_nodes is invariant across sweeps (every node keeps exactly one
     # label), so one cheap count on the checkpointed init decides the
     # join strategy for ALL rounds — see _BROADCAST_STATE_MAX_NODES.
-    bcast_state = labels.count() <= _BROADCAST_STATE_MAX_NODES
+    n_nodes = labels.count()
+    bcast_state = n_nodes <= _BROADCAST_STATE_MAX_NODES
+    # node-state tables are n_nodes rows; size their checkpointed
+    # partitioning from that measured count (same discipline as
+    # connected_components' _sized) so each sweep's broadcast build and
+    # checkpoint don't churn through dozens of near-empty partitions —
+    # capped at the inherited count, so huge graphs keep parallelism
+    state_parts = max(1, min(labels.rdd.getNumPartitions(), n_nodes // 500_000 + 1))
+
+    def _sized(state: DataFrame) -> DataFrame:
+        if state.rdd.getNumPartitions() > state_parts:
+            return state.coalesce(state_parts)
+        return state
+
+    labels = _sized(labels)
 
     def sweep(state: DataFrame, probe: bool = False) -> DataFrame:
         side = F.broadcast(state) if bcast_state else state
@@ -287,8 +301,10 @@ def label_propagation(
         )
 
     for i in range(iterations):
-        labels = sweep(labels, probe=(i == iterations - 1)).localCheckpoint(
-            eager=True
+        labels = _sized(
+            sweep(labels, probe=(i == iterations - 1)).localCheckpoint(
+                eager=True
+            )
         )
     # convergence flag: scalar over the checkpointed final state — the
     # final sweep already carried each node's previous label alongside

@@ -995,9 +995,17 @@ def pq_codebooks(
         # books twice, so an un-truncated plan grows ~3^iters — harmless
         # at iters=2, but analysis/execution blows up for callers who
         # raise iters. m*k rows, so the eager materialization is free.
-        books = refit.unionByName(
-            books.join(refit.select("sub", "code"), ["sub", "code"], "left_anti")
-        ).localCheckpoint(eager=True)
+        # the codebook is a BOUNDED model artifact (m*k rows): collapse
+        # it to one partition before the checkpoint so the next
+        # iteration's broadcast build reads one block instead of
+        # shuffling-partition-many near-empty ones
+        books = (
+            refit.unionByName(
+                books.join(refit.select("sub", "code"), ["sub", "code"], "left_anti")
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
     return books
 
 
