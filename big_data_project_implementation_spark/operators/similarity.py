@@ -514,6 +514,12 @@ def ivf_centroids(
             .alias("cell"),
             _q6_checked(F.col(vec_col)).alias("centroid"),
         )
+        # round 14: bounded seed (n_cells rows) — checkpoint like the
+        # per-iteration refits so iteration 1's broadcast build reads
+        # one tiny block instead of re-running the sort+limit+window
+        # seed scan inside its subquery job
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     # the per-iteration argmin pass is pure CPU — spread a narrow scan
     # (single small parquet file) across cores; pass-through at scale
@@ -542,6 +548,12 @@ def ivf_centroids(
                 .cast("long")
                 .alias("m")
             )
+            # reduce side is n_cells*dim rows at ANY corpus scale (the
+            # partial agg upstream does the data-sized work): run the
+            # final agg as ONE task instead of shuffle-partition-many
+            # near-empty ones (narrow coalesce — merges reduce
+            # partitions, no extra exchange)
+            .coalesce(1)
         )
         # round 14: flatten lineage each iteration (pq_codebooks /
         # label_propagation's discipline — the model is n_cells rows,
@@ -665,8 +677,11 @@ def cluster_mixture(
         cents,
         "_vec",
     ).select("_id", "cell")
-    cnt = assigned.groupBy("cell").agg(
-        F.count("*").cast("double").alias("_n")
+    cnt = (
+        assigned.groupBy("cell")
+        .agg(F.count("*").cast("double").alias("_n"))
+        # n_cells rows at any corpus scale: one reduce task
+        .coalesce(1)
     )
     z = cnt.agg(F.sum(F.sqrt("_n")).alias("_z"))
     rates = cnt.crossJoin(F.broadcast(z)).select(
@@ -955,6 +970,79 @@ def _l2sq(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _bind1(value: Column, fn) -> Column:
+    """Let-binding for expression trees: evaluate ``value`` ONCE and
+    feed it to ``fn``. Referencing a Column twice inlines and
+    re-evaluates the whole subtree (CollapseProject substitutes
+    aliases into consumers); a HOF lambda variable is the only
+    SQL-expression construct that binds a computed value."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def _books_by_sub_one_row(books: DataFrame) -> DataFrame:
+    """Collapse the bounded (sub, code, centroid) codebook (m*k rows)
+    to ONE row: an ascending-sub array whose element s holds subspace
+    s's ascending-code array of (code, centroid) structs. Subs are
+    contiguous 0..m-1 by construction (``explode(sequence(0, m-1))``
+    feeds every trainer/encoder), so ``element_at(_books, sub + 1)``
+    is subspace ``sub``'s codebook.
+
+    Deliberately ONE global aggregation + an expression-level nesting
+    pass, NOT groupBy(sub) then a second agg: a groupBy on a model
+    table hashes its m*k rows across all ``shuffle.partitions``, and
+    the follow-up global agg then launches one near-empty task per
+    partition INSIDE every broadcast build (measured: 32-empty-task
+    stages of 0.5-1.2 s wall each, pure scheduling — AQE's default
+    parallelismFirst keeps them at the core count). The nesting
+    (m × m*k filter scans) runs once per broadcast build, never per
+    data row."""
+    flat = books.agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub", "code", "centroid"))
+        ).alias("_flat")
+    )
+    subs_asc = F.array_distinct(F.transform(F.col("_flat"), lambda x: x["sub"]))
+    return flat.select(
+        F.transform(
+            subs_asc,
+            lambda s: F.struct(
+                s.alias("sub"),
+                F.transform(
+                    F.filter(F.col("_flat"), lambda x: x["sub"] == s),
+                    lambda x: F.struct(
+                        x["code"].alias("code"),
+                        x["centroid"].alias("centroid"),
+                    ),
+                ).alias("arr"),
+            ),
+        ).alias("_books")
+    )
+
+
+def _pq_argmin(sv: Column, cands: Column, code_t: str) -> Column:
+    """argmin over one subspace's candidate array: a scored transform
+    (ONE exact-bigint ``_l2sq`` per candidate) and a strict ``<`` fold
+    over ascending codes — exactly ``min_by(..., struct(_d, code))``
+    (smallest distance, lowest code on ties; distances are integers,
+    so there is no NaN/ordering subtlety). Returns struct(code, d)."""
+    scored = F.transform(
+        cands,
+        lambda b: F.struct(
+            b["code"].alias("code"), _l2sq(sv, b["centroid"]).alias("d")
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast(code_t).alias("code"),
+            F.lit(None).cast("long").alias("d"),
+        ),
+        lambda acc, s: F.when(
+            acc["code"].isNull() | (s["d"] < acc["d"]), s
+        ).otherwise(acc),
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -1020,21 +1108,32 @@ def pq_codebooks(
         .withColumn("_rn", F.row_number().over(w0))
         .filter(F.col("_rn") <= k)
         .select("sub", (F.col("_rn") - 1).alias("code"), F.col("sv").alias("centroid"))
+        # round 14: the seed is a bounded model table (≤ m*k rows) —
+        # checkpoint it like every iteration's refit, or iteration 1's
+        # broadcast build re-plans and re-runs the distinct+window seed
+        # scan inside its subquery job (measured as recurring 32-empty-
+        # task stages in the profile)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
+    code_t = "int"
     for _ in range(iters):
-        # argmin via min_by (map-side combined), not a sort window: the
-        # k candidate rows per (id, sub) collapse before the exchange
-        assigned = (
-            subs.join(F.broadcast(books), "sub")
-            .withColumn("_d", _l2sq("sv", "centroid"))
-            .groupBy("_id", "sub")
-            .agg(
-                F.min_by(
-                    F.struct(F.col("code"), F.col("sv")),
-                    F.struct(F.col("_d"), F.col("code")),
-                ).alias("_best")
-            )
-            .select("sub", F.col("_best.code").alias("code"), F.col("_best.sv").alias("sv"))
+        # round 14: assignment is a pure projection against the
+        # broadcast codebook array — the k-way candidate join and the
+        # (id, sub) argmin exchange (min_by over struct keys compiles
+        # to SortAggregate) are gone from the subvector stream
+        # (guide §2.4); the fold reproduces min_by(struct(_d, code))
+        # exactly (_pq_argmin)
+        assigned = subs.crossJoin(
+            F.broadcast(_books_by_sub_one_row(books))
+        ).select(
+            "sub",
+            _pq_argmin(
+                F.col("sv"),
+                F.element_at(F.col("_books"), F.col("sub") + 1)["arr"],
+                code_t,
+            )["code"].alias("code"),
+            "sv",
         )
         refit = (
             assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
@@ -1047,6 +1146,9 @@ def pq_codebooks(
                 .cast("long")
                 .alias("mx")
             )
+            # reduce side is m*k*sub_len rows at ANY corpus scale: one
+            # task, not shuffle-partition-many near-empty ones
+            .coalesce(1)
             .groupBy("sub", "code")
             .agg(
                 F.transform(
@@ -1086,51 +1188,56 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every vector as its m nearest sub-centroids: (id, codes
-    array<int>, sq_err double). One broadcast of the m*k codebook into
-    the exploded subvector stream, argmin per (id, sub), then a
-    groupBy(id) to assemble codes — corpus rows shuffle once, on the
-    natural id key. ``sq_err`` is the per-vector reconstruction
-    distortion, the quality dial (raise m/k until acceptable).
-    Distances are exact bigints over micro-unit components (see
-    ``pq_codebooks``); ``sq_err`` converts back to squared original
-    units at 6dp via the floor micro-rounding convention."""
-    sub_len = (F.size("_vec") / m).cast("int")
-    subs = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col(vec_col).alias("_vec"),
-    ).select(
-        "_id",
-        "sub",
-        _q6_checked(
-            F.slice(F.col("_vec"), F.col("sub") * sub_len + 1, sub_len)
-        ).alias("sv"),
+    array<int>, sq_err double). Round 14: encoding is ONE narrow
+    projection — the bounded m*k codebook is broadcast as a single
+    array row and each vector folds its m subvectors against it, so
+    the corpus never explodes (×m rows), never joins, and never
+    shuffles at all (the old shape paid an explode + broadcast join +
+    two exchanges: argmin per (id, sub), then a groupBy(id) to
+    reassemble). This is the corpus-sized pass of every IVF-PQ build
+    and of the streaming index update, so the zero-shuffle shape is
+    exactly the 100 TB contract. ``sq_err`` is the per-vector
+    reconstruction distortion, the quality dial (raise m/k until
+    acceptable). Distances are exact bigints over micro-unit
+    components (see ``pq_codebooks``); the argmin fold reproduces
+    min_by(struct(_d, code)) exactly, and ``sq_err`` is the same
+    integer total converted to squared original units at 6dp via the
+    floor micro-rounding convention."""
+    zero = F.lit(0).cast("long")
+    sub_len = (F.size(F.col(vec_col)) / m).cast("int")
+    svs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _q6_checked(F.slice(F.col(vec_col), s * sub_len + 1, sub_len)),
     )
-    best = (
-        subs.join(F.broadcast(books), "sub")
-        .withColumn("_d", _l2sq("sv", "centroid"))
-        .groupBy("_id", "sub")
-        .agg(
-            F.min_by(
-                F.struct(F.col("code"), F.col("_d")),
-                F.struct(F.col("_d"), F.col("code")),
-            ).alias("_best")
-        )
-        .select("_id", "sub", F.col("_best.code").alias("code"), F.col("_best._d").alias("_d"))
+    best = F.transform(
+        svs,
+        lambda sv, s: _pq_argmin(
+            sv, F.element_at(F.col("_books"), s + 1)["arr"], "int"
+        ),
     )
-    return (
-        best.groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"],
-            ).alias("codes"),
-            # exact bigint micro² total -> squared original units, 6dp
-            (F.floor(F.sum("_d") / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-                "sq_err"
+    # bind the per-sub argmin array ONCE (inline of a 1-element array
+    # of structs): referencing it from both output columns would
+    # otherwise re-evaluate every distance fold per column
+    enc = F.inline(
+        F.transform(
+            F.array(best),
+            lambda b: F.struct(
+                F.transform(b, lambda x: x["code"]).alias("codes"),
+                # exact bigint micro² total -> squared original units,
+                # 6dp (sub-ascending fold == the old order-free sum)
+                (
+                    F.floor(
+                        F.aggregate(b, zero, lambda a, x: a + x["d"])
+                        / F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("sq_err"),
             ),
         )
-        .select(F.col("_id").alias(id_col), "codes", "sq_err")
+    )
+    return corpus.crossJoin(F.broadcast(_books_by_sub_one_row(books))).select(
+        F.col(id_col), enc
     )
 
 
@@ -1469,10 +1576,35 @@ def _ivfpq_serve(
     reader (:func:`ivfpq_topk_from_index`), so the benched serve path
     IS the certified inline path."""
     sub_len_expr = (F.size(F.col(vec_col)) / m).cast("int")
+    # per-query ADC lookup table, round 14: computed as ONE array
+    # column on the query row (element [sub][code] = exact bigint L2
+    # from the query's sub-th subvector to that sub-centroid — the
+    # same _l2sq over the same _q6 slice as the old (query_id, sub,
+    # code, _d) LUT rows), instead of a m*n_codes-row table that the
+    # exploded candidate stream re-joined per (sub, code)
     q_base = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         sub_len_expr.alias("_sl"),
+    ).crossJoin(F.broadcast(_books_by_sub_one_row(books))).select(
+        "query_id",
+        "q_vec",
+        "_sl",
+        F.transform(
+            F.col("_books"),
+            lambda e: _bind1(
+                _q6(
+                    F.slice(
+                        F.col("q_vec"),
+                        e["sub"] * F.col("_sl") + 1,
+                        F.col("_sl"),
+                    )
+                ),
+                lambda sv: F.transform(
+                    e["arr"], lambda b: _l2sq(sv, b["centroid"])
+                ),
+            ),
+        ).alias("_lut"),
     )
     q_probes = (
         q_base.crossJoin(F.broadcast(cents))
@@ -1484,33 +1616,31 @@ def _ivfpq_serve(
             ),
         )
         .filter(F.col("_rk") <= nprobe)
-        .select("query_id", "cell")
+        .select("query_id", "cell", "_lut")
     )
-    # per-query ADC lookup table: distance from each query subvector to
-    # every sub-centroid (m * n_codes rows per query, broadcastable)
-    lut = (
-        q_base.crossJoin(F.broadcast(books))
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            _l2sq(
-                _q6(
-                    F.slice(
-                        F.col("q_vec"), F.col("sub") * F.col("_sl") + 1, F.col("_sl")
-                    )
-                ),
-                F.col("centroid"),
-            ).alias("_d"),
-        )
-    )
+    # ADC scan, round 14: the code stream folds its m codes against
+    # the query's LUT array in ONE projection — the old posexplode
+    # (×m row blowup), the LUT re-join and the (query_id, neighbor_id)
+    # re-assembly exchange are gone from the candidate stream (guide
+    # §2.3/§2.4: the inverted-list scan now reaches the shortlist
+    # window without shuffling). Same m exact-bigint distances, same
+    # order-free integer sum.
     cand = (
         c_assigned.join(F.broadcast(q_probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.posexplode("codes").alias("sub", "code"))
-        .join(F.broadcast(lut), ["query_id", "sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("_d").alias("adc"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("_lut"),
+                    lambda c, ds: F.element_at(ds, c + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, t: a + t,
+            ).alias("adc"),
+        )
     )
     w_short = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     shortlist = (
