@@ -300,12 +300,25 @@ def label_propagation(
             F.max(F.when(F.col("is_own"), F.col("label"))).alias("old_label"),
         )
 
-    for i in range(iterations):
-        labels = _sized(
-            sweep(labels, probe=(i == iterations - 1)).localCheckpoint(
-                eager=True
+    # TWO sweeps compose lazily into each checkpointed plan (round 14,
+    # guide §1.2 — same batching as connected_components): per
+    # materialization the loop paid one checkpoint job whose wall at
+    # bench scale is job/planning floor, not aggregation work, so
+    # halving the materializations halves that floor. Checkpoint
+    # placement is semantics-free — the label state after N sweeps is
+    # identical wherever lineage is cut (the unrolled per-sweep DuckDB
+    # oracle hash-certifies every sweep either way).
+    i = 0
+    while i < iterations:
+        if iterations - i >= 2:
+            composed = sweep(
+                sweep(labels, probe=False), probe=(i + 1 == iterations - 1)
             )
-        )
+            i += 2
+        else:
+            composed = sweep(labels, probe=(i == iterations - 1))
+            i += 1
+        labels = _sized(composed.localCheckpoint(eager=True))
     # convergence flag: scalar over the checkpointed final state — the
     # final sweep already carried each node's previous label alongside
     # the new one, so no extra edge sweep and no label-table join.

@@ -1295,12 +1295,17 @@ def embedding_covariance(
             F.count("*").cast("bigint").alias("n"),
             F.sum("x").cast("double").alias("s"),
         )
+        # d rows at any corpus scale: one reduce task (round 14)
+        .coalesce(1)
     )
     pair_sums = (
         corpus.select(F.explode(tri).alias("t"))
         .select("t.i", "t.j", "t.xy")
         .groupBy("i", "j")
         .agg(F.sum(F.col("xy").cast("decimal(38,0)")).cast("double").alias("sxy"))
+        # d(d+1)/2 rows at any corpus scale — the corpus-sized work is
+        # the map-side partial aggregation: one reduce task (round 14)
+        .coalesce(1)
     )
     mi = moments.select(
         F.col("pos").alias("i"), F.col("s").alias("sx"), F.col("n").alias("n")

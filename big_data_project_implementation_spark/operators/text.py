@@ -716,12 +716,35 @@ def pmi_pairs(
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("c_pair"))
     )
+    # vocabulary-sized and consumed twice (the w1 and w2 count joins):
+    # without a checkpoint each join re-runs the corpus-wide token
+    # explode + aggregation (round 14, guide §1.2 — the before-plan
+    # carried FOUR parquet scans: two skip-gram expansions + two
+    # unigram aggregations). One bounded materialization feeds both.
     uni = (
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c_w"))
+        .localCheckpoint(eager=True)
     )
-    total = pair_counts.agg(F.sum("c_pair").cast("double").alias("t"))
+    # T = Σ c_pair over ALL pairs ≡ the number of skip-gram slots, a
+    # closed form of each doc's token count: Σ_{i=1}^{L-1} min(w, L-i)
+    # = L(L-1)/2 when L-1 ≤ w else w(w+1)/2 + (L-1-w)·w. Computing it
+    # from lengths replaces the second full skip-gram expansion +
+    # aggregation with a scalar codegen scan (round 14, guide §2.2 —
+    # shuffle/expand fewer bytes). Exact integer equality with
+    # SUM(c_pair): every product stays far inside bigint range.
+    L = F.size(toks)
+    w = F.lit(window)
+    per_doc = (
+        F.when(L < 2, F.lit(0).cast("bigint"))
+        .when(L - 1 <= w, F.shiftright(L.cast("bigint") * (L - 1), 1))
+        .otherwise(
+            F.lit(window * (window + 1) // 2).cast("bigint")
+            + (L - 1 - w).cast("bigint") * w
+        )
+    )
+    total = df.agg(F.sum(per_doc).cast("double").alias("t"))
     scored = (
         pair_counts.filter(F.col("c_pair") >= min_count)
         .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c1"), "w1")
@@ -1919,6 +1942,11 @@ def train_quality_classifier(
             )
             .groupBy("pos")
             .agg(F.sum("g").alias("g"), F.sum("l").alias("l"))
+            # dim rows at ANY corpus scale (the map-side partial did
+            # the data-sized work): one reduce task, and the global
+            # fold below then reads one partition instead of
+            # shuffle-partition-many near-empty ones (round 14)
+            .coalesce(1)
         )
         row = stats.groupBy().agg(
             F.transform(

@@ -22,6 +22,7 @@ def _run_stream_to_table(
     spark: SparkSession,
     output_mode: str = "complete",
     state_partitions: int = 8,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming DF to completion into a memory sink.
 
@@ -44,6 +45,16 @@ def _run_stream_to_table(
     partitioning-invariant either way (oracle-certified)."""
     sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # ``no_data_batches=False`` is for streams whose FLUSH is already
+    # guaranteed by explicit sentinel data (_events_stream_with_flush:
+    # one batch advances the watermark, the next applies it): the
+    # engine's extra idle micro-batches then only re-instantiate every
+    # state store (RocksDB open/commit per store per partition) to
+    # evict nothing. Streams without sentinels MUST keep the default —
+    # append-mode aggregations rely on a trailing no-data batch to
+    # emit windows closed by the last data batch's watermark.
+    if not no_data_batches:
+        sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         build(sub)
@@ -550,7 +561,9 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "click_id", "purchase_id")
         )
 
-    return _run_stream_to_table(build, spark, output_mode="append").orderBy(
+    return _run_stream_to_table(
+        build, spark, output_mode="append", no_data_batches=False
+    ).orderBy(
         "user_id", "click_id", "purchase_id"
     )
 
@@ -612,7 +625,9 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _run_stream_to_table(build, spark, output_mode="append").orderBy(
+    return _run_stream_to_table(
+        build, spark, output_mode="append", no_data_batches=False
+    ).orderBy(
         "user_id", "click_id", "purchase_id"
     )
 
@@ -2148,6 +2163,8 @@ def stream_twosided_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("click_id") >= 0) | F.col("purchase_id").isNotNull()
         ).select("user_id", "click_id", "purchase_id")
 
-    return _run_stream_to_table(build, spark, output_mode="append").orderBy(
+    return _run_stream_to_table(
+        build, spark, output_mode="append", no_data_batches=False
+    ).orderBy(
         "user_id", "click_id", "purchase_id"
     )

@@ -393,7 +393,7 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     "pipeline_curate_end_to_end": (8, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
     "text_repetition_signals": (4, ('BroadcastHashJoin',)),
     "text_ngram_novelty": (4, ('BroadcastHashJoin', 'BroadcastHashJoin')),
-    "embedding_semdedup": (5, ('SortMergeJoin', 'SortMergeJoin')),
+    "embedding_semdedup": (4, ('BroadcastHashJoin', 'SortMergeJoin')),
     "text_classifier_score": (1, ()),
     "join_band_self": (2, ('BroadcastHashJoin',)),
     "pipeline_curate_v2": (7, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
@@ -415,20 +415,31 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     "pipeline_curate_v3": (20, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
     "dedup_containment": (11, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin')),
     "events_attribution": (2, ()),
-    "embedding_covariance": (7, ('BroadcastHashJoin', 'BroadcastHashJoin')),
+    "embedding_covariance": (6, ('BroadcastHashJoin', 'BroadcastHashJoin')),
     "sample_weighted_es": (0, ()),
     "text_passage_dedup": (6, ('BroadcastHashJoin', 'BroadcastHashJoin')),
-    "text_pmi_topk": (9, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin')),
+    # round 14: 9 exchanges → 4 — the skip-gram expansion ran TWICE
+    # (once for the grand-total broadcast, once for the scored pairs)
+    # and the unigram aggregation ran twice (the w1 and w2 joins);
+    # the total is now a closed-form scalar over doc lengths and the
+    # vocabulary-sized unigram table is checkpointed and reused
+    "text_pmi_topk": (4, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin')),
     "events_attribution_multitouch": (2, ('BroadcastHashJoin',)),
     "text_bpe_encode": (3, ('BroadcastHashJoin',)),
     "text_train_classifier": (1, ()),
     # the inline-training composition oracle: Lloyd rounds execute
     # eagerly behind localCheckpoints, so this pins the encode+ADC+
     # re-rank consumer stage
-    "similarity_ivfpq_topk": (7, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'SortMergeJoin')),
+    "similarity_ivfpq_topk": (7, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
     # the deployment shape: training-free serve plan over the
-    # persisted cell-partitioned index (DPP on the cell key)
-    "similarity_ivfpq_serve": (5, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
+    # persisted cell-partitioned index (DPP on the cell key).
+    # round 14: the ADC scan folds codes against a per-query LUT array
+    # (the posexplode + LUT join + pair re-assembly exchange on the
+    # candidate stream are gone); the exchange count ticked 5 → 7
+    # because the one-row model-collapse aggregations (centroid/
+    # codebook arrays) each add a bounded 1-task exchange inside
+    # their broadcast builds — model-sized, corpus-independent
+    "similarity_ivfpq_serve": (7, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
     # stream_* rows: the query fns run their stream to completion and
     # return the memory-sink table, so these pin the post-sink rank/
     # presentation plan; the in-stream plan is pinned by the streaming
@@ -454,11 +465,13 @@ BENCH_PLAN_FINGERPRINTS: dict[str, tuple[int, tuple[str, ...]]] = {
     # round 8: index maintenance — the returned plan is the union
     # serve (base codes + delta segments): same broadcast-model serve
     # joins as similarity_ivfpq_serve plus the delta-side scan
-    "stream_ann_index_update": (6, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
-    # round 8: bounded Lloyd training (the 31 exchanges are the
-    # 2-iteration quantizer loop, corpus-size-independent per pass) +
-    # one broadcast argmax + cells-row aggregate → codegen filter
-    "embedding_cluster_mixture": (31, ('BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
+    "stream_ann_index_update": (9, ('BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
+    # round 14: the Lloyd iterations checkpoint their n_cells-row
+    # model (31 exchanges fell to 6 — consumers stop re-planning the
+    # training recursion), assignment is the broadcast-array argmax
+    # projection (no routing exchange), and the cells-row aggregate
+    # broadcasts back into a codegen filter
+    "embedding_cluster_mixture": (6, ('BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin', 'BroadcastNestedLoopJoin')),
     # round 8: two partial states + one merge — never a base rescan
     "incremental_agg_refresh": (3, ()),
     # round 9: delta join refresh — the view join plus two

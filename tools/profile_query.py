@@ -92,8 +92,13 @@ def main() -> int:
                 yield from fh
 
     for line in lines():
-        if True:
-            ev = json.loads(line)
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue  # truncated trailing line in a live event log
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
                 jid = ev["Job ID"]
